@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Genome-interval operators (SURVEY.md §2.4 J4-J8, §2.7 W5) — the Spark
+  * re-expression of the reference's pyranges calls (`join_overlaps`
+  * cnv.py:184, `count_overlaps` cnv.py:281, `subtract_overlaps` cnv.py:169,
+  * `cluster_overlaps` cnv.py:302, `tile_genome` cnv.py:167-168).
+  *
+  * Intervals are half-open `[start, end)` rows with a `chrom` partition
+  * column, matching the reference's coordinate convention.
+  *
+  * Scale design: a naive overlap join is a non-equi join that Catalyst
+  * plans as a broadcast-nested-loop — quadratic and unusable at 100 TB.
+  * Every operator here instead derives an equi key first:
+  *   - fixed-size binning (`withBins`): each interval explodes to the
+  *     `floor(start/bin)..floor((end-1)/bin)` bucket ids, so the overlap
+  *     join becomes an equi join on `(chrom, bin)` + a residual range
+  *     predicate — a plain shuffled hash/sort-merge join that partitions
+  *     evenly (AQE handles chromosome skew).
+  *   - clustering is a single window pass per chromosome (sort once,
+  *     running max of `end`), never a self-join.
+  */
+object Intervals {
+
+  /** Explode each interval row to one row per overlapped fixed-size bin,
+    * adding `bin` (bucket ordinal) — the equi-key for overlap joins. */
+  def withBins(df: DataFrame, binSize: Long,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end"): DataFrame =
+    df.withColumn("bin",
+      explode(sequence(expr(s"$start div $binSize"),
+        expr(s"($end - 1) div $binSize"))))
+
+  /** J8: `tile_genome` — fixed-size tiles covering [0, seqLength) per
+    * chromosome from a (chrom, seq_length) table. Pure generator: explode
+    * of a sequence, no shuffle. */
+  def tileGenome(seqLengths: DataFrame, tileSize: Long): DataFrame =
+    seqLengths.select(
+      col("chrom"),
+      explode(sequence(lit(0L), col("seq_length") - 1, lit(tileSize)))
+        .as("start"))
+      .withColumn("end", least(col("start") + tileSize, col("seq_length")))
+
+  /** J4: interval overlap join. Both sides are binned to the same grid,
+    * equi-joined on (chrom, bin), then filtered on the true overlap
+    * predicate; `dropDuplicates` removes the multi-bin double matches.
+    * `leftKeys` must uniquely identify a left row (used for dedup). */
+  def overlapJoin(left: DataFrame, right: DataFrame, binSize: Long,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    val l = withBins(left, binSize).withColumnsRenamed(
+      Map("start" -> "l_start", "end" -> "l_end"))
+    val r = withBins(right, binSize).withColumnsRenamed(
+      Map("start" -> "r_start", "end" -> "r_end"))
+    l.join(r, Seq("chrom", "bin"))
+      .filter(col("l_start") < col("r_end") && col("l_end") > col("r_start"))
+      .dropDuplicates("chrom" +: (leftKeys ++ rightKeys))
+  }
+
+  /** J5: `count_overlaps` — number of right intervals overlapping each
+    * left interval. Implemented as overlapJoin + groupBy on the left key:
+    * one equi-shuffle, partial counts map-side. */
+  def countOverlaps(left: DataFrame, right: DataFrame, binSize: Long,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame =
+    overlapJoin(left, right, binSize, leftKeys, rightKeys)
+      .groupBy("chrom", leftKeys: _*)
+      .agg(first(col("l_start")).as("start"), first(col("l_end")).as("end"),
+        count(lit(1)).as("n_overlaps"))
+
+  /** J6: `subtract_overlaps` — cut the right intervals out of the left
+    * ones (the reference's tiles − assembly-gaps, cnv.py:169).
+    * Per left interval: collect overlapping right intervals, sort, walk the
+    * gaps with a higher-order `aggregate` expression — no UDF, no window
+    * over exploded fragments. Left rows with no overlap pass through. */
+  def subtractOverlaps(left: DataFrame, right: DataFrame, binSize: Long,
+      leftKeys: Seq[String]): DataFrame = {
+    val l = withBins(left, binSize)
+    val r = withBins(right, binSize).select(
+      col("chrom"), col("bin"),
+      col("start").as("r_start"), col("end").as("r_end"))
+    // Null out bin-mates that don't truly overlap (instead of filtering the
+    // row — a left interval must survive with zero cuts, not disappear);
+    // collect_* skips nulls, so such rows contribute nothing.
+    val joined = l.join(r, Seq("chrom", "bin"), "left")
+      .withColumn("cut",
+        when(col("start") < col("r_end") && col("end") > col("r_start"),
+          struct(col("r_start").as("s"), col("r_end").as("e"))))
+      .groupBy(col("chrom") +: leftKeys.map(col) :+
+        col("start") :+ col("end"): _*)
+      .agg(sort_array(collect_set(col("cut"))).as("cuts"))
+    // Walk sorted cuts left→right with a running cursor, emitting surviving
+    // [cursor, cut.s) pieces — complement-of-union, order-robust.
+    joined.select(
+      col("chrom") +: leftKeys.map(col) :+
+        explode(expr(
+          """aggregate(
+               cuts,
+               struct(start AS cursor, CAST(array() AS ARRAY<STRUCT<s BIGINT, e BIGINT>>) AS pieces),
+               (acc, c) -> struct(
+                 greatest(acc.cursor, c.e) AS cursor,
+                 CASE WHEN c.s > acc.cursor
+                   THEN array_append(acc.pieces, struct(acc.cursor AS s, c.s AS e))
+                   ELSE acc.pieces END AS pieces),
+               acc -> CASE WHEN acc.cursor < end
+                 THEN array_append(acc.pieces, struct(acc.cursor AS s, end AS e))
+                 ELSE acc.pieces END)""")).as("piece"): _*)
+      .select(col("chrom") +: leftKeys.map(col) :+
+        col("piece.s").as("frag_start") :+ col("piece.e").as("frag_end"): _*)
+  }
+
+  /** J7/W5: `cluster_overlaps` — assign a cluster id to chains of
+    * overlapping/adjacent intervals (slack = max allowed gap). One window
+    * pass: running max of `end` over (chrom) ordered by (start, end),
+    * new-cluster flag where start exceeds it + slack, running sum → id.
+    * Requires `orderCols` to make ties deterministic. */
+  def clusterOverlaps(df: DataFrame, slack: Long,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("chrom"))
+      .orderBy(col("start") +: col("end") +: orderCols: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("max_prev_end", max(col("end")).over(wPrev))
+      .withColumn("new_cluster",
+        when(col("max_prev_end").isNull ||
+          col("start") > col("max_prev_end") + slack, 1L).otherwise(0L))
+      .withColumn("cluster_id", sum(col("new_cluster")).over(wRun))
+      .drop("max_prev_end", "new_cluster")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * cluster-pruned variant as the scale path.
+  *
+  * All vector math is higher-order `functions._` (zip_with/aggregate) —
+  * codegen'd, no UDFs. Accumulation is a sequential left fold, matching
+  * the order a scalar loop would use (deterministic per row).
+  *
+  * Scale: brute force is a broadcast of the (small) query set against the
+  * corpus — linear scan, no shuffle, TakeOrdered for the top-k. IVF prunes
+  * the scan to the nProbe nearest centroid partitions; centroids are a
+  * KB-sized aggregation collected once and broadcast back.
+  */
+object Similarity {
+
+  /** Sequential dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity between two double-array columns, computed as
+    * dot / (norm(a) * norm(b)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Queries are broadcast (small side); per-query top-k via
+    * row_number window partitioned by query id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol),
+      asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Centroids by an existing partition column (e.g. a KMeans label or a
+    * hash prefix): element-wise mean per cluster via posexplode + pivot
+    * back to arrays. */
+  def centroids(corpus: DataFrame, clusterCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(clusterCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(clusterCol), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col(clusterCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .withColumn("centroid", expr("transform(pm, x -> x.m)"))
+      .drop("pm")
+
+  /** IVF-style pruned search: assign each query to its nProbe nearest
+    * centroids, scan only corpus rows in those clusters. Exactness is
+    * traded for a ~(nProbe/nClusters) scan fraction — the standard ANN
+    * recall/cost dial. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      clusterCol: String, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val cents = centroids(corpus, clusterCol, vecCol)
+    val q = queries.select(col(queryIdCol), asDouble(col(vecCol)).as("q_vec"))
+    val wProbe = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("c_cos").desc, col(clusterCol))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("q_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col(queryIdCol), col("q_vec"), col(clusterCol))
+    val c = corpus.select(col(idCol), col(clusterCol),
+      asDouble(col(vecCol)).as("c_vec"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    c.join(broadcast(probes), Seq(clusterCol))
+      .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Q
+import graft.Q.t
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  * Brute-force cosine top-k is oracle-checked against DuckDB's
+  * list_cosine_similarity (both sides in double, ordered by the rounded
+  * score so last-bit formula differences cannot reorder rows).
+  */
+object SimilarityQ {
+
+  /** Brute-force cosine top-k against a fixed query vector (vec_id 0). */
+  val q36 = Q(
+    "q36_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select(lit(0L).as("query_id"), $"embedding")
+      Similarity.bruteForceTopK(emb, q, k = 25)
+        .select($"vec_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+             round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), 6) AS cos_sim
+      FROM embeddings
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 25"""))
+
+  /** Element-wise centroid per label (posexplode + per-dimension mean) —
+    * the IVF coarse-quantizer build, oracle-checked per dimension. */
+  val q37 = Q(
+    "q37_embedding_centroids",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label",
+          posexplode($"embedding".cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"v"), 6).as("mean_v"),
+          count(lit(1)).as("n_vecs"))
+        .withColumn("pos", ($"pos" + 1).cast("long"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""
+      SELECT label, i AS pos,
+             round(avg(embedding[i]), 6) AS mean_v,
+             count(*) AS n_vecs
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY label, i
+      ORDER BY label, pos"""))
+
+  /** IVF-pruned ANN top-k using `label` as the coarse partition —
+    * rows-only check (recall asserted vs brute force in ScalaTest). */
+  val q38 = Q(
+    "q38_ann_ivf",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      Similarity.ivfTopK(emb, q, k = 10, clusterCol = "label", nProbe = 3)
+        .select($"query_id", $"vec_id", round($"cos", 6).as("cos_sim"),
+          $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q36, q37, q38)
+}
