@@ -38,5 +38,8 @@ object Q {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
+    // Wrap-around 64-bit arithmetic (MinHash affine rehash, fingerprints)
+    // needs Java semantics, not ANSI overflow errors:
+    "spark.sql.ansi.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC")
 }

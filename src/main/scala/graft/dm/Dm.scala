@@ -1,0 +1,286 @@
+package graft.dm
+
+import breeze.linalg.{inv, pinv, DenseMatrix, DenseVector}
+import graft.functions.StatFuncs
+import org.apache.commons.math3.distribution.{FDistribution, TDistribution}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Differential methylation (SURVEY.md §2.11 L1/L3/L4/A14; reference
+  * pylluminator/dm.py).
+  *
+  * DMP: one OLS fit per probe against a shared design matrix. The matrix
+  * is identical for every probe (dm.py:434-443), so (XᵀX)⁻¹ and the
+  * pseudo-inverse are computed ONCE on the driver and broadcast; each
+  * probe's fit is then closed-form arithmetic executed inside a single
+  * `groupBy(probe).agg(...)` + UDF pass — the Spark re-expression of the
+  * reference's joblib fan-out (dm.py:449-456). Probes with missing values
+  * fall back to a per-probe pinv on the non-missing rows (dm.py:60).
+  *
+  * DMR: genome-ordered windows (W1-W4) → change points → running segment
+  * ids → per-segment aggregation with Stouffer-combined p-values (A14),
+  * all shuffling only twice (the genome sort, the segment groupBy).
+  */
+object Dm {
+
+  /** A design matrix with patsy-style treatment coding
+    * (dm.py:421-443): intercept + numeric columns as-is + categorical
+    * columns as `col[T.level]` dummies against the (sorted or specified)
+    * reference level. */
+  final case class Design(
+      factorNames: Seq[String], // e.g. Intercept, sample_type[T.PREC]
+      rows: Map[String, Array[Double]]) { // sample_label -> X row
+    def p: Int = factorNames.length
+  }
+
+  /** Build the design matrix on the driver from a (small) sample sheet.
+    * `formula` is the R-style RHS: "~ a + b". */
+  def designMatrix(sheet: Seq[Map[String, String]], labelCol: String,
+      formula: String,
+      referenceValues: Map[String, String] = Map.empty): Design = {
+    val factors = formula.replaceFirst("^\\s*~\\s*", "").split("\\+")
+      .map(_.trim).filter(_.nonEmpty)
+    val names = scala.collection.mutable.ArrayBuffer[String]("Intercept")
+    val colVals: Seq[Map[String, String]] = sheet
+    def isNumeric(f: String): Boolean =
+      colVals.forall(r => r.get(f).forall(v =>
+        scala.util.Try(v.toDouble).isSuccess))
+    val encoders: Seq[Map[String, String] => Seq[Double]] = factors.map { f =>
+      if (isNumeric(f)) {
+        names += f
+        (r: Map[String, String]) => Seq(r(f).toDouble)
+      } else {
+        val levels0 = colVals.map(_(f)).distinct.sorted
+        val levels = referenceValues.get(f) match {
+          case Some(ref) => ref +: levels0.filterNot(_ == ref)
+          case None => levels0
+        }
+        val nonRef = levels.drop(1)
+        nonRef.foreach(l => names += s"$f[T.$l]")
+        (r: Map[String, String]) => nonRef.map(l => if (r(f) == l) 1.0 else 0.0)
+      }
+    }
+    val rows = sheet.map { r =>
+      r(labelCol) -> (1.0 +: encoders.flatMap(_(r))).toArray
+    }.toMap
+    Design(names.toSeq, rows)
+  }
+
+  /** L1 — compute DMPs: per-probe OLS of beta ~ design. Input betas long
+    * [sample_label, probe_id, beta]. Output one row per probe:
+    * probe_id, f_pvalue, effect_size, and per factor
+    * {factor}_p_value/_t_value/_estimate/_std_err, plus BH-adjusted
+    * p-values per factor (dm.py:458-477). */
+  def computeDmp(spark: SparkSession, betas: DataFrame,
+      design: Design): DataFrame = {
+    val samples = design.rows.keys.toSeq.sorted
+    val p = design.p
+    val x = DenseMatrix(samples.map(design.rows): _*)
+    val xtxInv = inv(x.t * x)
+    val pinvFull = xtxInv * x.t
+    val bcast = spark.sparkContext.broadcast(
+      (samples, x.toArray, xtxInv.toArray, pinvFull.toArray))
+
+    val nF = design.factorNames.length
+    val fitUdf = udf((m: Map[String, Double]) => {
+      val (sampleOrder, xArr, xtxInvArr, pinvArr) = bcast.value
+      val n = sampleOrder.length
+      val xFull = new DenseMatrix(n, p, xArr)
+      val y = sampleOrder.map(s => m.getOrElse(s, Double.NaN)).toArray
+      val present = y.indices.filter(i => !y(i).isNaN)
+      val k = present.length
+      if (k < p + 1) Array.fill(2 + 4 * nF)(Double.NaN)
+      else {
+        val sub: Option[(DenseMatrix[Double], DenseMatrix[Double],
+            DenseMatrix[Double])] =
+          if (k == n)
+            Some((xFull, new DenseMatrix(p, n, pinvArr),
+              new DenseMatrix(p, p, xtxInvArr)))
+          else {
+            val xs = DenseMatrix(present.map(i => xFull(i, ::).t.toArray): _*)
+            scala.util.Try(inv(xs.t * xs)).toOption
+              .map(xtxiS => (xs, xtxiS * xs.t, xtxiS))
+          }
+        if (sub.isEmpty) Array.fill(2 + 4 * nF)(Double.NaN)
+        else {
+        val (xm, pin, xtxi) = sub.get
+        val yv = DenseVector(present.map(y): _*)
+        val beta = pin * yv
+        val resid = yv - xm * beta
+        val dof = k - p
+        if (dof <= 0) Array.fill(2 + 4 * nF)(Double.NaN)
+        else {
+          val sse = resid dot resid
+          val sigma2 = sse / dof
+          val yMean = breeze.linalg.sum(yv) / k
+          val sst = yv.toArray.map(v => (v - yMean) * (v - yMean)).sum
+          // F test of all non-intercept coefficients (statsmodels f_pvalue)
+          val dfModel = p - 1
+          val fPval =
+            if (dfModel <= 0 || sigma2 == 0) Double.NaN
+            else {
+              val fStat = ((sst - sse) / dfModel) / sigma2
+              if (fStat.isNaN || fStat < 0) Double.NaN
+              else 1.0 - new FDistribution(dfModel.toDouble, dof.toDouble)
+                .cumulativeProbability(fStat)
+            }
+          // effect size: max - min over non-intercept estimates + {0}
+          val est = beta.toArray
+          val nonIntercept = est.drop(1) :+ 0.0
+          val effect = nonIntercept.max - nonIntercept.min
+          val tDist = new TDistribution(dof.toDouble)
+          val out = Array.newBuilder[Double]
+          out += fPval
+          out += effect
+          var j = 0
+          while (j < nF) {
+            val se = math.sqrt(sigma2 * xtxi(j, j))
+            val t = if (se == 0) Double.NaN else est(j) / se
+            val pv = if (t.isNaN) Double.NaN
+            else 2.0 * (1.0 - tDist.cumulativeProbability(math.abs(t)))
+            out += pv; out += t; out += est(j); out += se
+            j += 1
+          }
+          out.result()
+        }
+        }
+      }
+    })
+
+    // null betas become NaN BEFORE the map aggregation: a null map value
+    // would silently convert to 0.0 at the UDF boundary (primitive Double)
+    val grouped = betas
+      .filter(col("sample_label").isin(samples: _*))
+      .groupBy("probe_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("sample_label"),
+          coalesce(col("beta").cast("double"), lit(Double.NaN))))).as("ys"))
+      .withColumn("fit", fitUdf(col("ys")))
+      .drop("ys")
+
+    val sanitized = design.factorNames.map(sanitize)
+    val withCols = sanitized.zipWithIndex.foldLeft(
+      grouped
+        .withColumn("f_pvalue", element_at(col("fit"), 1))
+        .withColumn("effect_size", element_at(col("fit"), 2))) {
+      case (df, (f, i)) =>
+        df.withColumn(s"${f}_p_value", element_at(col("fit"), 3 + 4 * i))
+          .withColumn(s"${f}_t_value", element_at(col("fit"), 4 + 4 * i))
+          .withColumn(s"${f}_estimate", element_at(col("fit"), 5 + 4 * i))
+          .withColumn(s"${f}_std_err", element_at(col("fit"), 6 + 4 * i))
+    }
+    sanitized.foldLeft(withCols.drop("fit")) { (df, f) =>
+      adjustBH(df, s"${f}_p_value", s"${f}_p_value_adjusted")
+    }
+  }
+
+  def sanitize(factor: String): String =
+    factor.replaceAll("[\\[\\]\\.\\s]+", "_").replaceAll("_+$", "")
+
+  /** L3/W7 — Benjamini-Hochberg adjustment as two windows over the non-null
+    * p-values (dm.py:475-477): rank ascending, monotone cumulative min of
+    * p·n/rank from the largest rank, capped at 1. */
+  def adjustBH(df: DataFrame, pCol: String, outCol: String): DataFrame = {
+    val nonNull = col(pCol).isNotNull && !isnan(col(pCol))
+    val ranked = df.withColumn("_bh_rank",
+      when(nonNull, row_number().over(
+        Window.partitionBy(when(nonNull, 1)).orderBy(col(pCol)))))
+    val n = ranked.withColumn("_bh_n",
+      count(when(nonNull, 1)).over(Window.partitionBy(lit(1))))
+    n.withColumn(outCol,
+      when(nonNull, least(
+        min(when(nonNull, col(pCol) * col("_bh_n") / col("_bh_rank")))
+          .over(Window.partitionBy(lit(1)).orderBy(col("_bh_rank").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(1.0))))
+      .drop("_bh_rank", "_bh_n")
+  }
+
+  /** A14 — Stouffer combination of a segment's p-values:
+    * Z = Σ Φ⁻¹(1−pᵢ) / √k, combined p = 1 − Φ(Z); a single p passes
+    * through unchanged; any null/NaN member nulls the segment (pandas NaN
+    * propagation, dm.py:27-37). Column-expression aggregation — the
+    * "few minutes" pandas apply (dm.py:622) becomes one shuffle. */
+  def stoufferAgg(pCol: String): org.apache.spark.sql.Column = {
+    val z = -StatFuncs.normInvCol(col(pCol)) // Φ⁻¹(1-p) = -Φ⁻¹(p)
+    val anyNull = max(when(col(pCol).isNull || isnan(col(pCol)), 1)
+      .otherwise(0))
+    val k = count(col(pCol))
+    val zSum = sum(z)
+    val single = first(col(pCol))
+    when(anyNull === 1, lit(null).cast("double"))
+      .when(k === 1, single)
+      .otherwise(lit(0.5) * StatFuncs.erfcCol(zSum / sqrt(k) / math.sqrt(2.0)))
+  }
+
+  /** L4 — DMR segmentation (dm.py:489-643). Inputs: betas long, dmp (from
+    * computeDmp), probe genomic ranges [probe_id, chromosome, start, end],
+    * the contrast factor names (sanitized). Output: one row per segment
+    * with min start / max end / first chromosome, Stouffer-combined and
+    * BH-adjusted p-values per contrast, and mean estimates. */
+  def computeDmr(betas: DataFrame, dmp: DataFrame, ranges: DataFrame,
+      contrasts: Seq[String], distCutoff: Option[Double] = None,
+      segPerLocus: Double = 0.5): DataFrame = {
+    // probe × sample → probe rows with per-sample betas array (genome axis)
+    val nonEmpty = ranges.filter(col("end") > col("start"))
+    val betaVecs = betas.groupBy("probe_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("sample_label"), col("beta").cast("double")))).as("bmap"),
+        max(when(col("beta").isNotNull, 1).otherwise(0)).as("any_beta"))
+      .filter(col("any_beta") === 1)
+    val cpg = nonEmpty.join(betaVecs, "probe_id")
+      .join(dmp.select(col("probe_id") +:
+        (contrasts.map(c => col(s"${c}_p_value")) ++
+          contrasts.map(c => col(s"${c}_estimate"))): _*), Seq("probe_id"))
+
+    // genome sort; W1: next-chromosome flag; W2: squared Euclidean distance
+    // of consecutive probes' beta vectors summed over samples
+    val samplesOrdered = betas.select("sample_label").distinct()
+      .collect().map(_.getString(0)).sorted
+    val vec = array(samplesOrdered.map(s =>
+      element_at(col("bmap"), s)): _*)
+    val wg = Window.partitionBy(lit(1))
+      .orderBy(graft.core.ChromNorm.chromosomeNumber(col("chromosome")),
+        col("chromosome"), col("start"), col("end"), col("probe_id"))
+    val sorted = cpg.withColumn("vec", vec)
+      .withColumn("next_chrom", lead(col("chromosome"), 1).over(wg))
+      .withColumn("next_vec", lead(col("vec"), 1).over(wg))
+      .withColumn("last_in_chrom",
+        col("next_chrom").isNull || col("next_chrom") =!= col("chromosome"))
+      .withColumn("dist", when(col("next_vec").isNotNull, expr(
+        """aggregate(zip_with(vec, next_vec,
+             (a, b) -> CASE WHEN a IS NULL OR b IS NULL THEN 0.0D
+                       ELSE (a - b) * (a - b) END),
+           0.0D, (acc, v) -> acc + v)""")))
+
+    val cutoff = distCutoff.getOrElse {
+      sorted.filter(col("dist").isNotNull && !col("last_in_chrom"))
+        .agg(percentile(col("dist"), lit(1.0 - segPerLocus)))
+        .head().getDouble(0)
+    }
+
+    // W3: change points → running segment ids (shift semantics: a change
+    // point closes its segment; the NEXT row starts a new one)
+    val flagged = sorted.withColumn("change_point",
+      col("last_in_chrom") || col("dist") > cutoff)
+    val wRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = flagged.withColumn("prev_change",
+      lag(col("change_point"), 1, true).over(wg))
+      .withColumn("segment_id",
+        sum(when(col("prev_change"), 1L).otherwise(0L)).over(wRun))
+
+    // per-segment aggregation incl Stouffer + BH (A13/A14)
+    val aggs =
+      Seq(min(col("start")).as("start"), max(col("end")).as("end"),
+        first(col("chromosome")).as("chromosome"),
+        count(lit(1)).as("n_probes")) ++
+        contrasts.map(c => stoufferAgg(s"${c}_p_value").as(s"${c}_p_value")) ++
+        contrasts.map(c => avg(col(s"${c}_estimate")).as(s"${c}_estimate"))
+    val dmr = seg.groupBy("segment_id").agg(aggs.head, aggs.tail: _*)
+    contrasts.foldLeft(dmr) { (df, c) =>
+      adjustBH(df, s"${c}_p_value", s"${c}_p_value_adjusted")
+    }
+  }
+}

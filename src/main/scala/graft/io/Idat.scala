@@ -1,0 +1,170 @@
+package graft.io
+
+import java.io.{ByteArrayInputStream, DataInput, EOFException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPInputStream
+
+import graft.core.Schemas.IdatRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Illumina IDAT v3 binary decoder — a from-scratch Scala implementation of
+  * the format the reference parses (pylluminator/read_idat.py:217-398):
+  * little-endian, magic "IDAT" + version 8-byte long, a section-offset
+  * directory of (u16 code, i64 offset) entries (read_idat.py:302-322),
+  * 7-bit-varint length-prefixed strings (read_idat.py:77-96), and the
+  * sections ILLUMINA_ID(102)/STD_DEV(103)/MEAN(104)/NUM_BEADS(107)/
+  * RUN_INFO(300)/BARCODE(402)/CHIP_TYPE(403)/NUM_SNPS_READ(1000).
+  * Gzip-transparent (read_idat.py:160-175); mean values are u16 read into
+  * float32 with an overflow check for negatives (read_idat.py:384-392).
+  *
+  * Scale design: decoding happens inside executor tasks — one task per
+  * IDAT file via the `binaryFile` source (driver never touches bytes),
+  * so a 10k-sample ingest parallelizes across the cluster.
+  */
+object Idat {
+
+  final case class RunInfo(timestamp: String, entryType: String,
+      parameters: String, codeblock: String, codeVersion: String)
+
+  /** A decoded IDAT file. */
+  final case class IdatData(
+      barcode: String,
+      chipType: String,
+      nSnpsRead: Int,
+      illuminaIds: Array[Int],
+      means: Array[Float], // u16 widened; negative ⇒ upstream overflow
+      stdDevs: Array[Float],
+      nBeads: Array[Short],
+      runInfo: Seq[RunInfo]) {
+    /** False if any mean/std value is negative — u16 overflow upstream
+      * (read_idat.py:384-392). */
+    def overflowOk: Boolean = !(means.exists(_ < 0) || stdDevs.exists(_ < 0))
+  }
+
+  private val SecIlluminaId = 102
+  private val SecStdDev = 103
+  private val SecMean = 104
+  private val SecNumBeads = 107
+  private val SecRunInfo = 300
+  private val SecBarcode = 402
+  private val SecChipType = 403
+  private val SecNumSnpsRead = 1000
+
+  /** Decode an IDAT byte array (gunzipping first if gzip magic found). */
+  def decode(raw: Array[Byte]): IdatData = {
+    val bytes =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        gunzip(raw)
+      else raw
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    require(new String(magic, "US-ASCII") == "IDAT",
+      "Not an IDAT file. Unsupported file type.")
+    val version = buf.getLong
+    require(version == 3,
+      s"Not a version 3 IDAT file (version $version). Unsupported.")
+
+    val numFields = buf.getInt
+    val offsets = (0 until numFields).map { _ =>
+      val code = buf.getShort & 0xffff
+      val off = buf.getLong
+      code -> off
+    }.toMap
+
+    def seek(code: Int): Unit = buf.position(
+      offsets.getOrElse(code,
+        throw new IllegalArgumentException(s"Missing IDAT section $code"))
+        .toInt)
+
+    seek(SecNumSnpsRead)
+    val n = buf.getInt
+
+    seek(SecBarcode)
+    val barcode = readString(buf)
+    seek(SecChipType)
+    val chipType = readString(buf)
+
+    seek(SecIlluminaId)
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) { ids(i) = buf.getInt; i += 1 }
+
+    seek(SecMean)
+    val means = new Array[Float](n)
+    i = 0
+    while (i < n) { means(i) = (buf.getShort & 0xffff).toFloat; i += 1 }
+
+    seek(SecStdDev)
+    val stds = new Array[Float](n)
+    i = 0
+    while (i < n) { stds(i) = (buf.getShort & 0xffff).toFloat; i += 1 }
+
+    seek(SecNumBeads)
+    val beads = new Array[Short](n)
+    i = 0
+    while (i < n) { beads(i) = (buf.get & 0xff).toShort; i += 1 }
+
+    val runInfo = offsets.get(SecRunInfo).map { _ =>
+      seek(SecRunInfo)
+      val count = buf.getInt
+      (0 until count).map { _ =>
+        RunInfo(readString(buf), readString(buf), readString(buf),
+          readString(buf), readString(buf))
+      }
+    }.getOrElse(Seq.empty)
+
+    IdatData(barcode, chipType, n, ids, means, stds, beads, runInfo)
+  }
+
+  /** 7-bit varint length-prefixed UTF-8 string (read_idat.py:77-96). */
+  private def readString(buf: ByteBuffer): String = {
+    var numBytes = buf.get & 0xff
+    var numChars = numBytes % 128
+    var shift = 0
+    while (numBytes / 128 == 1) {
+      numBytes = buf.get & 0xff
+      shift += 7
+      numChars += (numBytes % 128) << shift
+    }
+    val arr = new Array[Byte](numChars)
+    buf.get(arr)
+    new String(arr, "UTF-8")
+  }
+
+  private def gunzip(raw: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(raw))
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val chunk = new Array[Byte](1 << 16)
+    var r = in.read(chunk)
+    while (r > 0) { out.write(chunk, 0, r); r = in.read(chunk) }
+    out.toByteArray
+  }
+
+  /** Distributed scan: (sample_label, channel, path) manifest → long IdatRow
+    * Dataset, decoding on executors via the binaryFile source. `channel`
+    * is "G"/"R" (Grn/Red file). */
+  def read(spark: SparkSession,
+      files: Seq[(String, String, String)]): Dataset[IdatRow] = {
+    import spark.implicits._
+    val byPath: Map[String, (String, String)] =
+      files.map { case (s, c, p) => normalize(p) -> ((s, c)) }.toMap
+    val paths = files.map(_._3)
+    spark.read.format("binaryFile").load(paths: _*)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val (sample, channel) = byPath.getOrElse(normalize(path),
+          throw new IllegalStateException(s"Unmatched $path"))
+        val d = decode(content)
+        Iterator.tabulate(d.nSnpsRead) { i =>
+          IdatRow(sample, channel, d.illuminaIds(i), d.means(i),
+            d.stdDevs(i), d.nBeads(i))
+        }
+      }
+  }
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+", "/")
+}

@@ -39,10 +39,11 @@ object Intervals {
     * of a sequence, no shuffle. */
   def tileGenome(seqLengths: DataFrame, tileSize: Long): DataFrame =
     seqLengths.select(
-      col("chrom"),
+      col("chrom"), col("seq_length"),
       explode(sequence(lit(0L), col("seq_length") - 1, lit(tileSize)))
         .as("start"))
       .withColumn("end", least(col("start") + tileSize, col("seq_length")))
+      .drop("seq_length")
 
   /** J4: interval overlap join. Both sides are binned to the same grid,
     * equi-joined on (chrom, bin), then filtered on the true overlap

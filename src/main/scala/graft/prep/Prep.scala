@@ -1,0 +1,355 @@
+package graft.prep
+
+import graft.core.{Masks, Schemas}
+import graft.functions.StatFuncs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Preprocessing chain (SURVEY.md §2.11 L9-L15; reference
+  * pylluminator/samples.py:940-1607): infer-type-I-channel, dye-bias
+  * corrections, NOOB background correction, scrub, pOOBAH.
+  *
+  * Execution model (SURVEY.md §3.2): every step is a pure
+  * DataFrame → DataFrame transformation. Per-(sample, channel) scalar
+  * parameters — medians, Huber fits, ECDFs — are computed by Spark
+  * aggregations, collected to the driver (KB-sized), and broadcast back
+  * into column expressions: the only driver round-trips in the chain.
+  * The fact table itself never leaves the executors.
+  */
+object Prep {
+
+  // ---------- cell extraction helpers (long schema views of F2/F3) ----------
+
+  /** In-band cells: type I G → (G, meth_g/unmeth_g), type I R →
+    * (R, meth_r/unmeth_r), type II/ctl → G cell = meth_g, R cell =
+    * unmeth_r. Output [sample_label, probe_id, channel, value]. */
+  def ibCells(signal: DataFrame): DataFrame = {
+    val t1g = signal.filter(col("inf_type") === "I" && col("channel") === "G")
+      .select(col("sample_label"), col("probe_id"), lit("G").as("channel"),
+        explode(array(col("meth_g"), col("unmeth_g"))).as("value"))
+    val t1r = signal.filter(col("inf_type") === "I" && col("channel") === "R")
+      .select(col("sample_label"), col("probe_id"), lit("R").as("channel"),
+        explode(array(col("meth_r"), col("unmeth_r"))).as("value"))
+    val t2 = signal.filter(col("inf_type") =!= "I")
+      .select(col("sample_label"), col("probe_id"),
+        explode(array(
+          struct(lit("G").as("channel"), col("meth_g").as("value")),
+          struct(lit("R").as("channel"), col("unmeth_r").as("value"))))
+          .as("cv"))
+      .select(col("sample_label"), col("probe_id"),
+        col("cv.channel").as("channel"), col("cv.value").as("value"))
+    t1g.unionByName(t1r).unionByName(t2).filter(col("value").isNotNull)
+  }
+
+  /** Out-of-band cells (F2, samples.py:158-206): type I G probes → R
+    * measurements, type I R probes → G measurements. `channel` in the
+    * output is the measurement channel (not the probe channel). */
+  def oobCells(signal: DataFrame): DataFrame = {
+    val g = signal.filter(col("inf_type") === "I" && col("channel") === "R")
+      .select(col("sample_label"), col("probe_id"), lit("G").as("channel"),
+        explode(array(col("meth_g"), col("unmeth_g"))).as("value"))
+    val r = signal.filter(col("inf_type") === "I" && col("channel") === "G")
+      .select(col("sample_label"), col("probe_id"), lit("R").as("channel"),
+        explode(array(col("meth_r"), col("unmeth_r"))).as("value"))
+    g.unionByName(r).filter(col("value").isNotNull)
+  }
+
+  /** Negative-control cells (samples.py:935+: controls matching
+    * 'negative', case-insensitive), stored type-II-like. */
+  def negControlCells(signal: DataFrame): DataFrame =
+    signal.filter(col("probe_type") === "ctl" &&
+      col("probe_id").rlike("(?i)negative"))
+      .select(col("sample_label"), col("probe_id"),
+        explode(array(
+          struct(lit("G").as("channel"), col("meth_g").as("value")),
+          struct(lit("R").as("channel"), col("unmeth_r").as("value"))))
+          .as("cv"))
+      .select(col("sample_label"), col("probe_id"),
+        col("cv.channel").as("channel"), col("cv.value").as("value"))
+      .filter(col("value").isNotNull)
+
+  /** A1 — grand mean of in-band intensities per sample
+    * (samples.py:1017-1042). */
+  def meanIbIntensity(signal: DataFrame): DataFrame =
+    ibCells(signal).groupBy("sample_label")
+      .agg(avg("value").as("mean_ib"))
+
+  /** A2 — total in-band intensity per (sample, probe): M + U in-band,
+    * 0 → null (samples.py:1044-1072). */
+  def totalIbIntensity(signal: DataFrame): DataFrame =
+    ibCells(signal).groupBy("sample_label", "probe_id")
+      .agg(sum("value").as("total_ib"))
+      .withColumn("total_ib",
+        when(col("total_ib") === 0, lit(null)).otherwise(col("total_ib")))
+
+  // ---------- L15: infer type-I channel (samples.py:940-1011) ----------
+
+  /** Rewrite the `channel` column of type I probes to the channel holding
+    * the max signal (per probe, across samples — the reference's
+    * cross-sample idxmax). Ties → R (docstring, samples.py:941-943).
+    * Failed probes (max below the 95th percentile of the opposite-channel
+    * background, or any NA) keep the manifest channel unless
+    * `switchFailed`; `maskFailed` additionally returns a mask for them.
+    * Returns (updated signal, failed-probe mask rows). */
+  def inferType1Channel(signal: DataFrame, switchFailed: Boolean = false,
+      maskFailed: Boolean = false): (DataFrame, DataFrame) = {
+    val t1 = signal.filter(col("inf_type") === "I" &&
+      !(col("meth_g").isNull && col("unmeth_g").isNull &&
+        col("meth_r").isNull && col("unmeth_r").isNull))
+    val perProbe = t1.groupBy("probe_id")
+      .agg(
+        max(greatest(col("meth_g"), col("unmeth_g"))).as("max_g"),
+        max(greatest(col("meth_r"), col("unmeth_r"))).as("max_r"),
+        max(col("channel")).as("manifest_channel"),
+        // any NA among the 4 cells of any sample:
+        max(when(col("meth_g").isNull || col("unmeth_g").isNull ||
+          col("meth_r").isNull || col("unmeth_r").isNull, 1).otherwise(0))
+          .as("any_na"))
+      .withColumn("inferred_channel",
+        when(coalesce(col("max_r"), lit(Float.MinValue)) >=
+          coalesce(col("max_g"), lit(Float.MinValue)), "R").otherwise("G"))
+
+    // background: opposite-channel signal of inferred probes, P95
+    val bg = t1.join(broadcast(perProbe.select("probe_id", "inferred_channel")),
+      "probe_id")
+      .select(when(col("inferred_channel") === "R",
+        greatest(col("meth_g"), col("unmeth_g")))
+        .otherwise(greatest(col("meth_r"), col("unmeth_r"))).as("v"))
+      .filter(col("v").isNotNull)
+    val bgP95 = bg.agg(percentile(col("v"), lit(0.95))).head().getDouble(0)
+
+    val flagged = perProbe.withColumn("failed",
+      (greatest(coalesce(col("max_g"), lit(Float.MinValue)),
+        coalesce(col("max_r"), lit(Float.MinValue))) < bgP95) ||
+        col("any_na") === 1)
+      .withColumn("new_channel",
+        when(col("failed") && !lit(switchFailed), col("manifest_channel"))
+          .otherwise(col("inferred_channel")))
+
+    val updated = signal
+      .join(broadcast(flagged.select("probe_id", "new_channel")),
+        Seq("probe_id"), "left")
+      .withColumn("channel",
+        when(col("inf_type") === "I" && col("new_channel").isNotNull,
+          col("new_channel")).otherwise(col("channel")))
+      .drop("new_channel")
+
+    val failedMask =
+      if (maskFailed)
+        flagged.filter(col("failed"))
+          .select(lit("failed_probes_inferTypeI").as("mask_name"),
+            lit(null).cast("string").as("sample_label"), col("probe_id"))
+      else flagged.filter(lit(false))
+        .select(lit("x").as("mask_name"),
+          lit(null).cast("string").as("sample_label"), col("probe_id"))
+    (updated, failedMask)
+  }
+
+  // ---------- L12/L13: dye-bias scaling ----------
+
+  private def scaleChannels(signal: DataFrame,
+      factors: DataFrame): DataFrame =
+    signal.join(broadcast(factors), Seq("sample_label"), "left")
+      .withColumn("meth_g", (col("meth_g") * col("f_g")).cast("float"))
+      .withColumn("unmeth_g", (col("unmeth_g") * col("f_g")).cast("float"))
+      .withColumn("meth_r", (col("meth_r") * col("f_r")).cast("float"))
+      .withColumn("unmeth_r", (col("unmeth_r") * col("f_r")).cast("float"))
+      .drop("f_g", "f_r")
+
+  /** L12 — dye bias by normalization controls (samples.py:1257-1298):
+    * scale each channel by reference / mean(norm-control intensity).
+    * Norm-control green = probes matching the green pattern, (G,M) cell;
+    * red = red pattern, (R,U) cell (samples.py:894-912). */
+  def dyeBiasCorrection(signal: DataFrame,
+      arrayType: Schemas.ArrayType = Schemas.ArrayType.EpicV2): DataFrame = {
+    val (pg, pr) = Schemas.normControlPatterns(arrayType)
+    val ctl = signal.filter(col("probe_type") === "ctl")
+    val normG = ctl.filter(col("probe_id").rlike("(?i)" + pg))
+      .groupBy("sample_label").agg(avg(col("meth_g")).as("norm_g"))
+    val normR = ctl.filter(col("probe_id").rlike("(?i)" + pr))
+      .groupBy("sample_label").agg(avg(col("unmeth_r")).as("norm_r"))
+    val ref = meanIbIntensity(signal)
+    val factors = ref.join(normG, "sample_label").join(normR, "sample_label")
+      .select(col("sample_label"),
+        (col("mean_ib") / col("norm_g")).as("f_g"),
+        (col("mean_ib") / col("norm_r")).as("f_r"))
+    scaleChannels(signal, factors)
+  }
+
+  /** L13 — linear dye bias (samples.py:1300-1338): scale each channel by
+    * reference / median(type-I in-band channel signal). */
+  def dyeBiasCorrectionL(signal: DataFrame): DataFrame = {
+    val t1ib = ibCells(signal.filter(col("inf_type") === "I"))
+    val med = t1ib.groupBy("sample_label")
+      .agg(
+        percentile(when(col("channel") === "G", col("value")), lit(0.5))
+          .as("med_g"),
+        percentile(when(col("channel") === "R", col("value")), lit(0.5))
+          .as("med_r"))
+    val factors = meanIbIntensity(signal).join(med, "sample_label")
+      .select(col("sample_label"),
+        (col("mean_ib") / col("med_g")).as("f_g"),
+        (col("mean_ib") / col("med_r")).as("f_r"))
+    scaleChannels(signal, factors)
+  }
+
+  // ---------- L11: scrub (samples.py:1504-1527) ----------
+
+  /** Subtract the per-channel OOB median from every cell of that channel,
+    * clipping at 1. */
+  def scrubBackgroundCorrection(signal: DataFrame): DataFrame = {
+    val med = oobCells(signal).groupBy("sample_label")
+      .agg(
+        percentile(when(col("channel") === "G", col("value")), lit(0.5))
+          .as("bg_g"),
+        percentile(when(col("channel") === "R", col("value")), lit(0.5))
+          .as("bg_r"))
+    def scrub(c: String, bg: String): Column =
+      greatest(col(c) - col(bg), lit(1.0)).cast("float")
+    signal.join(broadcast(med), Seq("sample_label"), "left")
+      .withColumn("meth_g", scrub("meth_g", "bg_g"))
+      .withColumn("unmeth_g", scrub("unmeth_g", "bg_g"))
+      .withColumn("meth_r", scrub("meth_r", "bg_r"))
+      .withColumn("unmeth_r", scrub("unmeth_r", "bg_r"))
+      .drop("bg_g", "bg_r")
+  }
+
+  // ---------- L10: NOOB (samples.py:1429-1502, stats.py:64-142) ----------
+
+  final case class NoobFit(sample: String, channel: String, mu: Double,
+      sigma: Double, alpha: Double)
+
+  /** Fit the norm-exp background model per (sample, channel): background =
+    * OOB (+ negative controls), zeros → 1, capped at median + 10·IQR;
+    * Huber fits for (mu, sigma); alpha = max(fgMu − bgMu, 10). Arrays are
+    * collected per group to the driver — KB-MB sized, the same boundary
+    * the reference uses. */
+  def noobFits(signal: DataFrame, masks: DataFrame,
+      useNegativeControls: Boolean = true): Seq[NoobFit] = {
+    val masked = Masks.applyMask(signal,
+      Masks.addMask(masks, Masks.maskNonUniqueProbes(signal)))
+    val bgCells0 = oobCells(masked)
+    val bgCells = if (useNegativeControls)
+      bgCells0.unionByName(negControlCells(masked)) else bgCells0
+    val fgCells = ibCells(masked)
+
+    def collectArrays(cells: DataFrame): Map[(String, String), Array[Double]] =
+      cells.groupBy("sample_label", "channel")
+        .agg(collect_list(col("value").cast("double")).as("vs"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getSeq[Double](2).toArray)
+        .toMap
+
+    val bgMap = collectArrays(bgCells)
+    val fgMap = collectArrays(fgCells)
+    bgMap.toSeq.sortBy(_._1).flatMap { case ((s, ch), bgRaw) =>
+      val bg0 = bgRaw.map(v => if (v == 0) 1.0 else v)
+      if (bg0.count(_ > 0) < 100) None
+      else {
+        val cap = StatFuncs.median(bg0) + 10 * StatFuncs.iqr(bg0)
+        val bg = bg0.filter(_ < cap)
+        val fg = fgMap.getOrElse((s, ch), Array.empty)
+          .map(v => if (v == 0) 1.0 else v)
+        for {
+          (bgMu, bgSigma) <- StatFuncs.huber(bg)
+          (fgMu, _) <- StatFuncs.huber(fg)
+        } yield NoobFit(s, ch, bgMu, bgSigma, math.max(fgMu - bgMu, 10.0))
+      }
+    }
+  }
+
+  /** Apply the norm-exp convolution posterior mean + offset
+    * (stats.py:96-142) to every cell of each fitted (sample, channel).
+    * Column arithmetic + the erfcx-backed log-sf — no per-row driver
+    * work. */
+  def noobBackgroundCorrection(spark: SparkSession, signal: DataFrame,
+      masks: DataFrame, useNegativeControls: Boolean = true,
+      offset: Double = 15.0): DataFrame = {
+    import spark.implicits._
+    val fits = noobFits(signal, masks, useNegativeControls)
+    if (fits.isEmpty) return signal
+    val fitDf = broadcast(fits.toDF()
+      .withColumnsRenamed(Map("sample" -> "sample_label")))
+
+    def convolve(x: Column, mu: Column, sigma: Column,
+        alpha: Column): Column = {
+      val variance = sigma * sigma
+      val shifted = x - mu - variance / alpha
+      val z = shifted / sigma
+      val logPdf0 = StatFuncs.normLogPdfCol(lit(0.0), shifted, sigma)
+      val logSf0 = StatFuncs.normLogSfCol(lit(0.0), shifted, sigma)
+      val adjusted = shifted + variance * exp(logPdf0 - logSf0)
+      (greatest(adjusted, lit(1e-6)) + lit(offset)).cast("float")
+    }
+    def apply2(df: DataFrame, ch: String, mCol: String,
+        uCol: String): DataFrame = {
+      val f = fitDf.filter(col("channel") === ch)
+        .select(col("sample_label"), col("mu").as(s"mu_$ch"),
+          col("sigma").as(s"sigma_$ch"), col("alpha").as(s"alpha_$ch"))
+      val joined = df.join(broadcast(f), Seq("sample_label"), "left")
+      Seq(mCol, uCol).foldLeft(joined) { (d, c) =>
+        d.withColumn(c,
+          when(col(s"mu_$ch").isNotNull && col(c).isNotNull,
+            convolve(col(c), col(s"mu_$ch"), col(s"sigma_$ch"),
+              col(s"alpha_$ch"))).otherwise(col(c)))
+      }.drop(s"mu_$ch", s"sigma_$ch", s"alpha_$ch")
+    }
+    apply2(apply2(signal, "G", "meth_g", "unmeth_g"), "R", "meth_r",
+      "unmeth_r")
+  }
+
+  // ---------- L9: pOOBAH (samples.py:1529-1607) ----------
+
+  /** Detection p-values from the ECDF of out-of-band background:
+    * p = min(1 − ecdf_G(max G signal), 1 − ecdf_R(max R signal)); when a
+    * channel's background sums ≤ 100, the empirical prior 0..999 replaces
+    * it (samples.py:1583-1589). Adds `p_value` and returns the poobah
+    * mask rows (p ≥ threshold). Sorted background arrays are collected
+    * per sample and broadcast into the lookup expression. */
+  def poobah(spark: SparkSession, signal: DataFrame, masks: DataFrame,
+      useNegativeControls: Boolean = true, threshold: Double = 0.05)
+      : (DataFrame, DataFrame) = {
+    val masked = Masks.applyMask(signal,
+      Masks.addMask(masks, Masks.maskNonUniqueProbes(signal)))
+    val bg0 = oobCells(masked)
+    val bg = if (useNegativeControls)
+      bg0.unionByName(negControlCells(masked)) else bg0
+
+    val prior = (0 until 1000).map(_.toDouble).toArray
+    val bgMap: Map[(String, String), Array[Double]] =
+      bg.groupBy("sample_label", "channel")
+        .agg(sort_array(collect_list(col("value").cast("double"))).as("vs"),
+          sum(col("value").cast("double")).as("s"))
+        .collect()
+        .map { r =>
+          val arr = if (r.getDouble(3) <= 100) prior
+          else r.getSeq[Double](2).toArray
+          (r.getString(0), r.getString(1)) -> arr
+        }.toMap
+    val bcast = spark.sparkContext.broadcast(bgMap)
+
+    val pUdf = udf((sample: String, g: java.lang.Float,
+        r: java.lang.Float) => {
+      val m = bcast.value
+      def pOf(ch: String, v: java.lang.Float): java.lang.Double =
+        if (v == null) null
+        else m.get((sample, ch)).map { arr =>
+          java.lang.Double.valueOf(
+            1.0 - StatFuncs.ecdfCount(arr, v.toDouble).toDouble / arr.length)
+        }.orNull
+      val pg = pOf("G", g)
+      val pr = pOf("R", r)
+      if (pg == null && pr == null) null
+      else if (pg == null) pr
+      else if (pr == null) pg
+      else java.lang.Double.valueOf(math.min(pg, pr))
+    })
+
+    val withP = signal.withColumn("p_value",
+      pUdf(col("sample_label"),
+        greatest(col("meth_g"), col("unmeth_g")),
+        greatest(col("meth_r"), col("unmeth_r"))).cast("float"))
+    (withP, Masks.maskPoobah(withP, threshold))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.cnv
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CnvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("copyNumberVariation: amplified region shows cnv ≈ 1, flat ≈ 0") {
+    // 200 probes; norm sample intensity = 1000 + i; target = same except
+    // probes 50-99 doubled (one-copy gain)
+    val probes = (0 until 200).map(i => s"cg$i")
+    val norm = probes.zipWithIndex.map { case (p, i) =>
+      (p, "n1", 1000.0 + i) }.toDF("probe_id", "sample_label", "total_ib")
+    val target = probes.zipWithIndex.map { case (p, i) =>
+      val base = 1000.0 + i
+      (p, "t1", if (i >= 50 && i < 100) base * 2 else base)
+    }.toDF("probe_id", "sample_label", "total_ib")
+    val ranges = probes.zipWithIndex.map { case (p, i) =>
+      (p, "1", i * 1000L, i * 1000L + 2L)
+    }.toDF("probe_id", "chromosome", "start", "end")
+
+    val cnv = Cnv.copyNumberVariation(spark, target, norm, ranges)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // regression absorbs the overall 1.25× level; gained region must sit
+    // clearly above the flat region
+    val flat = (0 until 50).map(i => cnv(s"cg$i"))
+    val gain = (50 until 100).map(i => cnv(s"cg$i"))
+    assert(gain.min > flat.max + 0.5)
+    assert(math.abs(gain.sum / gain.size - flat.sum / flat.size - 1.0) < 0.3)
+  }
+
+  test("binary segmentation finds a clean breakpoint deterministically") {
+    val values = Array.tabulate(120) { i =>
+      (if (i < 60) 0.0 else 1.0) + 0.01 * math.sin(i.toDouble)
+    }
+    val segs = Cnv.cbs(values, shuffles = 200, pThreshold = 0.01, seed = 42L)
+    assert(segs.exists { case (s, e) => s == 0 && math.abs(e - 60) <= 1 })
+    assert(segs.length >= 2 && segs.length <= 4)
+    // deterministic across runs (seeded)
+    val segs2 = Cnv.cbs(values, 200, 0.01, 42L)
+    assert(segs == segs2)
+  }
+
+  test("flat signal yields one segment") {
+    val values = Array.tabulate(100)(i => 0.5 + 0.001 * (i % 3))
+    val segs = Cnv.cbs(values, 200, 1e-4, 7L)
+    assert(segs == Seq((0, 100)))
+  }
+
+  test("distributed segment() groups by chromosome") {
+    val bins = (0 until 80).map { i =>
+      val chrom = if (i < 40) "1" else "2"
+      val base = if (i % 40 < 20) 0.0 else 1.2
+      (chrom, (i % 40) * 50000L + 25000L, base + 0.02 * (i % 5))
+    }.toDF("chrom", "map_loc", "cnv")
+    val segs = Cnv.segment(spark, bins, shuffles = 200, pThreshold = 0.01)
+      .collect()
+    assert(segs.map(_.getString(0)).distinct.sorted.toSeq == Seq("1", "2"))
+    // each chromosome should split into ~2 segments around bin 20
+    val chr1 = segs.filter(_.getString(0) == "1")
+    assert(chr1.length == 2)
+    assert(chr1.map(_.getAs[Int]("nb_bins")).sum == 40)
+  }
+
+  test("gap-aware tiles subtract assembly gaps") {
+    val seqLen = Seq(("1", 200000L)).toDF("chrom", "seq_length")
+    val gaps = Seq(("1", 40000L, 60000L)).toDF("chrom", "start", "end")
+    val tiles = Cnv.gapAwareTiles(seqLen, gaps, tileSize = 50000L)
+      .orderBy("start").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    assert(tiles.toSeq == Seq((0L, 40000L), (60000L, 100000L),
+      (100000L, 150000L), (150000L, 200000L)))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+
+/** Synthesizes IDAT v3 binaries byte-for-byte per the format the decoder
+  * implements (reference read_idat.py:217-398) and round-trips them. */
+class IdatSpec extends SparkSpec {
+
+  /** Build a minimal valid IDAT v3 file. */
+  def makeIdat(ids: Array[Int], means: Array[Int], stds: Array[Int],
+      beads: Array[Int], barcode: String = "barcode123",
+      chipType: String = "BeadChip 8x5"): Array[Byte] = {
+    val n = ids.length
+    def strBytes(s: String): Array[Byte] = {
+      // varint length (all test strings < 128) + utf8
+      val b = s.getBytes("UTF-8")
+      Array(b.length.toByte) ++ b
+    }
+    // sections payloads
+    val secs = scala.collection.mutable.LinkedHashMap[Int, Array[Byte]]()
+    val bb = ByteBuffer.allocate(4 + n * 4).order(ByteOrder.LITTLE_ENDIAN)
+    // NUM_SNPS_READ (1000)
+    secs(1000) = { val b = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN); b.putInt(n); b.array() }
+    secs(102) = { val b = ByteBuffer.allocate(n * 4)
+      .order(ByteOrder.LITTLE_ENDIAN); ids.foreach(b.putInt); b.array() }
+    secs(104) = { val b = ByteBuffer.allocate(n * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+      means.foreach(m => b.putShort((m & 0xffff).toShort)); b.array() }
+    secs(103) = { val b = ByteBuffer.allocate(n * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+      stds.foreach(m => b.putShort((m & 0xffff).toShort)); b.array() }
+    secs(107) = beads.map(_.toByte)
+    secs(402) = strBytes(barcode)
+    secs(403) = strBytes(chipType)
+    secs(300) = { // one run-info entry
+      val entry = strBytes("2024-01-01") ++ strBytes("Scan") ++
+        strBytes("params") ++ strBytes("block") ++ strBytes("1.0")
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1)
+      b.array() ++ entry
+    }
+
+    val headerLen = 4 + 8 + 4 + secs.size * 10
+    var off = headerLen.toLong
+    val offsets = secs.map { case (code, payload) =>
+      val o = off; off += payload.length; (code, o)
+    }
+    val out = ByteBuffer.allocate(off.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("IDAT".getBytes("US-ASCII"))
+    out.putLong(3L)
+    out.putInt(secs.size)
+    offsets.foreach { case (code, o) =>
+      out.putShort(code.toShort); out.putLong(o)
+    }
+    secs.values.foreach(out.put)
+    out.array()
+  }
+
+  val ids = Array(10, 20, 30, 40)
+  val means = Array(100, 65535, 0, 1234)
+  val stds = Array(5, 6, 7, 8)
+  val beads = Array(3, 0, 15, 255)
+
+  test("decodes a v3 idat byte-for-byte") {
+    val d = Idat.decode(makeIdat(ids, means, stds, beads))
+    assert(d.nSnpsRead == 4)
+    assert(d.barcode == "barcode123")
+    assert(d.chipType == "BeadChip 8x5")
+    assert(d.illuminaIds.toSeq == ids.toSeq)
+    assert(d.means.toSeq == means.map(_.toFloat).toSeq) // 65535 stays u16
+    assert(d.stdDevs.toSeq == stds.map(_.toFloat).toSeq)
+    assert(d.nBeads.toSeq == beads.map(_.toShort).toSeq)
+    assert(d.runInfo.head.entryType == "Scan")
+    assert(d.overflowOk)
+  }
+
+  test("gzip transparent") {
+    val raw = makeIdat(ids, means, stds, beads)
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    val d = Idat.decode(bos.toByteArray)
+    assert(d.illuminaIds.toSeq == ids.toSeq)
+  }
+
+  test("rejects wrong magic and version") {
+    val bad = makeIdat(ids, means, stds, beads)
+    bad(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Idat.decode(bad))
+    val badV = makeIdat(ids, means, stds, beads)
+    badV(4) = 9 // version long LSB
+    assertThrows[IllegalArgumentException](Idat.decode(badV))
+  }
+
+  test("distributed read emits one row per probe per file") {
+    val dir = java.nio.file.Files.createTempDirectory("idat").toFile
+    val grn = new java.io.File(dir, "s1_Grn.idat")
+    val red = new java.io.File(dir, "s1_Red.idat")
+    java.nio.file.Files.write(grn.toPath, makeIdat(ids, means, stds, beads))
+    java.nio.file.Files.write(red.toPath,
+      makeIdat(ids, means.map(_ / 2), stds, beads))
+    val ds = Idat.read(spark, Seq(
+      ("s1", "G", grn.getAbsolutePath), ("s1", "R", red.getAbsolutePath)))
+    val rows = ds.collect()
+    assert(rows.length == 8)
+    assert(rows.count(_.signal_channel == "G") == 4)
+    val g20 = rows.find(r => r.signal_channel == "G" && r.illumina_id == 20).get
+    assert(g20.mean_value == 65535f && g20.n_beads == 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read
+    .parquet(sf("sf0.001") + "/embeddings.parquet").cache()
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val q = emb.filter($"vec_id" === 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(emb, q, k = 5)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("vec_id") == 5L)
+    assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // descending similarity
+    val sims = top.map(_.getAs[Double]("cos"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ivf with all clusters probed equals brute force") {
+    val q = emb.filter($"vec_id".isin(0, 7))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val nLabels = emb.select("label").distinct().count().toInt
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"))
+        -> r.getAs[Long]("vec_id")).toMap
+    val ivf = Similarity.ivfTopK(emb, q, 10, "label", nProbe = nLabels)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"))
+        -> r.getAs[Long]("vec_id")).toMap
+    assert(bf == ivf)
+  }
+
+  test("ivf with pruning keeps reasonable recall") {
+    val q = emb.filter($"vec_id".isin(1, 2, 3))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 10, "label", nProbe = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    // synthetic labels are near-random clusters: expected recall for
+    // nProbe of L labels is ≈ nProbe/L (here 3/L) — assert above chance/2
+    val nLabels = emb.select("label").distinct().count().toDouble
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 1.5 / nLabels, s"recall $recall with $nLabels labels")
+  }
+
+  test("centroids are per-dimension means") {
+    val two = Seq(
+      (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(two, "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cents(0) == Seq(2.0, 4.0))
+    assert(cents(1) == Seq(10.0, 0.0))
+  }
+}
