@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sample-sheet IO (SURVEY.md S2/S3; reference
+  * pylluminator/sample_sheet.py:17-142): CSV read with Illumina `[Data]`
+  * header-block skip + snake_case renames, and sheet inference from IDAT
+  * filenames (the reference's three filename grammars).
+  */
+object SampleSheet {
+
+  /** Camel→snake-case (reference utils.py:68-84). */
+  def toSnakeCase(name: String): String =
+    name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      .replaceAll("[\\s\\-]+", "_").toLowerCase
+
+  /** S2 — read a sample-sheet CSV. Skips an Illumina `[Data]` marker block
+    * when present (sample_sheet.py:53-59), snake_cases headers, applies
+    * the sentrix renames (sample_sheet.py:61-63), requires `sample_id`. */
+  def read(spark: SparkSession, path: String,
+      delimiter: String = ","): DataFrame = {
+    // pre-scan for the [Data] marker line (driver-side; sheet files are tiny)
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val dataIdx = lines.indexWhere(_.split(delimiter.charAt(0))
+      .headOption.exists(_.trim == "[Data]"))
+    val content = if (dataIdx >= 0) lines.drop(dataIdx + 1) else lines
+    import spark.implicits._
+    val df = spark.read.option("header", "true")
+      .option("delimiter", delimiter)
+      .csv(content.toDS())
+    val renamed = df.columns.foldLeft(df) { (d, c) =>
+      d.withColumnRenamed(c, toSnakeCase(c) match {
+        case "sentrixposition_a" | "sentrix_position_a" => "sentrix_position"
+        case "sentrixbarcode" | "sentrixbarcode_a" | "sentrix_barcode" |
+            "sentrix_barcode_a" => "sentrix_id"
+        case s => s
+      })
+    }
+    require(renamed.columns.contains("sample_id"),
+      s"Column sample_id not found in ${renamed.columns.mkString(",")}")
+    renamed
+  }
+
+  /** S3 — infer a sheet from Grn idat filenames (sample_sheet.py:76-142):
+    *   - GSMxxx_[sentrix]_[pos]_Grn.idat
+    *   - [sentrix]_[pos]_Grn.idat
+    *   - GSMxxx-anything-Grn.idat (fallback regex)
+    * Returns rows (sample_id, sample_name, sentrix_id, sentrix_position).
+    */
+  def inferFromFilenames(spark: SparkSession,
+      grnFiles: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val fallback = "(GSM\\d+).(.*).?(Grn|Red)\\.idat".r
+    grnFiles.flatMap { path =>
+      val filename = path.split("/").last
+      val parts = filename.split("_")
+      if (parts.length == 4 && parts(0).startsWith("GSM"))
+        Some((parts(0), parts(0), parts(1), parts(2)))
+      else if (parts.length == 3)
+        Some((s"${parts(0)}_${parts(1)}", s"${parts(0)}_${parts(1)}",
+          parts(0), parts(1)))
+      else fallback.findFirstMatchIn(filename).map { m =>
+        val nm = m.group(2)
+        (m.group(1), if (nm.length <= 1) nm else nm.dropRight(1),
+          null, null)
+      }
+    }.toDF("sample_id", "sample_name", "sentrix_id", "sentrix_position")
+  }
+
+  /** S6 — match idat files to sheet rows: each sample needs a Grn and Red
+    * file whose name contains the sample_id or sentrix id_position
+    * (samples.py:1776-1787). Returns (sample_label, channel, path). */
+  def matchIdatFiles(sheet: Seq[Map[String, String]],
+      files: Seq[String], labelCol: String = "sample_id")
+      : Seq[(String, String, String)] =
+    sheet.flatMap { row =>
+      val label = row(labelCol)
+      val keys = Seq(Some(row.getOrElse("sample_id", "")),
+        for {
+          id <- row.get("sentrix_id"); pos <- row.get("sentrix_position")
+        } yield s"${id}_$pos").flatten.filter(_.nonEmpty)
+      Seq("Grn" -> "G", "Red" -> "R").flatMap { case (tag, ch) =>
+        files.find(f => keys.exists(k => f.contains(k)) && f.contains(tag))
+          .map(f => (label, ch, f))
+      }
+    }
+}

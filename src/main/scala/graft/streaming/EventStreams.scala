@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.12). The reference has no
+  * streaming operators — this module is the beyond-parity extension for
+  * continuous ingest at scale: windowed aggregation with watermarking and
+  * stateful sessionization over the `events` stream schema. Batch parquet
+  * drives the same plans in tests via `processAllAvailable`.
+  */
+object EventStreams {
+
+  /** Watermarked sliding-window counts per event_type:
+    * readStream → withWatermark → groupBy(window, type). */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n"),
+        col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastUs: Long, n: Int,
+      total: Double)
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Int, total_value: Double)
+
+  /** Stateful sessionization with flatMapGroupsWithState: a session closes
+    * after `gapSec` of inactivity (processing-time timeout for the stream
+    * case; in batch tests the final state flush emits every session). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Event]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event],
+            state: GroupState[List[SessionState]]) =>
+          // batch-style: sort this user's events, emit closed sessions
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val gapUs = gapSec * 1000L
+          val sessions = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          for (e <- evs) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = t, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                sessions += SessionOut(user, s.start, s.lastUs, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            sessions += SessionOut(user, s.start, s.lastUs, s.n, s.total)
+          }
+          state.update(Nil)
+          sessions.iterator
+      }.toDF()
+  }
+
+  /** Read the events table as a file stream (one-file-per-trigger batch
+    * drives it synchronously in tests). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val st = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    if (st.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else st
+  }
+}

@@ -1,0 +1,102 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample sheet: [Data] block skip + snake case + sentrix renames") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet")
+    val f = dir.resolve("sheet.csv")
+    java.nio.file.Files.writeString(f,
+      """[Header],,,
+        |Date,2024-01-01,,
+        |[Data],,,
+        |Sample_ID,SentrixBarcode_A,SentrixPosition_A,SampleType
+        |s1,207001,R01C01,LNCAP
+        |s2,207001,R02C01,PREC
+        |""".stripMargin)
+    val sheet = SampleSheet.read(spark, f.toString)
+    assert(sheet.columns.toSeq ==
+      Seq("sample_id", "sentrix_id", "sentrix_position", "sample_type"))
+    assert(sheet.count() == 2)
+    assert(sheet.filter($"sample_id" === "s1").head()
+      .getAs[String]("sample_type") == "LNCAP")
+  }
+
+  test("sample sheet: plain csv without [Data] block") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet2")
+    val f = dir.resolve("s.csv")
+    java.nio.file.Files.writeString(f,
+      "sample_id,age\ns1,42\n")
+    val sheet = SampleSheet.read(spark, f.toString)
+    assert(sheet.columns.toSeq == Seq("sample_id", "age"))
+  }
+
+  test("sheet inference from the three filename grammars") {
+    val df = SampleSheet.inferFromFilenames(spark, Seq(
+      "/d/GSM123_207001_R01C01_Grn.idat",
+      "/d/207002_R02C01_Grn.idat",
+      "/d/GSM999-weird-name-Grn.idat"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(rows("GSM123") == (Some("207001"), Some("R01C01")))
+    assert(rows("207002_R02C01") == (Some("207002"), Some("R02C01")))
+    assert(rows.contains("GSM999"))
+  }
+
+  test("idat file matching by sample_id and sentrix key") {
+    val files = Seq("/d/GSM1_111_R01C01_Grn.idat", "/d/GSM1_111_R01C01_Red.idat",
+      "/d/222_R02C02_Grn.idat", "/d/222_R02C02_Red.idat")
+    val sheet = Seq(
+      Map("sample_id" -> "GSM1"),
+      Map("sample_id" -> "x2", "sentrix_id" -> "222",
+        "sentrix_position" -> "R02C02"))
+    val matched = SampleSheet.matchIdatFiles(sheet, files)
+    assert(matched.toSet == Set(
+      ("GSM1", "G", files(0)), ("GSM1", "R", files(1)),
+      ("x2", "G", files(2)), ("x2", "R", files(3))))
+  }
+
+  test("sesame import: type II values move from UG to MG; mask extracted") {
+    val dir = java.nio.file.Files.createTempDirectory("sesame")
+    val f = dir.resolve("sampleA.csv")
+    java.nio.file.Files.writeString(f,
+      """Probe_ID,MG,MR,UG,UR,mask
+        |cg1,,,200.0,300.0,FALSE
+        |cg3,310.0,311.0,300.0,301.0,TRUE
+        |""".stripMargin)
+    val manifest = Seq(
+      ("cg1", "II", null: String, "cg", ""),
+      ("cg3", "I", "G", "cg", ""))
+      .toDF("probe_id", "inf_type", "channel", "probe_type", "mask_info")
+    val (sig, masks) = Sesame.read(spark, Seq(f.toString), manifest)
+    val cg1 = sig.filter($"probe_id" === "cg1").head()
+    assert(cg1.getAs[Float]("meth_g") == 200f) // moved from UG
+    assert(cg1.isNullAt(cg1.fieldIndex("unmeth_g")))
+    assert(cg1.getAs[Float]("unmeth_r") == 300f)
+    assert(cg1.getAs[String]("sample_label") == "sampleA")
+    val cg3 = sig.filter($"probe_id" === "cg3").head()
+    assert(cg3.getAs[Float]("meth_g") == 310f)
+    assert(masks.collect().map(_.getString(2)).toSeq == Seq("cg3"))
+  }
+
+  test("store round-trips signal + masks partitioned by sample") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    val sig = Seq(("s1", "cg1", "II", null: String, "cg", "",
+      Some(1f), None: Option[Float], None: Option[Float], Some(2f),
+      None: Option[Float]))
+      .toDF("sample_label", "probe_id", "inf_type", "channel", "probe_type",
+        "mask_info", "meth_g", "meth_r", "unmeth_g", "unmeth_r", "p_value")
+    val masks = Seq(("m1", "s1", "cg1")).toDF("mask_name", "sample_label",
+      "probe_id")
+    Store.save(dir, sig, masks)
+    val back = Store.loadSignal(spark, dir)
+    assert(back.count() == 1)
+    assert(back.head().getAs[String]("sample_label") == "s1")
+    assert(Store.loadMasks(spark, dir).count() == 1)
+    // partition pruning: reading one sample touches its directory only
+    assert(new java.io.File(s"$dir/signal/sample_label=s1").exists())
+  }
+}
