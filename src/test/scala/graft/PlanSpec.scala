@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.{IntervalQ, Relational}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the scale properties the engine is designed
+  * around must be visible in `explain`, not just hoped for:
+  * filter/column pushdown into the parquet scan, broadcast hash joins for
+  * dimensions, TakeOrderedAndProject for top-k, no cartesian/nested-loop
+  * joins anywhere in the registry.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: Q): String =
+    q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("filters and projection push into the parquet scan (q02)") {
+    val p = plan(Relational.q02)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(l_shipdate)"), p.take(2000))
+    // pruned read schema: only the needed columns reach the scan
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"))
+  }
+
+  test("dimension joins are broadcast hash joins (q05, q06)") {
+    val p5 = plan(Relational.q05)
+    assert(p5.contains("BroadcastHashJoin"), p5.take(1500))
+    val p6 = plan(Relational.q06)
+    assert(p6.contains("BroadcastHashJoin"))
+    assert(!p6.contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (q23)") {
+    val p = plan(graft.queries.Stats.q23)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("no cartesian or broadcast-nested-loop joins in the registry") {
+    for (q <- SparkEntry.registry) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      // the deliberate broadcast cross joins (similarity query sets) are
+      // tiny broadcast sides; nested-loop with a non-broadcast side is
+      // the anti-pattern:
+      assert(!p.contains("BroadcastNestedLoopJoin Inner BuildLeft, false") ||
+        q.name.startsWith("q3"), s"${q.name} nested-loop join")
+    }
+  }
+
+  test("interval overlap join is an equi join on (chrom, bin), not theta") {
+    val p = plan(IntervalQ.q27)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(Relational.q01)
+    assert(p.contains("HashAggregate") && p.contains("Exchange"))
+    // partial_ functions appear in the pre-shuffle aggregate
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project hot path") {
+    // AQE finalizes the physical plan only after THIS df executes
+    // (count() would spawn a separate query)
+    val df = Relational.q02.run(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n)" prefixes in the finalized AQE plan
+    assert(p.contains("isFinalPlan=true") &&
+      (p.contains("WholeStageCodegen") || p.contains("*(")), p.take(1500))
+  }
+}
