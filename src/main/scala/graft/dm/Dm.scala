@@ -179,6 +179,80 @@ object Dm {
   def sanitize(factor: String): String =
     factor.replaceAll("[\\[\\]\\.\\s]+", "_").replaceAll("_+$", "")
 
+  /** L2 — DMPs with a random intercept per replicate group
+    * (dm.py:62-67: MixedLM when `group_column` is set). Same fan-out as
+    * the OLS path; each probe fits the profiled-likelihood LMM
+    * ([[MixedLm]]). `f_pvalue` is null (the reference returns None for
+    * mixed models); per-factor inference is Wald z. */
+  def computeDmpMixed(spark: SparkSession, betas: DataFrame,
+      design: Design, replicateGroups: Map[String, String]): DataFrame = {
+    val samples = design.rows.keys.toSeq.sorted
+    val p = design.p
+    val x = DenseMatrix(samples.map(design.rows): _*)
+    val groupIds = {
+      val levels = samples.map(replicateGroups).distinct.sorted
+      samples.map(s => levels.indexOf(replicateGroups(s))).toArray
+    }
+    val bcast = spark.sparkContext.broadcast((samples, x.toArray, groupIds))
+    val nF = design.factorNames.length
+
+    val fitUdf = udf((m: Map[String, Double]) => {
+      val (sampleOrder, xArr, gIds) = bcast.value
+      val n = sampleOrder.length
+      val xFull = new DenseMatrix(n, p, xArr)
+      val y = sampleOrder.map(s => m.getOrElse(s, Double.NaN)).toArray
+      val present = y.indices.filter(i => !y(i).isNaN)
+      if (present.length < p + 2) Array.fill(2 + 4 * nF)(Double.NaN)
+      else {
+        val xs = DenseMatrix(present.map(i => xFull(i, ::).t.toArray): _*)
+        val ys = DenseVector(present.map(y).toArray)
+        // re-map group ids to contiguous 0-based over present rows
+        val rawG = present.map(gIds).toArray
+        val remap = rawG.distinct.sorted.zipWithIndex.toMap
+        val gs = rawG.map(remap)
+        MixedLm.fit(xs, ys, gs) match {
+          case None => Array.fill(2 + 4 * nF)(Double.NaN)
+          case Some(f) =>
+            val nonIntercept = f.beta.drop(1) :+ 0.0
+            val effect = nonIntercept.max - nonIntercept.min
+            val out = Array.newBuilder[Double]
+            out += Double.NaN // f_pvalue: None for mixed models
+            out += effect
+            var j = 0
+            while (j < nF) {
+              out += f.pValues(j); out += f.zValues(j)
+              out += f.beta(j); out += f.se(j)
+              j += 1
+            }
+            out.result()
+        }
+      }
+    })
+
+    val grouped = betas
+      .filter(col("sample_label").isin(samples: _*))
+      .groupBy("probe_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("sample_label"),
+          coalesce(col("beta").cast("double"), lit(Double.NaN))))).as("ys"))
+      .withColumn("fit", fitUdf(col("ys")))
+      .drop("ys")
+    val sanitized = design.factorNames.map(sanitize)
+    val withCols = sanitized.zipWithIndex.foldLeft(
+      grouped
+        .withColumn("f_pvalue", element_at(col("fit"), 1))
+        .withColumn("effect_size", element_at(col("fit"), 2))) {
+      case (df, (f, i)) =>
+        df.withColumn(s"${f}_p_value", element_at(col("fit"), 3 + 4 * i))
+          .withColumn(s"${f}_t_value", element_at(col("fit"), 4 + 4 * i))
+          .withColumn(s"${f}_estimate", element_at(col("fit"), 5 + 4 * i))
+          .withColumn(s"${f}_std_err", element_at(col("fit"), 6 + 4 * i))
+    }
+    sanitized.foldLeft(withCols.drop("fit")) { (df, f) =>
+      adjustBH(df, s"${f}_p_value", s"${f}_p_value_adjusted")
+    }
+  }
+
   /** L3/W7 — Benjamini-Hochberg adjustment as two windows over the non-null
     * p-values (dm.py:475-477): rank ascending, monotone cumulative min of
     * p·n/rank from the largest rank, capped at 1. */

@@ -146,12 +146,9 @@ object StatFuncs {
 
   // -------------------- Column functions --------------------
 
-  private val detErfc = udf(erfc _)
-  private val detLogSf = udf((z: Double) => normLogSf(z))
-  private val detNormInv = udf((p: Double) => normInv(p))
-
-  /** erfc as a column function (deterministic scalar UDF). */
-  def erfcCol(c: Column): Column = detErfc(c)
+  /** erfc as a column function — a codegen-native Catalyst Expression
+    * (graft.functions.Expressions.Erfc), not a UDF. */
+  def erfcCol(c: Column): Column = Expressions.erfc(c.cast("double"))
 
   /** log-pdf of N(mu, sigma) at x — pure column arithmetic (codegen'd). */
   def normLogPdfCol(x: Column, mu: Column, sigma: Column): Column = {
@@ -159,12 +156,12 @@ object StatFuncs {
     lit(-0.5) * z * z - log(sigma * math.sqrt(2.0 * math.Pi))
   }
 
-  /** log-sf of N(mu, sigma) at x (UDF-backed erfcx kernel). */
+  /** log-sf of N(mu, sigma) at x (erfcx-scaled kernel Expression). */
   def normLogSfCol(x: Column, mu: Column, sigma: Column): Column =
-    detLogSf((x - mu) / sigma)
+    Expressions.normLogSf(((x - mu) / sigma).cast("double"))
 
-  /** Φ⁻¹(p) as a column function. */
-  def normInvCol(p: Column): Column = detNormInv(p)
+  /** Φ⁻¹(p) as a column function (kernel Expression). */
+  def normInvCol(p: Column): Column = Expressions.normInv(p.cast("double"))
 
   // -------------------- Huber M-estimator (A17) --------------------
 

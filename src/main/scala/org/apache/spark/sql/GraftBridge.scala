@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface needed to expose custom Catalyst
+  * Expressions as user-facing Columns in Spark 4 (Column moved to
+  * sql-api and lost its public Expression constructor). */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
