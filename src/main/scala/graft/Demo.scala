@@ -146,7 +146,20 @@ object Demo {
       .show(8, truncate = false)
 
     Store.save(s"$workDir/store", withP, masks, Some(betas), Some(sheet))
-    println(s"[demo] persisted to $workDir/store — done")
+    println(s"[demo] persisted to $workDir/store")
+
+    // multimodal columns: opaque binaries → decode/resize/features/dedup
+    import graft.operators.Multimodal
+    val media = (1 to 6).map { i =>
+      Multimodal.MediaRow(i.toLong, if (i <= 4) "image" else "video",
+        Array.tabulate(600)(j => (((if (i == 2) 1 else i) * 13 + j) % 251)
+          .toByte), 20, 30, 0, 5)
+    }.toDS()
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16)
+    val dups = Multimodal.exactDupGroups(media.toDF())
+      .filter($"n_copies" > 1).count()
+    println(s"[demo] media features: ${feats.count()} rows, " +
+      s"$dups exact-dup groups detected — done")
     spark.stop()
   }
 }

@@ -77,8 +77,19 @@ object Intervals {
     * over exploded fragments. Left rows with no overlap pass through. */
   def subtractOverlaps(left: DataFrame, right: DataFrame, binSize: Long,
       leftKeys: Seq[String]): DataFrame = {
+    // Merge overlapping right intervals FIRST (complement-of-union is
+    // invariant under merging): dense cut sets collapse to disjoint
+    // spans, shrinking the join fan-out by orders of magnitude — the
+    // difference between O(tiles × overlapping-cuts) and
+    // O(tiles × disjoint-spans) at genome scale.
+    val mergedRight = clusterOverlaps(
+      right.select(col("chrom"), col("start"), col("end")), 0L,
+      Seq(col("start")))
+      .groupBy("chrom", "cluster_id")
+      .agg(min("start").as("start"), max("end").as("end"))
+      .drop("cluster_id")
     val l = withBins(left, binSize)
-    val r = withBins(right, binSize).select(
+    val r = withBins(mergedRight, binSize).select(
       col("chrom"), col("bin"),
       col("start").as("r_start"), col("end").as("r_end"))
     // Null out bin-mates that don't truly overlap (instead of filtering the

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque BINARY columns with typed metadata, processed by
+  * `mapPartitions` batch operators (the Scala-native equivalent of the
+  * PySpark `mapInPandas` pattern — one iterator-to-iterator pass per
+  * partition, no per-row driver involvement, arbitrary native libs
+  * callable inside).
+  *
+  * The actual codec step is STUBBED with a deterministic fake (media
+  * codecs aren't in this container): `FakeCodec` derives pixel/sample
+  * data from xxhash-style mixing of the bytes, so every pipeline stage —
+  * schemas, partitioning, batch iteration, metadata propagation, feature
+  * shapes — is real and testable, and a production codec drops in by
+  * replacing one function.
+  */
+object Multimodal {
+
+  /** A media row: binary payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      content: Array[Byte],
+      width: Int, height: Int, // images/video
+      sample_rate: Int, // audio
+      n_frames: Int) // video
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      pixels: Array[Float]) // row-major grayscale in [0,1]
+
+  final case class MediaFeature(media_id: Long, media_type: String,
+      embedding: Array[Float])
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int,
+      content: Array[Byte])
+
+  /** STUB codec — deterministic splitmix64 mixing of content bytes.
+    * Replace `decodeImage` with a real codec (e.g. TwelveMonkeys/JAI) in
+    * production; everything downstream is codec-agnostic. */
+  object FakeCodec {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    def contentHash(bytes: Array[Byte]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = mix(h ^ bytes(i)); i += 1 }
+      h
+    }
+
+    /** ??? in a real deployment — here: deterministic fake pixels. */
+    def decodeImage(content: Array[Byte], width: Int,
+        height: Int): Array[Float] = {
+      val seed = contentHash(content)
+      Array.tabulate(width * height)(i =>
+        ((mix(seed + i) >>> 11).toDouble / (1L << 53)).toFloat)
+    }
+  }
+
+  /** Decode images partition-wise (batch iterator in, batch iterator
+    * out — the mapInPandas shape). */
+  def decodeImages(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { it =>
+      it.map { m =>
+        DecodedImage(m.media_id, m.width, m.height,
+          FakeCodec.decodeImage(m.content, m.width, m.height))
+      }
+    }
+  }
+
+  /** Resize decoded images by nearest-neighbour sampling — pure pixel
+    * arithmetic, runs wherever the decode ran. */
+  def resize(spark: SparkSession, images: Dataset[DecodedImage],
+      newW: Int, newH: Int): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { img =>
+        val out = Array.tabulate(newW * newH) { i =>
+          val x = (i % newW) * img.width / newW
+          val y = (i / newW) * img.height / newH
+          img.pixels(y * img.width + x)
+        }
+        DecodedImage(img.media_id, newW, newH, out)
+      }
+    }
+  }
+
+  /** Feature extraction: fixed-dim embedding per media row (stubbed as a
+    * coarse downsampled intensity grid for images, hash features
+    * otherwise) — the batch shape a real vision/audio encoder uses. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      dim: Int = 64): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val emb = m.media_type match {
+          case "image" =>
+            val px = FakeCodec.decodeImage(m.content, m.width, m.height)
+            // mean-pool onto a dim-length grid
+            Array.tabulate(dim) { d =>
+              val lo = d.toLong * px.length / dim
+              val hi = math.max(lo + 1, (d + 1).toLong * px.length / dim)
+              var s = 0f; var i = lo
+              while (i < hi) { s += px(i.toInt); i += 1 }
+              s / (hi - lo)
+            }
+          case _ =>
+            val seed = FakeCodec.contentHash(m.content)
+            Array.tabulate(dim)(i =>
+              ((seed * (i + 1)) >>> 40).toFloat / (1 << 24))
+        }
+        MediaFeature(m.media_id, m.media_type, emb)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th chunk of the
+    * payload becomes a frame row (stub chunking; a real demuxer replaces
+    * the splitter). Generator shape: one input row → many frame rows. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      stride: Int = 2): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").flatMap { m =>
+      val frameSize = math.max(1, m.content.length / math.max(m.n_frames, 1))
+      (0 until m.n_frames by stride).map { f =>
+        val from = f * frameSize
+        val until = math.min(m.content.length, from + frameSize)
+        VideoFrame(m.media_id, f,
+          java.util.Arrays.copyOfRange(m.content, from, until))
+      }
+    }
+  }
+
+  /** Exact-dup groups over media payloads (content hash; the binary
+    * analogue of text exact dedup). */
+  def exactDupGroups(media: DataFrame): DataFrame =
+    media.groupBy(sha2(col("content"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("keep_id"))
+
+  /** Near-dup candidates via embedding cosine (reuses the Similarity
+    * brute-force/IVF operators over the extracted features). */
+  def nearDupCandidates(spark: SparkSession, media: Dataset[MediaRow],
+      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(spark, media, dim).toDF()
+      .withColumnRenamed("media_id", "vec_id")
+    val a = feats.select(col("vec_id").as("id_a"),
+      col("embedding").cast("array<double>").as("va"))
+    val b = feats.select(col("vec_id").as("id_b"),
+      col("embedding").cast("array<double>").as("vb"))
+    // small candidate sets per partition at test scale; production swaps
+    // in Similarity.ivfTopK with an LSH/cluster bucketing column
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}
