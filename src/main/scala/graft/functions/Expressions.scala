@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -52,18 +53,49 @@ object Expressions {
 
   import GraftBridge.{column, expression}
 
-  def erfc(c: Column): Column = column(Erfc(expression(c)))
-  def normLogSf(c: Column): Column = column(NormLogSf(expression(c)))
-  def normInv(c: Column): Column = column(NormInv(expression(c)))
+  /** Children are cast to double explicitly (the kernels are
+    * double-only and don't participate in implicit coercion). */
+  def toD(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+
+  def erfc(c: Column): Column = column(Erfc(toD(expression(c))))
+  def normLogSf(c: Column): Column = column(NormLogSf(toD(expression(c))))
+  def normInv(c: Column): Column = column(NormInv(toD(expression(c))))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("erfc", es => Erfc(es.head), "builtin")
+    reg.createOrReplaceTempFunction("erfc",
+      es => Erfc(toD(es.head)), "built-in")
     reg.createOrReplaceTempFunction("norm_log_sf",
-      es => NormLogSf(es.head), "builtin")
+      es => NormLogSf(toD(es.head)), "built-in")
     reg.createOrReplaceTempFunction("norm_inv",
-      es => NormInv(es.head), "builtin")
+      es => NormInv(toD(es.head)), "built-in")
+  }
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * statistical kernels into every session's SQL surface at build time —
+  * the registration path a cluster deployment uses (no per-session
+  * register() call). */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("erfc"),
+      new ExpressionInfo(classOf[Expressions.Erfc].getName, "erfc"),
+      (es: Seq[Expression]) => Expressions.Erfc(Expressions.toD(es.head))))
+    e.injectFunction((FunctionIdentifier("norm_log_sf"),
+      new ExpressionInfo(classOf[Expressions.NormLogSf].getName,
+        "norm_log_sf"),
+      (es: Seq[Expression]) => Expressions.NormLogSf(Expressions.toD(es.head))))
+    e.injectFunction((FunctionIdentifier("norm_inv"),
+      new ExpressionInfo(classOf[Expressions.NormInv].getName, "norm_inv"),
+      (es: Seq[Expression]) => Expressions.NormInv(Expressions.toD(es.head))))
   }
 }

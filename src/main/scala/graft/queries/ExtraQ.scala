@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Q
+import graft.Q.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional §2 mappings: fixed-width histograms (the KDE-feeding tables
+  * of L22/A11, qc.QC.betaHistogram pattern) and ntile decile ranking
+  * (W6 rank family).
+  */
+object ExtraQ {
+
+  /** L22/A11 — fixed-width histogram per group: integer bucket ids from
+    * division (exact both sides), counts + per-bucket means. */
+  val q39 = Q(
+    "q39_histogram",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          floor($"l_extendedprice" / 10000.0).cast("long"))
+        .groupBy($"l_returnflag", $"bucket")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"l_quantity"), 6).as("mean_qty"))
+        .orderBy($"l_returnflag", $"bucket")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+             count(*) AS n,
+             round(avg(l_quantity), 6) AS mean_qty
+      FROM lineitem
+      GROUP BY l_returnflag, bucket
+      ORDER BY l_returnflag, bucket"""))
+
+  /** W6 — ntile decile over a total order (unique tiebreak makes the
+    * bucket assignment deterministic and identical across engines). */
+  val q40 = Q(
+    "q40_ntile_deciles",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"decile")
+    },
+    Some("""
+      SELECT decile, count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM (SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                     AS decile
+            FROM orders)
+      GROUP BY decile
+      ORDER BY decile"""))
+
+  val all: Seq[Q] = Seq(q39, q40)
+}
