@@ -309,20 +309,22 @@ object Dm {
         (contrasts.map(c => col(s"${c}_p_value")) ++
           contrasts.map(c => col(s"${c}_estimate"))): _*), Seq("probe_id"))
 
-    // genome sort; W1: next-chromosome flag; W2: squared Euclidean distance
-    // of consecutive probes' beta vectors summed over samples
+    // genome-ordered windows PARTITIONED BY CHROMOSOME: the reference
+    // sorts globally (dm.py:567-568), but chromosome boundaries always
+    // cut segments (last_probe_in_chromosome is a change point), so the
+    // computation is per-chromosome independent — partitioning removes
+    // the single-partition global-window bottleneck at genome scale.
+    // Segment ids get a chromosome prefix for global uniqueness.
     val samplesOrdered = betas.select("sample_label").distinct()
       .collect().map(_.getString(0)).sorted
     val vec = array(samplesOrdered.map(s =>
       element_at(col("bmap"), s)): _*)
-    val wg = Window.partitionBy(lit(1))
-      .orderBy(graft.core.ChromNorm.chromosomeNumber(col("chromosome")),
-        col("chromosome"), col("start"), col("end"), col("probe_id"))
+    val wg = Window.partitionBy(col("chromosome"))
+      .orderBy(col("start"), col("end"), col("probe_id"))
     val sorted = cpg.withColumn("vec", vec)
       .withColumn("next_chrom", lead(col("chromosome"), 1).over(wg))
       .withColumn("next_vec", lead(col("vec"), 1).over(wg))
-      .withColumn("last_in_chrom",
-        col("next_chrom").isNull || col("next_chrom") =!= col("chromosome"))
+      .withColumn("last_in_chrom", col("next_chrom").isNull)
       .withColumn("dist", when(col("next_vec").isNotNull, expr(
         """aggregate(zip_with(vec, next_vec,
              (a, b) -> CASE WHEN a IS NULL OR b IS NULL THEN 0.0D
@@ -339,11 +341,20 @@ object Dm {
     // point closes its segment; the NEXT row starts a new one)
     val flagged = sorted.withColumn("change_point",
       col("last_in_chrom") || col("dist") > cutoff)
+    // dense unique index per chromosome string (tiny dimension) so the
+    // per-chromosome running ids cannot collide across partitions
+    val chromIdx = cpg.select("chromosome").distinct()
+      .withColumn("chrom_idx",
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("chromosome"))).cast("long"))
     val wRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seg = flagged.withColumn("prev_change",
-      lag(col("change_point"), 1, true).over(wg))
+    val seg = flagged
+      .join(broadcast(chromIdx), Seq("chromosome"))
+      .withColumn("prev_change",
+        lag(col("change_point"), 1, true).over(wg))
       .withColumn("segment_id",
-        sum(when(col("prev_change"), 1L).otherwise(0L)).over(wRun))
+        col("chrom_idx") * 1000000000L +
+          sum(when(col("prev_change"), 1L).otherwise(0L)).over(wRun))
 
     // per-segment aggregation incl Stouffer + BH (A13/A14)
     val aggs =
