@@ -1,34 +1,59 @@
 package graft.operators
 
+import graft.functions.Expressions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash),
-  * n-gram Jaccard, MinHash+LSH banding, and SimHash. All are declarative
-  * DataFrame plans:
-  *   - exact/prefix dedup: one hash + one groupBy shuffle;
-  *   - MinHash: signatures are per-row lambda arithmetic (no shuffle),
-  *     LSH banding turns the quadratic candidate search into an equi
-  *     groupBy on (band, band_hash) — the only shuffle, and the reason
-  *     this scales to 100 TB where a pairwise join cannot;
-  *   - SimHash: linear explode + two groupBy shuffles, then banding on
-  *     16-bit chunks for Hamming-≤k candidate pairs.
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (the reason these shapes survive 100 TB):
+  *   - ALL per-document math (shingling, signature computation, simhash
+  *     bits) is row-local array arithmetic — zero shuffles until the
+  *     candidate-generation step, and the document text itself never
+  *     shuffles (only 8-byte hashes and ids do);
+  *   - candidate pairs come from an INVERTED INDEX (groupBy key →
+  *     collect_list of postings → ordered pair expansion), never from a
+  *     self-join: one shuffle of narrow postings rows instead of two
+  *     shuffles of the full table + a join, and a bucket of n docs expands
+  *     to n(n-1)/2 pairs exactly once;
+  *   - shingles/tokens are hashed with `poly_hash64` (a codegen Catalyst
+  *     expression, graft.functions.Expressions.PolyHash64) whose
+  *     recurrence is replayable in other engines — the DuckDB oracles
+  *     recompute the identical MinHash/SimHash families, so even the LSH
+  *     ops are exact-checked, not rows-only;
+  *   - hot keys: a shingle shared by d documents yields d(d-1)/2 pairs —
+  *     at corpus scale stop-phrase shingles make that quadratic term
+  *     explode, so `dfCap` (document-frequency cap, the standard
+  *     production mitigation) drops postings lists longer than the cap
+  *     before expansion. Capping changes semantics (documented at each
+  *     call site); oracle-checked queries leave it off.
+  *
+  * Reference behaviors re-expressed: near-dup candidate generation for
+  * corpus curation; the reference's own probe-suffix dedup is the exact
+  * groupBy family (samples.py:666-697 → core.MergeSamples).
   */
 object Dedup {
 
-  /** Distinct word-k-gram shingles per document:
-    * (idCol, shingle) rows. The base for Jaccard/MinHash. */
-  def shingles(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame = {
-    val w = split(col(textCol), " ")
-    df.select(col(idCol),
-      explode(expr(
-        s"""transform(sequence(1, greatest(size(split($textCol, ' ')) - ${k - 1}, 0)),
-            i -> concat_ws(' ', slice(split($textCol, ' '), i, $k)))"""))
-        .as("shingle"))
-      .dropDuplicates(idCol, "shingle")
+  private def withRegistered(df: DataFrame): DataFrame = {
+    Expressions.register(df.sparkSession); df
   }
+
+  /** Distinct word-k-gram shingle HASHES per document as a row-local
+    * array column `sh_hs` (plus `toks`): the zero-shuffle base for
+    * Jaccard/MinHash. Documents shorter than k words get an empty array.
+    * `split` runs once per row (projected to `toks` first — inlining it
+    * into the lambda would re-split per shingle). */
+  def withShingleHashes(df: DataFrame, textCol: String,
+      k: Int = 3): DataFrame =
+    withRegistered(df)
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("sh_hs", expr(
+        s"""CASE WHEN size(toks) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE array_distinct(transform(
+              sequence(1, size(toks) - ${k - 1}),
+              i -> poly_hash64(concat_ws(' ', slice(toks, i, $k)))))
+            END"""))
 
   /** Exact duplicate groups by full-text hash: (text_hash, n_copies,
     * keep_id = min id). Pure hash-groupBy — the cheapest dedup pass. */
@@ -37,20 +62,38 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Pairwise n-gram Jaccard similarity ≥ threshold, computed by an
-    * equi-join on shared shingles (never an all-pairs cross join):
-    * |A∩B| from the shingle join, |A|,|B| from per-doc counts. */
+  /** Ordered-pair expansion of an inverted-index postings list `ds`
+    * (array of structs whose FIRST field is the unique doc id): sort by
+    * id, then for every position i pair it with every later posting.
+    * Two-level explode keeps per-row arrays bounded by the postings size.
+    * Returns one row per (a, b) posting pair with a.id < b.id. */
+  private def expandPairs(inv: DataFrame): DataFrame =
+    inv.withColumn("ds", expr("array_sort(ds)"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("b"))
+
+  /** Pairwise n-gram Jaccard similarity ≥ threshold via the inverted
+    * index: |A∩B| from co-occurrence counts, |A|,|B| carried through the
+    * postings (no extra size join). `dfCap` drops shingles shared by more
+    * than cap docs (approximation for corpus scale; None = exact). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val common = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      k: Int = 3, threshold: Double = 0.5,
+      dfCap: Option[Int] = None): DataFrame = {
+    val postings = withShingleHashes(df, textCol, k)
+      .select(col(idCol).as("id"),
+        size(col("sh_hs")).cast("long").as("n_sh"),
+        explode(col("sh_hs")).as("h"))
+    val inv = postings.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = dfCap.map(c => inv.filter(size(col("ds")) <= c))
+      .getOrElse(inv)
+    expandPairs(capped)
+      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+        col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
@@ -58,58 +101,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
-  /** MinHash signature: hash every shingle ONCE (xxhash64), then derive
-    * the `numHashes` family members by affine rehash h_i = a_i*h + b_i
-    * (mod 2^64 via unchecked multiply) — the standard universal-hash
-    * trick. This is O(shingles + numHashes·shingles integer ops) instead
-    * of numHashes string hashes per shingle (string hashing dominated the
-    * naive version ~40×). One array column per doc; no extra shuffle. */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32): DataFrame = {
-    // Fixed odd multipliers/offsets derived from splitmix64 of the index —
-    // deterministic across runs and engines.
+  /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
+    * multiply) — the standard universal-hash trick: each shingle is
+    * hashed ONCE, the numHashes family members are integer arithmetic.
+    * Multipliers/offsets from splitmix64 of the index — deterministic
+    * across runs AND engines (the DuckDB oracle re-derives them). */
+  def mixConstants(numHashes: Int): (Array[Long], Array[Long]) = {
     def mix(i: Long): Long = {
       var z = i + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val as = Array.tabulate(numHashes)(i => mix(2L * i) | 1L)
-    val bs = Array.tabulate(numHashes)(i => mix(2L * i + 1))
+    (Array.tabulate(numHashes)(i => mix(2L * i) | 1L),
+      Array.tabulate(numHashes)(i => mix(2L * i + 1)))
+  }
+
+  /** MinHash signature as a row-local array column `sig` — NO shuffle:
+    * shingle hashing, the affine family, and the per-function min all
+    * happen inside the row's projection. Docs with no shingles (< k
+    * words) are dropped (they have no signature).
+    *
+    * The shingle-hash array is bound ONCE per row via a single-element
+    * `transform` (a lambda let-binding). Leaving it as a separate
+    * projected column is not safe: CollapseProject inlines a
+    * referenced-once alias into the consumer, and here the consumer
+    * reference sits inside a `sequence(0, numHashes-1)` lambda — the
+    * inlined shingling would re-execute numHashes× per row (measured 2.5×
+    * slower end-to-end at sf0.1 before this binding). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32): DataFrame = {
+    val (as, bs) = mixConstants(numHashes)
     val aArr = as.mkString("array(", "L,", "L)")
     val bArr = bs.mkString("array(", "L,", "L)")
-    shingles(df, idCol, textCol, k)
-      .withColumn("h", xxhash64(col("shingle")))
-      .groupBy(col(idCol))
-      .agg(collect_list(col("h")).as("hs"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-             i -> array_min(transform(hs,
-               h -> element_at($aArr, i + 1) * h
-                    + element_at($bArr, i + 1))))"""))
-      .drop("hs")
+    val shingles =
+      s"""array_distinct(transform(
+            sequence(1, size(toks) - ${k - 1}),
+            i -> poly_hash64(concat_ws(' ', slice(toks, i, $k)))))"""
+    withRegistered(df)
+      .filter(size(split(col(textCol), " ")) >= k)
+      .withColumn("toks", split(col(textCol), " "))
+      .select(col(idCol), expr(
+        s"""element_at(transform(array($shingles), hs ->
+              transform(sequence(0, ${numHashes - 1}),
+                i -> array_min(transform(hs,
+                  h -> element_at($aArr, i + 1) * h
+                       + element_at($bArr, i + 1))))), 1)""").as("sig"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs: band the signature into
-    * `bands` chunks, bucket-join on (band_idx, band_hash), emit candidate
-    * pairs with their estimated Jaccard (fraction of matching signature
-    * positions). The banding groupBy is the only shuffle. */
+    * `bands` chunks and bucket on (band_idx, raw band values) — grouping
+    * on the slice itself needs no band-hash and cannot collide. Pairs
+    * come from the inverted index (one shuffle); est_jaccard = fraction
+    * of matching signature positions. `dfCap` caps bucket size (docs per
+    * band value); None = exact LSH semantics. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      dfCap: Option[Int] = None): DataFrame = {
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
-    val banded = sigs.select(col(idCol), col("sig"),
+    val banded = sigs.select(col(idCol).as("id"), col("sig"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
-             b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+             b -> slice(sig, b * $rows + 1, $rows))"""))
+        .as(Seq("band_idx", "band_key")))
+    val inv = banded.groupBy("band_idx", "band_key")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = dfCap.map(c => inv.filter(size(col("ds")) <= c))
+      .getOrElse(inv)
+    expandPairs(capped)
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard", expr(
         """size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
@@ -117,45 +180,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash per document from whitespace tokens: per bit j, sum
-    * +1/-1 over token-hash bit j (weighted by token frequency), bit set
-    * where the sum is positive. Linear in tokens × 64. */
+  /** 64-bit SimHash per document, entirely row-local: bit j is set when
+    * more than half of the token OCCURRENCES have bit j set in their
+    * poly_hash64 (the ±1 majority vote; frequency weighting over distinct
+    * tokens is identical to counting occurrences). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-      .select(col(idCol), col("w"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("contrib",
-        when(expr("(shiftright(h, j) & 1) = 1"), col("w"))
-          .otherwise(-col("w")))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+    withRegistered(df)
+      .withColumn("th",
+        expr(s"transform(split($textCol, ' '), t -> poly_hash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+             (acc, j) -> acc + IF(
+               2 * size(filter(th, h -> (shiftright(h, j) & 1) = 1))
+                 > size(th),
+               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""))
+      .select(col(idCol), col("simhash"))
 
-  /** SimHash near-dup candidates with Hamming distance ≤ maxDist, banded
-    * on four 16-bit chunks (pigeonhole: any pair within distance 3 shares
-    * at least one exact chunk). */
+  /** SimHash near-dup candidates with Hamming distance ≤ maxDist (≤ 3),
+    * banded on four 16-bit chunks (pigeonhole: any pair within distance 3
+    * shares at least one exact chunk, so for maxDist ≤ 3 the candidates
+    * are EXACTLY the pairs with hamming ≤ maxDist — which is what the
+    * DuckDB oracle brute-forces). Inverted index per (band, chunk). */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val hashes = simHash(df, idCol, textCol)
-    val banded = hashes.select(col(idCol), col("simhash"),
-      explode(expr(
+    val banded = hashes.select(col(idCol).as("id"), col("simhash"),
+      posexplode(expr(
         """transform(sequence(0, 3),
-            b -> struct(b AS band,
-                        shiftright(simhash, b * 16) & 65535 AS chunk))"""))
-        .as("bc"))
-      .select(col(idCol), col("simhash"),
-        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
-      col("band"), col("chunk"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
-      col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+            b -> shiftright(simhash, b * 16) & 65535)"""))
+        .as(Seq("band", "chunk")))
+    val inv = banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    expandPairs(inv)
+      .select(col("a.id").as("id_a"), col("a.simhash").as("h_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("h_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -118,25 +118,28 @@ object Intervals {
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wAll = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val walked = joined
+    // Each joined row emits 0-2 fragments in ONE projection (a mid
+    // fragment before its cut, plus — on the partition's last row — the
+    // final fragment after the last cut). Emitting both kinds from a
+    // single explode keeps the join+window subtree evaluated once; the
+    // earlier mids/fins union recomputed it twice.
+    joined
       .withColumn("cursor",
         greatest(coalesce(max(col("ce")).over(wPrev), col("start")),
           col("start")))
       .withColumn("max_ce", max(col("ce")).over(wAll))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wAll))
-    val mids = walked
-      .filter(col("cs").isNotNull && col("cs") > col("cursor"))
-      .select(keyCols :+ col("cursor").as("frag_start") :+
-        col("cs").as("frag_end"): _*)
-    val fins = walked
-      .filter(col("rn") === col("cnt"))
-      .withColumn("frag_start",
+      .withColumn("is_last", row_number().over(w) === count(lit(1)).over(wAll))
+      .withColumn("fin_start",
         greatest(coalesce(col("max_ce"), col("start")), col("start")))
-      .filter(col("frag_start") < col("end"))
-      .select(keyCols :+ col("frag_start") :+
-        col("end").as("frag_end"): _*)
-    mids.unionByName(fins)
+      .select(keyCols :+ explode(expr(
+        """filter(array(
+             IF(cs IS NOT NULL AND cs > cursor,
+                named_struct('fs', cursor, 'fe', cs), NULL),
+             IF(is_last AND fin_start < `end`,
+                named_struct('fs', fin_start, 'fe', `end`), NULL)),
+           x -> x IS NOT NULL)""")).as("f"): _*)
+      .select(keyCols :+ col("f.fs").as("frag_start") :+
+        col("f.fe").as("frag_end"): _*)
   }
 
   /** J7/W5: `cluster_overlaps` — assign a cluster id to chains of

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators on the `documents` table: text
   * statistics / quality scoring, stopword language scoring, document
-  * fingerprinting, n-gram Jaccard near-dup pairs (oracle-checked), and
-  * MinHash-LSH / SimHash (rows-only — their hash families are not
-  * reproducible in DuckDB SQL; correctness is asserted by ScalaTest specs
-  * on documents with known overlap instead).
+  * fingerprinting, n-gram Jaccard near-dup pairs, MinHash-LSH, SimHash,
+  * and rolling-hash fingerprints — ALL exact-oracle-checked. The hash
+  * families are built on poly_hash64 (a portable Rabin-Karp recurrence;
+  * graft.functions.Expressions.PolyHash64) so DuckDB replays them
+  * bit-for-bit via DuckOracle's unsigned-128 mod-2^64 folds.
   */
 object TextQ {
 
@@ -123,9 +124,12 @@ object TextQ {
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
       ORDER BY id_a, id_b"""))
 
-  /** MinHash-LSH near-dup candidates — rows-only check (xxhash64 family
-    * not reproducible in the oracle); ScalaTest asserts recall vs exact
-    * Jaccard on the same table. */
+  /** MinHash-LSH near-dup candidates, EXACT-checked: the oracle replays
+    * the whole pipeline — poly_hash64 shingle hashes, the splitmix64
+    * affine family (same constants via DuckOracle.mixPairs), signed mins,
+    * band-slice equality — by brute force over all doc pairs. Feasible at
+    * oracle scale (500 docs); the Spark side is the LSH bucketed plan
+    * that scales. */
   val q33 = Q(
     "q33_minhash_lsh",
     (s, d) => {
@@ -134,9 +138,38 @@ object TextQ {
         k = 3, numHashes = 32, bands = 8)
         .orderBy($"id_a", $"id_b")
     },
-    None)
+    Some {
+      val affine = DuckOracle.toSigned(
+        "(p.a * h + p.b) % 18446744073709551616::UHUGEINT")
+      s"""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> ${DuckOracle.phU(
+                   "array_to_string(list_slice(t, i, i + 2), ' ')")})) AS hs
+        FROM tk WHERE len(t) >= 3
+      ), sig AS (
+        SELECT doc_id,
+               list_transform(${DuckOracle.mixPairs(32)},
+                 p -> list_min(list_transform(hs, h -> $affine))) AS sig
+        FROM hs
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i]))
+               / 32.0 AS est_jaccard
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(range(0, 8),
+              bb -> list_slice(a.sig, bb * 4 + 1, bb * 4 + 4)
+                  = list_slice(b.sig, bb * 4 + 1, bb * 4 + 4))) > 0
+      ORDER BY id_a, id_b"""
+    })
 
-  /** SimHash near-dup candidates (Hamming ≤ 3) — rows-only check. */
+  /** SimHash near-dup candidates (Hamming ≤ 3), EXACT-checked: for
+    * maxDist ≤ 3 the 16-bit-chunk banding is lossless (pigeonhole), so
+    * the oracle brute-forces all pairs with the replayed poly_hash64
+    * majority-vote simhash and compares bit counts. */
   val q34 = Q(
     "q34_simhash",
     (s, d) => {
@@ -145,19 +178,52 @@ object TextQ {
         maxDist = 3)
         .orderBy($"id_a", $"id_b")
     },
-    None)
+    Some(s"""
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tok -> ${DuckOracle.phU("tok")}) AS hs
+        FROM documents
+      ), sim AS (
+        SELECT doc_id,
+               ${DuckOracle.toSigned(s"""list_reduce(
+                 list_transform(${DuckOracle.pow2},
+                   p -> CASE WHEN 2 * len(list_filter(hs,
+                                h -> (h // p) % 2 = 1)) > len(hs)
+                        THEN p ELSE 0::UHUGEINT END),
+                 (x, y) -> x + y)""")} AS sh
+        FROM th
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY id_a, id_b"""))
 
-  /** Rolling-hash exact-dup fingerprint (Rabin-Karp base 31, wrapping
-    * 64-bit) — same integer recurrence in DuckDB via list_reduce. */
+  /** Fingerprints, EXACT-checked: `rhash` is the modular Rabin-Karp
+    * (base 31 mod 1e9+7 — fits BIGINT, no overflow in either engine);
+    * `fp64` is the full wrap-around poly_hash64 (replayed in DuckDB via
+    * unsigned-128 mod 2^64). */
   val q35 = Q(
     "q35_rolling_hash",
     (s, d) => {
       import s.implicits._
+      graft.functions.Expressions.register(s)
       t(s, d, "documents")
-        .select($"doc_id", TextAnalysis.rollingHash($"text").as("rhash"))
+        .select($"doc_id",
+          TextAnalysis.rollingHash($"text").as("rhash"),
+          graft.functions.Expressions.polyHash64($"text").as("fp64"))
         .orderBy($"doc_id")
     },
-    None) // 64-bit wrap-around semantics differ (DuckDB raises on overflow)
+    Some(s"""
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ord(c) AS BIGINT))),
+               (h, b) -> (h * 31 + b) % 1000000007) AS rhash,
+             ${DuckOracle.phS("text")} AS fp64
+      FROM documents
+      ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35)
 }
