@@ -253,24 +253,14 @@ object Dm {
     }
   }
 
-  /** L3/W7 — Benjamini-Hochberg adjustment as two windows over the non-null
-    * p-values (dm.py:475-477): rank ascending, monotone cumulative min of
-    * p·n/rank from the largest rank, capped at 1. */
-  def adjustBH(df: DataFrame, pCol: String, outCol: String): DataFrame = {
-    val nonNull = col(pCol).isNotNull && !isnan(col(pCol))
-    val ranked = df.withColumn("_bh_rank",
-      when(nonNull, row_number().over(
-        Window.partitionBy(when(nonNull, 1)).orderBy(col(pCol)))))
-    val n = ranked.withColumn("_bh_n",
-      count(when(nonNull, 1)).over(Window.partitionBy(lit(1))))
-    n.withColumn(outCol,
-      when(nonNull, least(
-        min(when(nonNull, col(pCol) * col("_bh_n") / col("_bh_rank")))
-          .over(Window.partitionBy(lit(1)).orderBy(col("_bh_rank").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        lit(1.0))))
-      .drop("_bh_rank", "_bh_n")
-  }
+  /** L3/W7 — Benjamini-Hochberg adjustment over the non-null p-values
+    * (dm.py:475-477): rank ascending, monotone cumulative min of p·n/rank
+    * from the largest rank, capped at 1. Delegates to
+    * [[graft.operators.Ranks.bhAdjust]], the distributed rank +
+    * suffix-min scan (no single-partition window; tie order cannot change
+    * the adjusted values, so no tiebreaker column is needed). */
+  def adjustBH(df: DataFrame, pCol: String, outCol: String): DataFrame =
+    graft.operators.Ranks.bhAdjust(df, pCol, outCol)
 
   /** A14 — Stouffer combination of a segment's p-values:
     * Z = Σ Φ⁻¹(1−pᵢ) / √k, combined p = 1 − Φ(Z); a single p passes

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global-order operators (row_number / ntile / Benjamini-Hochberg over a
+  * TOTAL order) without a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition spec moves every row to one
+  * task — the textbook scale cliff (WindowExec even warns). The scale
+  * path used here is the zipWithIndex shape, kept declarative:
+  *
+  *   1. `repartitionByRange(n, sortCols)` — ONE wide shuffle; rows end up
+  *      range-ordered across partitions (AQE does not coalesce an
+  *      explicit-N repartition, so partition ids are stable within the
+  *      query);
+  *   2. per-partition counts from a side branch over the SAME exchange
+  *      (ReuseExchange collapses the two subtrees to one shuffle; the
+  *      branch aggregates map-side to one row per partition);
+  *   3. cumulative counts over the tiny (numParts-row) frame give each
+  *      partition its global offset, broadcast-joined back;
+  *   4. the within-partition index comes from `monotonically_increasing_id`
+  *      evaluated AFTER `sortWithinPartitions` (its documented layout is
+  *      partitionId·2^33 + recordIndex; the projection holding it cannot be
+  *      reordered below the sort because the expression is nondeterministic).
+  *
+  * Global rank therefore costs one data shuffle + one numParts-row
+  * broadcast, at any cluster width. Determinism: callers pass sort
+  * columns that form a total order (unique tiebreaker) when the rank
+  * value itself must be reproducible; BH is invariant to tie order either
+  * way (tied p-values share one adjusted value).
+  */
+object Ranks {
+
+  private val MidMask = (1L << 33) - 1
+
+  /** Attach 1-based global `row_number() over (order by sortCols)` as
+    * `outCol` (and the total row count as `totalCol` if asked — it falls
+    * out of the offset computation for free). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], outCol: String,
+      totalCol: Option[String] = None, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, sortCols: _*)
+    val counts = parted
+      .groupBy(spark_partition_id().as("_rk_pid"))
+      .agg(count(lit(1)).as("_rk_n"))
+    // The offsets frame has ≤ numParts rows, so one window task is the
+    // RIGHT plan — but the partition key must be non-foldable (pmod of a
+    // column, not a literal) or the optimizer erases the partition spec
+    // and WindowExec logs its single-partition scale warning.
+    val one = pmod(col("_rk_pid"), lit(1))
+    val wOff = Window.partitionBy(one).orderBy(col("_rk_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_rk_off", coalesce(sum(col("_rk_n")).over(wOff), lit(0L)))
+      .withColumn("_rk_total",
+        sum(col("_rk_n")).over(Window.partitionBy(one)))
+      .select(col("_rk_pid"), col("_rk_off"), col("_rk_total"))
+    val sorted = parted.sortWithinPartitions(sortCols: _*)
+      .withColumn("_rk_mid", monotonically_increasing_id())
+      .withColumn("_rk_pid", spark_partition_id())
+    val ranked = sorted.join(broadcast(offsets), Seq("_rk_pid"))
+      .withColumn(outCol,
+        col("_rk_off") + (col("_rk_mid").bitwiseAND(MidMask)) + 1L)
+    totalCol.fold(ranked)(t => ranked.withColumn(t, col("_rk_total")))
+      .drop("_rk_pid", "_rk_mid", "_rk_off", "_rk_total")
+  }
+
+  /** SQL-standard `ntile(buckets) over (order by sortCols)` from the
+    * global rank: with N rows, the first N mod k buckets get one extra
+    * row — pure arithmetic on (rank, N), no second pass. */
+  def withNtile(df: DataFrame, buckets: Int, sortCols: Seq[Column],
+      outCol: String): DataFrame = {
+    withGlobalRank(df, sortCols, "_nt_rank", totalCol = Some("_nt_total"))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN _nt_rank <= (_nt_total div $buckets + 1)
+                               * (_nt_total % $buckets)
+             THEN (_nt_rank - 1) div (_nt_total div $buckets + 1) + 1
+             ELSE _nt_total % $buckets
+                  + (_nt_rank - 1 - (_nt_total div $buckets + 1)
+                                  * (_nt_total % $buckets))
+                    div (_nt_total div $buckets) + 1 END"""))
+      .drop("_nt_rank", "_nt_total")
+  }
+
+  /** Benjamini-Hochberg FDR adjustment (reference dm.py:475-477), scale
+    * path: p_adj(i) = min(1, min over rank j >= i of n·p_j/j) — a global
+    * suffix-min over the p-ascending order.
+    *
+    * After ranking (one wide shuffle), rows land in `numShufflePartitions`
+    * rank buckets derived from the rank itself; the suffix min is the
+    * within-bucket window suffix (second, bucket-hash shuffle) combined
+    * with a broadcast suffix-min over the numParts-row bucket minima —
+    * the classic distributed scan decomposition. Null/NaN p-values pass
+    * through with a null adjusted value, as in the reference.
+    *
+    * Tie order cannot change the result (tied p share one adjusted
+    * value), so no tiebreaker is required for correctness; pass one via
+    * `tieCols` when the intermediate rank itself must be reproducible. */
+  def bhAdjust(df: DataFrame, pCol: String, outCol: String,
+      tieCols: Seq[Column] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val good = col(pCol).isNotNull && !isnan(col(pCol))
+    val ranked = withGlobalRank(df.filter(good),
+      col(pCol) +: tieCols, "_bh_rank", totalCol = Some("_bh_n"))
+      .withColumn("_bh_v", col(pCol) * col("_bh_n") / col("_bh_rank"))
+      .withColumn("_bh_b",
+        expr(s"((_bh_rank - 1) * $nBuckets) div _bh_n"))
+    val wSuffix = Window.partitionBy(col("_bh_b"))
+      .orderBy(col("_bh_rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketMins = ranked.groupBy(col("_bh_b"))
+      .agg(min(col("_bh_v")).as("_bh_bmin"))
+    val wAfter = Window.partitionBy(pmod(col("_bh_b"), lit(1)))
+      .orderBy(col("_bh_b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val minAfter = bucketMins
+      .withColumn("_bh_after", min(col("_bh_bmin")).over(wAfter))
+      .select(col("_bh_b"), col("_bh_after"))
+    val adjusted = ranked
+      .withColumn("_bh_ls", min(col("_bh_v")).over(wSuffix))
+      .join(broadcast(minAfter), Seq("_bh_b"))
+      .withColumn(outCol,
+        least(least(col("_bh_ls"), coalesce(col("_bh_after"),
+          col("_bh_ls"))), lit(1.0)))
+      .drop("_bh_rank", "_bh_n", "_bh_v", "_bh_b", "_bh_ls", "_bh_after")
+    adjusted.unionByName(
+      df.filter(!good).withColumn(outCol, lit(null).cast("double")))
+  }
+}

@@ -34,9 +34,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-query top-k of a scored frame via the bounded-heap TopKAgg (map
+    * side keeps ≤ k rows per partition×query — a window partitioned by
+    * query id would instead move each query's ENTIRE scan to one task).
+    * Emits (queryIdCol, idCol, cos, rank). */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
+      queryIdCol: String): DataFrame =
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("cos")).as("nc"), col(idCol).as("id")),
+        struct(col(idCol).as("id"), col("cos").as("cos")), k).as("top"))
+      .select(col(queryIdCol),
+        posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col(queryIdCol), col("hit.id").as(idCol),
+        col("hit.cos").as("cos"), (col("r") + 1).cast("long").as("rank"))
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows. Queries are broadcast (small side); per-query top-k via
-    * row_number window partitioned by query id. */
+    * rows. Queries are broadcast (small side), the corpus is scanned once
+    * with no shuffle; the only movement is k rows per partition per query
+    * into the final merge. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
@@ -45,11 +62,7 @@ object Similarity {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+    topKPerQuery(scored, k, idCol, queryIdCol)
   }
 
   /** Centroids by an existing partition column (e.g. a KMeans label or a
@@ -78,6 +91,9 @@ object Similarity {
     val q = queries.select(col(queryIdCol), asDouble(col(vecCol)).as("q_vec"))
     val wProbe = Window.partitionBy(col(queryIdCol))
       .orderBy(col("c_cos").desc, col(clusterCol))
+    // centroid probe ranking: the frame is |queries|·|clusters| rows of
+    // small structs, and each query's candidates must meet anyway — a
+    // per-query window here is the right size, not a scale risk
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("q_vec"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
@@ -85,12 +101,8 @@ object Similarity {
       .select(col(queryIdCol), col("q_vec"), col(clusterCol))
     val c = corpus.select(col(idCol), col(clusterCol),
       asDouble(col(vecCol)).as("c_vec"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    c.join(broadcast(probes), Seq(clusterCol))
+    val scored = c.join(broadcast(probes), Seq(clusterCol))
       .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+    topKPerQuery(scored, k, idCol, queryIdCol)
   }
 }

@@ -35,14 +35,15 @@ object ExtraQ {
       ORDER BY l_returnflag, bucket"""))
 
   /** W6 — ntile decile over a total order (unique tiebreak makes the
-    * bucket assignment deterministic and identical across engines). */
+    * bucket assignment deterministic and identical across engines),
+    * computed by Ranks.withNtile: distributed global rank + bucket
+    * arithmetic instead of a single-partition window. */
   val q40 = Q(
     "q40_ntile_deciles",
     (s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-      t(s, d, "orders")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      graft.operators.Ranks.withNtile(t(s, d, "orders"), 10,
+          Seq($"o_totalprice", $"o_orderkey"), "decile")
         .groupBy($"decile")
         .agg(count(lit(1)).as("n"),
           round(min($"o_totalprice"), 2).as("lo"),

@@ -135,24 +135,20 @@ object Windows {
       WHERE rn <= 3
       ORDER BY o_custkey, rn"""))
 
-  /** W7/L3: Benjamini-Hochberg FDR adjustment as two windows — rank p
-    * ascending, then a monotone cumulative min from the largest rank
-    * (dm.py:475-477). Pseudo p-values derived deterministically from the
-    * key; all arithmetic is order-fixed IEEE so no rounding is needed. */
+  /** W7/L3: Benjamini-Hochberg FDR adjustment (dm.py:475-477) via
+    * Ranks.bhAdjust — the distributed rank + suffix-min scan, no
+    * single-partition window. Pseudo p-values derived deterministically
+    * from the key; all arithmetic is order-fixed IEEE so no rounding is
+    * needed. */
   val q19 = Q(
     "q19_bh_adjust",
     (s, d) => {
       import s.implicits._
-      val wRank = Window.orderBy($"p", $"o_orderkey")
-      val wMin = Window.orderBy($"rnk".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "orders")
+      val base = t(s, d, "orders")
         .select($"o_orderkey",
           ((($"o_orderkey" * 7919) % 10000 + 1) / lit(10001.0)).as("p"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .withColumn("p_adj",
-          least(min(($"p" * $"n") / $"rnk").over(wMin), lit(1.0)))
+      graft.operators.Ranks
+        .bhAdjust(base, "p", "p_adj", tieCols = Seq($"o_orderkey"))
         .select($"o_orderkey", $"p", $"p_adj")
         .orderBy($"o_orderkey")
     },
