@@ -5,12 +5,28 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
   UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
-  StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels called from generated code. */
 object HashFuncs {
+
+  /** The MinHash affine rehash family h_i = a_i·h + b_i (wrapping 64-bit
+    * multiply) — the standard universal-hash trick. Multipliers/offsets
+    * from splitmix64 of the index: deterministic across runs AND engines
+    * (the DuckDB oracle re-derives the same constants). */
+  def mixConstants(numHashes: Int): (Array[Long], Array[Long]) = {
+    def mc(i: Long): Long = {
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (Array.tabulate(numHashes)(i => mc(2L * i) | 1L),
+      Array.tabulate(numHashes)(i => mc(2L * i + 1)))
+  }
   /** Rabin-Karp polynomial hash over UTF-8 bytes (base 31, wrapping
     * 64-bit: h = fold(0)(h * 31 + byte)) finished with the splitmix64
     * avalanche mixer. Chosen over xxhash64 because every step is
@@ -26,12 +42,134 @@ object HashFuncs {
     */
   def polyHash64(s: UTF8String): Long = {
     val b = s.getBytes
+    mix(foldRange(b, 0, b.length))
+  }
+
+  private def foldRange(b: Array[Byte], from: Int, until: Int): Long = {
     var h = 0L
-    var i = 0
-    while (i < b.length) { h = h * 31L + (b(i) & 0xff); i += 1 }
-    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    var i = from
+    while (i < until) { h = h * 31L + (b(i) & 0xff); i += 1 }
+    h
+  }
+
+  private def mix(h0: Long): Long = {
+    var h = (h0 ^ (h0 >>> 30)) * 0xbf58476d1ce4e5b9L
     h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
     h ^ (h >>> 31)
+  }
+
+  /** Byte offsets of space-separated token boundaries: returns an array
+    * of 2·nTokens positions (start, end per token). Matches Spark's
+    * split(text, " ") — consecutive separators yield empty tokens. */
+  private def tokenBounds(b: Array[Byte]): Array[Int] = {
+    var n = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') n += 1; i += 1 }
+    val bounds = new Array[Int](2 * n)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        bounds(2 * t) = start; bounds(2 * t + 1) = i
+        t += 1; start = i + 1
+      }
+      i += 1
+    }
+    bounds
+  }
+
+  /** poly_hash64 of every whitespace token (all occurrences, in order) —
+    * the SimHash vocabulary. Equal to transform(split(s,' '), poly_hash64)
+    * in one pass, no string allocation. */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    val out = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      out(t) = mix(foldRange(b, bounds(2 * t), bounds(2 * t + 1)))
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Distinct poly_hash64 of every word k-gram. Because tokens are
+    * single-space separated, a shingle's bytes are the CONTIGUOUS span
+    * from token i's start to token i+k-1's end, so the hash is one fold
+    * over that span — identical to poly_hash64(concat_ws(' ',
+    * slice(split(s,' '), i, k))) with zero allocation. Empty result when
+    * the document has fewer than k tokens. */
+  def wordShingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    if (n < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - k) {
+      seen.add(mix(foldRange(b, bounds(2 * i), bounds(2 * (i + k - 1) + 1))))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** 64-bit SimHash: bit j set when more than half of the token
+    * occurrences have bit j set in their poly_hash64 (majority vote). */
+  def simHash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = mix(foldRange(b, bounds(2 * t), bounds(2 * t + 1)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * counts(j) > n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** MinHash signature: for each of the numHashes affine family members
+    * (graft.operators.Dedup.mixConstants), the min of a_i·h + b_i over
+    * the document's shingle hashes. Duplicate shingles cannot change a
+    * min, so no distinct pass is needed. Null when fewer than k tokens
+    * (no signature). */
+  def minHashSig(s: UTF8String, k: Int, as: Array[Long],
+      bs: Array[Long]): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    if (n < k) return null
+    val nh = as.length
+    val mins = Array.fill(nh)(Long.MaxValue)
+    var i = 0
+    while (i <= n - k) {
+      val h = mix(foldRange(b, bounds(2 * i), bounds(2 * (i + k - 1) + 1)))
+      var f = 0
+      while (f < nh) {
+        val v = as(f) * h + bs(f)
+        if (v < mins(f)) mins(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
   }
 }
 
@@ -101,6 +239,81 @@ object Expressions {
       copy(c)
   }
 
+  /** Base for string→X kernels (all dedup hash expressions). */
+  abstract class StringKernel extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires STRING, got ${child.dataType.sql}")
+  }
+
+  private val hk = "graft.functions.HashFuncs$.MODULE$"
+
+  /** token_hashes(str) — poly_hash64 of every whitespace token, one tight
+    * byte loop instead of transform(split(...)) (interpreted HOFs are
+    * ~10× slower than this codegen path on the documents corpus). */
+  case class TokenHashes(child: Expression) extends StringKernel {
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.tokenHashes(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.tokenHashes($c)")
+    override protected def withNewChildInternal(c: Expression): TokenHashes =
+      copy(c)
+  }
+
+  /** word_shingle_hashes(str, k) — distinct poly_hash64 of word k-grams
+    * (contiguous-span fold; see HashFuncs.wordShingleHashes). */
+  case class WordShingleHashes(child: Expression, k: Int)
+      extends StringKernel {
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.wordShingleHashes(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.wordShingleHashes($c, $k)")
+    override protected def withNewChildInternal(
+        c: Expression): WordShingleHashes = copy(child = c)
+  }
+
+  /** simhash64(str) — whole-document 64-bit SimHash in one pass. */
+  case class SimHash64(child: Expression) extends StringKernel {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.simHash64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.simHash64($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(c)
+  }
+
+  /** minhash_sig(str, k, numHashes) — full MinHash signature in one pass
+    * over the shingles; null when the document has < k tokens. */
+  case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+      extends StringKernel {
+    private lazy val (as, bs) = HashFuncs.mixConstants(numHashes)
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.minHashSig(v.asInstanceOf[UTF8String], k, as, bs)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $hk.minHashSig($c, $k, $asRef, $bsRef);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -112,6 +325,12 @@ object Expressions {
   def normLogSf(c: Column): Column = column(NormLogSf(toD(expression(c))))
   def normInv(c: Column): Column = column(NormInv(toD(expression(c))))
   def polyHash64(c: Column): Column = column(PolyHash64(expression(c)))
+  def tokenHashes(c: Column): Column = column(TokenHashes(expression(c)))
+  def wordShingleHashes(c: Column, k: Int): Column =
+    column(WordShingleHashes(expression(c), k))
+  def simHash64(c: Column): Column = column(SimHash64(expression(c)))
+  def minHashSig(c: Column, k: Int, numHashes: Int): Column =
+    column(MinHashSig(expression(c), k, numHashes))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
@@ -125,6 +344,10 @@ object Expressions {
       es => NormInv(toD(es.head)), "built-in")
     reg.createOrReplaceTempFunction("poly_hash64",
       es => PolyHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes",
+      es => TokenHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
   }
 }
 

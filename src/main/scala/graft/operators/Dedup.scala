@@ -35,25 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def withRegistered(df: DataFrame): DataFrame = {
-    Expressions.register(df.sparkSession); df
-  }
-
   /** Distinct word-k-gram shingle HASHES per document as a row-local
-    * array column `sh_hs` (plus `toks`): the zero-shuffle base for
-    * Jaccard/MinHash. Documents shorter than k words get an empty array.
-    * `split` runs once per row (projected to `toks` first — inlining it
-    * into the lambda would re-split per shingle). */
+    * array column `sh_hs`: the zero-shuffle base for Jaccard/MinHash.
+    * Documents shorter than k words get an empty array. One codegen
+    * kernel call per row (Expressions.WordShingleHashes) — the
+    * split/slice/concat higher-order-function formulation is interpreted
+    * per shingle and measured ~10× slower on the documents corpus. */
   def withShingleHashes(df: DataFrame, textCol: String,
       k: Int = 3): DataFrame =
-    withRegistered(df)
-      .withColumn("toks", split(col(textCol), " "))
-      .withColumn("sh_hs", expr(
-        s"""CASE WHEN size(toks) < $k THEN CAST(array() AS ARRAY<BIGINT>)
-            ELSE array_distinct(transform(
-              sequence(1, size(toks) - ${k - 1}),
-              i -> poly_hash64(concat_ws(' ', slice(toks, i, $k)))))
-            END"""))
+    df.withColumn("sh_hs", Expressions.wordShingleHashes(col(textCol), k))
 
   /** Exact duplicate groups by full-text hash: (text_hash, n_copies,
     * keep_id = min id). Pure hash-groupBy — the cheapest dedup pass. */
@@ -104,50 +94,22 @@ object Dedup {
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
     * multiply) — the standard universal-hash trick: each shingle is
     * hashed ONCE, the numHashes family members are integer arithmetic.
-    * Multipliers/offsets from splitmix64 of the index — deterministic
-    * across runs AND engines (the DuckDB oracle re-derives them). */
-  def mixConstants(numHashes: Int): (Array[Long], Array[Long]) = {
-    def mix(i: Long): Long = {
-      var z = i + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (Array.tabulate(numHashes)(i => mix(2L * i) | 1L),
-      Array.tabulate(numHashes)(i => mix(2L * i + 1)))
-  }
+    * Constants in [[graft.functions.HashFuncs.mixConstants]] —
+    * deterministic across runs AND engines (the DuckDB oracle re-derives
+    * them). */
+  def mixConstants(numHashes: Int): (Array[Long], Array[Long]) =
+    graft.functions.HashFuncs.mixConstants(numHashes)
 
-  /** MinHash signature as a row-local array column `sig` — NO shuffle:
-    * shingle hashing, the affine family, and the per-function min all
-    * happen inside the row's projection. Docs with no shingles (< k
-    * words) are dropped (they have no signature).
-    *
-    * The shingle-hash array is bound ONCE per row via a single-element
-    * `transform` (a lambda let-binding). Leaving it as a separate
-    * projected column is not safe: CollapseProject inlines a
-    * referenced-once alias into the consumer, and here the consumer
-    * reference sits inside a `sequence(0, numHashes-1)` lambda — the
-    * inlined shingling would re-execute numHashes× per row (measured 2.5×
-    * slower end-to-end at sf0.1 before this binding). */
+  /** MinHash signature as a row-local array column `sig` — NO shuffle and
+    * ONE codegen kernel call per row (Expressions.MinHashSig): shingle
+    * hashing, the affine family, and the per-function mins all happen in
+    * a single pass over the document bytes. Docs with no shingles (< k
+    * words) are dropped (null signature). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32): DataFrame = {
-    val (as, bs) = mixConstants(numHashes)
-    val aArr = as.mkString("array(", "L,", "L)")
-    val bArr = bs.mkString("array(", "L,", "L)")
-    val shingles =
-      s"""array_distinct(transform(
-            sequence(1, size(toks) - ${k - 1}),
-            i -> poly_hash64(concat_ws(' ', slice(toks, i, $k)))))"""
-    withRegistered(df)
-      .filter(size(split(col(textCol), " ")) >= k)
-      .withColumn("toks", split(col(textCol), " "))
-      .select(col(idCol), expr(
-        s"""element_at(transform(array($shingles), hs ->
-              transform(sequence(0, ${numHashes - 1}),
-                i -> array_min(transform(hs,
-                  h -> element_at($aArr, i + 1) * h
-                       + element_at($bArr, i + 1))))), 1)""").as("sig"))
-  }
+      k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol),
+      Expressions.minHashSig(col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH near-duplicate candidate pairs: band the signature into
     * `bands` chunks and bucket on (band_idx, raw band values) — grouping
@@ -180,21 +142,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash per document, entirely row-local: bit j is set when
-    * more than half of the token OCCURRENCES have bit j set in their
-    * poly_hash64 (the ±1 majority vote; frequency weighting over distinct
-    * tokens is identical to counting occurrences). */
+  /** 64-bit SimHash per document, entirely row-local and one codegen
+    * kernel call (Expressions.SimHash64): bit j is set when more than
+    * half of the token OCCURRENCES have bit j set in their poly_hash64
+    * (the ±1 majority vote; frequency weighting over distinct tokens is
+    * identical to counting occurrences). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withRegistered(df)
-      .withColumn("th",
-        expr(s"transform(split($textCol, ' '), t -> poly_hash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-             (acc, j) -> acc + IF(
-               2 * size(filter(th, h -> (shiftright(h, j) & 1) = 1))
-                 > size(th),
-               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""))
-      .select(col(idCol), col("simhash"))
+    df.select(col(idCol),
+      Expressions.simHash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxDist (≤ 3),
     * banded on four 16-bit chunks (pigeonhole: any pair within distance 3
