@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed empirical-CDF lookup (reference: statsmodels ECDF used by
+  * pOOBAH, samples.py:1591-1592): for each query row, F(v) = #(background
+  * values ≤ v) / n_background within its group.
+  *
+  * Scale path: a SORT-MERGE instead of a broadcast lookup table. The
+  * background and query rows are unioned and windowed per group ordered
+  * by (value, is_background DESC) — a running sum of the background flag
+  * IS the "≤ v" count (ties resolve right-continuously because equal
+  * background values sort before the query row). One shuffle, partitions
+  * bounded by per-group data. The collect-sort-broadcast alternative is
+  * O(total background) DRIVER memory — ~3 GB/1000 samples for pOOBAH —
+  * and caps at the JVM; this path has no driver state at all.
+  */
+object Ecdf {
+
+  /** Attach `outCol` = F(valueCol) to `queries` (any schema containing
+    * groupCols + valueCol). Null values and groups absent from
+    * `background` yield null. `background` must expose groupCols +
+    * valueCol. */
+  def ecdfLookup(queries: DataFrame, background: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val payload = struct(queries.columns.map(col): _*)
+    val q = queries.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("double").as("_ec_v") :+
+        lit(0L).as("_ec_bg") :+ payload.as("_ec_row"): _*)
+    val qNull = queries.filter(col(valueCol).isNull)
+    val b = background.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("double").as("_ec_v") :+
+        lit(1L).as("_ec_bg") :+ lit(null).cast(q.schema("_ec_row").dataType)
+          .as("_ec_row"): _*)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col("_ec_v").asc, col("_ec_bg").desc)
+    val merged = q.unionByName(b)
+      .withColumn("_ec_le", sum(col("_ec_bg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_ec_n", sum(col("_ec_bg"))
+        .over(Window.partitionBy(gcols: _*)))
+      .filter(col("_ec_bg") === 0)
+      .select(col("_ec_row.*"),
+        (col("_ec_le").cast("double") / nullif(col("_ec_n"), lit(0)))
+          .as(outCol))
+    merged.unionByName(
+      qNull.withColumn(outCol, lit(null).cast("double")))
+  }
+}

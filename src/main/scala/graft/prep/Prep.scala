@@ -305,8 +305,15 @@ object Prep {
     * p = min(1 − ecdf_G(max G signal), 1 − ecdf_R(max R signal)); when a
     * channel's background sums ≤ 100, the empirical prior 0..999 replaces
     * it (samples.py:1583-1589). Adds `p_value` and returns the poobah
-    * mask rows (p ≥ threshold). Sorted background arrays are collected
-    * per sample and broadcast into the lookup expression. */
+    * mask rows (p ≥ threshold).
+    *
+    * Scale path: [[graft.operators.Ecdf.ecdfLookup]] — a sort-merge of
+    * background and query values per (sample, channel), fully
+    * distributed. (The previous implementation collected every sample's
+    * sorted background to the driver and broadcast a lookup map into a
+    * UDF — ~3 GB of driver state per 1000 samples; this one has none.)
+    * The 0..999 prior needs no data at all: its ECDF is the closed form
+    * clamp(floor(v)+1, 0, 1000)/1000. */
   def poobah(spark: SparkSession, signal: DataFrame, masks: DataFrame,
       useNegativeControls: Boolean = true, threshold: Double = 0.05)
       : (DataFrame, DataFrame) = {
@@ -316,40 +323,33 @@ object Prep {
     val bg = if (useNegativeControls)
       bg0.unionByName(negControlCells(masked)) else bg0
 
-    val prior = (0 until 1000).map(_.toDouble).toArray
-    val bgMap: Map[(String, String), Array[Double]] =
-      bg.groupBy("sample_label", "channel")
-        .agg(sort_array(collect_list(col("value").cast("double"))).as("vs"),
-          sum(col("value").cast("double")).as("s"))
-        .collect()
-        .map { r =>
-          val arr = if (r.getDouble(3) <= 100) prior
-          else r.getSeq[Double](2).toArray
-          (r.getString(0), r.getString(1)) -> arr
-        }.toMap
-    val bcast = spark.sparkContext.broadcast(bgMap)
-
-    val pUdf = udf((sample: String, g: java.lang.Float,
-        r: java.lang.Float) => {
-      val m = bcast.value
-      def pOf(ch: String, v: java.lang.Float): java.lang.Double =
-        if (v == null) null
-        else m.get((sample, ch)).map { arr =>
-          java.lang.Double.valueOf(
-            1.0 - StatFuncs.ecdfCount(arr, v.toDouble).toDouble / arr.length)
-        }.orNull
-      val pg = pOf("G", g)
-      val pr = pOf("R", r)
-      if (pg == null && pr == null) null
-      else if (pg == null) pr
-      else if (pr == null) pg
-      else java.lang.Double.valueOf(math.min(pg, pr))
-    })
-
-    val withP = signal.withColumn("p_value",
-      pUdf(col("sample_label"),
-        greatest(col("meth_g"), col("unmeth_g")),
-        greatest(col("meth_r"), col("unmeth_r"))).cast("float"))
+    // per-channel query values: the max in-band signal per probe
+    val queries = signal.select(col("sample_label"), col("probe_id"),
+      explode(map(
+        lit("G"), greatest(col("meth_g"), col("unmeth_g")),
+        lit("R"), greatest(col("meth_r"), col("unmeth_r"))))
+        .as(Seq("channel", "v")))
+    val looked = graft.operators.Ecdf.ecdfLookup(
+      queries, bg.select(col("sample_label"), col("channel"),
+        col("value").as("v")),
+      Seq("sample_label", "channel"), "v", "F")
+    // weak-background groups (sum ≤ 100) switch to the 0..999 prior —
+    // a numParts-sized broadcast flag frame, not a data broadcast
+    val weak = bg.groupBy("sample_label", "channel")
+      .agg(sum(col("value").cast("double")).as("_bg_sum"))
+      .select(col("sample_label"), col("channel"),
+        (col("_bg_sum") <= 100).as("_weak"))
+    val perChannel = looked
+      .join(broadcast(weak), Seq("sample_label", "channel"), "left")
+      .withColumn("p", when(col("v").isNull, lit(null).cast("double"))
+        .when(coalesce(col("_weak"), lit(false)),
+          lit(1.0) - least(greatest(floor(col("v")) + 1, lit(0.0)),
+            lit(1000.0)) / 1000.0)
+        .otherwise(lit(1.0) - col("F")))
+    val pv = perChannel.groupBy("sample_label", "probe_id")
+      .agg(min(col("p")).cast("float").as("p_value"))
+    val withP = signal.drop("p_value")
+      .join(pv, Seq("sample_label", "probe_id"), "left")
     (withP, Masks.maskPoobah(withP, threshold))
   }
 }
