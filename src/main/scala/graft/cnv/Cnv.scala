@@ -191,39 +191,62 @@ object Cnv {
       .toDF("chromosome", "seg_id", "start", "end", "nb_bins", "mean_cnv")
   }
 
-  /** Recursive binary segmentation with a seeded permutation test — a
-    * deterministic O(n·shuffles) approximation of CBS (the reference's
-    * external `linear_segment` CBS, cnv.py:191-193; its own tests accept
-    * value tolerances for permutation noise, tests/test_cnv.py:58-67).
-    * At each segment: find the single split k maximizing the two-sample
-    * t-like statistic |mean_L − mean_R|·√(m·(n−m)/n); keep it if the
-    * permutation p-value ≤ pThreshold; recurse on both halves. */
+  /** Recursive CIRCULAR binary segmentation (Olshen & Venkatraman 2004)
+    * with a seeded permutation test — the reference's external
+    * `linear_segment` CBS (cnv.py:191-193; its own tests accept value
+    * tolerances for permutation noise, tests/test_cnv.py:58-67).
+    *
+    * At each segment the statistic is the max over ARCS [i, j) of the
+    * two-sample t |mean_arc − mean_rest|·√(m·(n−m)/n) — an inserted
+    * plateau (gain/loss with flanks on both sides) is found in ONE step,
+    * where a single-split statistic needs two lucky cuts. A significant
+    * arc splits the segment into up to three pieces, each recursed.
+    *
+    * Significance is an early-stopped permutation test (Fisher-Yates with
+    * the per-chromosome seed). Arc scans are O(n²) via prefix sums; for
+    * segments beyond `MaxScan` points both the observed and the permuted
+    * scans evaluate arcs on a stride grid (same grid on both sides keeps
+    * the p-value comparison like-for-like) — the bounded-cost analogue of
+    * DNAcopy's sampled permutations. */
   def cbs(values: Array[Double], shuffles: Int, pThreshold: Double,
       seed: Long): Seq[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     val rng = new scala.util.Random(seed)
+    val MaxScan = 2048
 
-    // best single split of v: (t, k) with segments [0,k) / [k,n)
-    def maxT(v: Array[Double]): (Double, Int) = {
+    // best arc of v: (t, i, j) with arc [i, j), 0 <= i < j <= n,
+    // excluding the full range; stride > 1 coarsens the candidate grid
+    def maxT(v: Array[Double], stride: Int): (Double, Int, Int) = {
       val n = v.length
-      if (n < 4) return (0.0, 0)
-      var left = 0.0
-      val total = v.sum
-      var best = 0.0; var bk = 0
-      var k = 1
-      while (k < n) {
-        left += v(k - 1)
-        val right = total - left
-        val d = left / k - right / (n - k)
-        val t = math.abs(d) * math.sqrt(k.toDouble * (n - k) / n)
-        if (t > best) { best = t; bk = k }
-        k += 1
+      if (n < 4) return (0.0, 0, 0)
+      val s = new Array[Double](n + 1)
+      var k = 0
+      while (k < n) { s(k + 1) = s(k) + v(k); k += 1 }
+      val total = s(n)
+      var best = 0.0; var bi = 0; var bj = 0
+      var i = 0
+      while (i < n) {
+        var j = i + stride
+        while (j <= n) {
+          val m = j - i
+          if (m < n) {
+            val arc = s(j) - s(i)
+            val d = arc / m - (total - arc) / (n - m)
+            val t = math.abs(d) * math.sqrt(m.toDouble * (n - m) / n)
+            if (t > best) { best = t; bi = i; bj = j }
+          }
+          j += stride
+        }
+        i += stride
       }
-      (best, bk)
+      (best, bi, bj)
     }
+
+    def strideOf(n: Int): Int = if (n <= MaxScan) 1 else n / MaxScan + 1
 
     def significant(v: Array[Double], tObs: Double): Boolean = {
       if (tObs == 0.0) return false
+      val stride = strideOf(v.length)
       val maxHits = (pThreshold * shuffles).toInt
       var hits = 0
       var i = 0
@@ -235,7 +258,7 @@ object Cnv {
           val tmp = copy(j); copy(j) = copy(k); copy(k) = tmp
           j -= 1
         }
-        if (maxT(copy)._1 >= tObs) hits += 1
+        if (maxT(copy, stride)._1 >= tObs) hits += 1
         i += 1
       }
       hits > maxHits match {
@@ -247,10 +270,12 @@ object Cnv {
     def recurse(lo: Int, hi: Int): Unit = {
       val v = values.slice(lo, hi)
       if (v.length < 4) { out += ((lo, hi)); return }
-      val (t, k) = maxT(v)
-      if (k > 0 && k < v.length && significant(v, t)) {
-        recurse(lo, lo + k)
-        recurse(lo + k, hi)
+      val (t, i, j) = maxT(v, strideOf(v.length))
+      val isProper = j > i && (i > 0 || j < v.length)
+      if (isProper && significant(v, t)) {
+        if (i > 0) recurse(lo, lo + i)
+        recurse(lo + i, lo + j)
+        if (j < v.length) recurse(lo + j, hi)
       } else out += ((lo, hi))
     }
 

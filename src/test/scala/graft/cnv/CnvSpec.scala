@@ -42,6 +42,18 @@ class CnvSpec extends SparkSpec {
     assert(segs == segs2)
   }
 
+  test("circular statistic finds an inserted plateau as 3 segments") {
+    // gain with flanks on BOTH sides: a single-split scan needs two
+    // lucky cuts, the arc statistic finds [40, 80) in one step
+    val values = Array.tabulate(120) { i =>
+      (if (i >= 40 && i < 80) 1.5 else 0.0) + 0.01 * math.cos(i.toDouble)
+    }
+    val segs = Cnv.cbs(values, shuffles = 200, pThreshold = 0.01, seed = 11L)
+    assert(segs.exists { case (s, e) =>
+      math.abs(s - 40) <= 1 && math.abs(e - 80) <= 1 })
+    assert(segs.length == 3, segs.toString)
+  }
+
   test("flat signal yields one segment") {
     val values = Array.tabulate(100)(i => 0.5 + 0.001 * (i % 3))
     val segs = Cnv.cbs(values, 200, 1e-4, 7L)
