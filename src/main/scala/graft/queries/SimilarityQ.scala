@@ -58,8 +58,12 @@ object SimilarityQ {
       GROUP BY label, i
       ORDER BY label, pos"""))
 
-  /** IVF-pruned ANN top-k using `label` as the coarse partition —
-    * rows-only check (recall asserted vs brute force in ScalaTest). */
+  /** IVF-pruned ANN top-k using `label` as the coarse partition. The
+    * whole pipeline is deterministic (mean centroids, cosine probes,
+    * rank by raw cosine with vec_id tiebreak), so the oracle replays it:
+    * per-dimension centroid means, top-nProbe labels per query, pruned
+    * scan, top-k. Output cosines rounded to 6 on both sides; ranking
+    * uses the raw values in both engines. */
   val q38 = Q(
     "q38_ann_ivf",
     (s, d) => {
@@ -72,7 +76,39 @@ object SimilarityQ {
           $"rank")
         .orderBy($"query_id", $"rank")
     },
-    None)
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id IN (0, 1, 2)
+      ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      cent AS (
+        SELECT label, i, avg(e[i]) AS m
+        FROM emb CROSS JOIN dims GROUP BY label, i
+      ), centv AS (
+        SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY label
+      ), probes AS (
+        SELECT query_id, label FROM (
+          SELECT q.query_id, c.label,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                            c.label) AS pr
+          FROM q CROSS JOIN centv c)
+        WHERE pr <= 3
+      ), ranked AS (
+        SELECT p.query_id, e.vec_id,
+               list_cosine_similarity(e.e, q.qv) AS cos,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(e.e, q.qv) DESC,
+                          e.vec_id) AS rank
+        FROM probes p
+        JOIN emb e ON e.label = p.label
+        JOIN q ON q.query_id = p.query_id)
+      SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(q36, q37, q38)
 }
