@@ -145,6 +145,36 @@ object HashFuncs {
     out
   }
 
+  /** splitmix64 finalizer (public domain) — the engine's portable mixer;
+    * DuckOracle.mixU replays it in UHUGEINT SQL. */
+  def splitmix(x: Long): Long = mix(x)
+
+  /** ±1 hyperplane table for signed-random-projection sketches: entry
+    * (p, d) is +1 when bit 0 of splitmix(p·dim + d) is set. Deterministic
+    * across runs and engines. */
+  def srpSigns(nBits: Int, dim: Int): Array[Double] =
+    Array.tabulate(nBits * dim)(i =>
+      if ((mix(i.toLong) & 1L) == 1L) 1.0 else -1.0)
+
+  /** 64-bit SRP sketch: bit p is set when the dot product of the vector
+    * with hyperplane p is ≥ 0. Dots accumulate in ascending dimension
+    * order (the oracle's list_sum does the same, keeping the float
+    * comparison bit-identical). */
+  def srpSketch64(e: ArrayData, signs: Array[Double]): Long = {
+    val dim = e.numElements()
+    var out = 0L
+    var p = 0
+    while (p < 64) {
+      var dot = 0.0
+      var d = 0
+      val base = p * dim
+      while (d < dim) { dot += signs(base + d) * e.getDouble(d); d += 1 }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
   /** MinHash signature: for each of the numHashes affine family members
     * (graft.operators.Dedup.mixConstants), the min of a_i·h + b_i over
     * the document's shingle hashes. Duplicate shingles cannot change a
@@ -314,6 +344,24 @@ object Expressions {
       copy(child = c)
   }
 
+  /** srp_sketch64(array<double>, dim) — signed-random-projection sketch;
+    * hyperplanes derived from splitmix64, shared with the DuckDB oracle
+    * replay. */
+  case class SrpSketch64(child: Expression, dim: Int)
+      extends UnaryExpression {
+    private lazy val signs = HashFuncs.srpSigns(64, dim)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.srpSketch64(v.asInstanceOf[ArrayData], signs)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val signsRef = ctx.addReferenceObj("srpSigns", signs, "double[]")
+      defineCodeGen(ctx, ev, c => s"$hk.srpSketch64($c, $signsRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): SrpSketch64 =
+      copy(child = c)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -331,6 +379,8 @@ object Expressions {
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
   def minHashSig(c: Column, k: Int, numHashes: Int): Column =
     column(MinHashSig(expression(c), k, numHashes))
+  def srpSketch64(c: Column, dim: Int): Column =
+    column(SrpSketch64(expression(c), dim))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */

@@ -65,6 +65,40 @@ object Similarity {
     topKPerQuery(scored, k, idCol, queryIdCol)
   }
 
+  /** 64-bit signed-random-projection sketches (hyperplanes from
+    * splitmix64 — deterministic across runs and engines): one codegen
+    * kernel call per row, zero shuffle. The Hamming distance between two
+    * sketches estimates the angle: the sketch is the 8-byte stand-in for
+    * the vector in candidate generation, so pairwise stages move 8 bytes
+    * instead of dim·8. */
+  def srpSketches(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame =
+    corpus.select(col(idCol),
+      graft.functions.Expressions.srpSketch64(asDouble(col(vecCol)), dim)
+        .as("sketch"))
+
+  /** ANN by sketch: top-k corpus rows per query by (Hamming(sketches),
+    * id) — integer keys, so ranking is exact. Same bounded-heap TopKAgg
+    * shape as the cosine variants. */
+  def srpHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", dim: Int = 64): DataFrame = {
+    val c = srpSketches(corpus, idCol, vecCol, dim)
+    val q = srpSketches(queries, queryIdCol, vecCol, dim)
+      .withColumnRenamed("sketch", "q_sketch")
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("sketch").bitwiseXOR(col("q_sketch"))).cast("long"))
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("hamming").as("h"), col(idCol).as("id")),
+        struct(col(idCol).as("id"), col("hamming").as("h")), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col(queryIdCol), col("hit.id").as(idCol),
+        col("hit.h").as("hamming"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Centroids by an existing partition column (e.g. a KMeans label or a
     * hash prefix): element-wise mean per cluster via posexplode + pivot
     * back to arrays. */

@@ -24,11 +24,12 @@ object DuckOracle {
   def u64(x: Long): String =
     (BigInt(x) & ((BigInt(1) << 64) - 1)).toString + "::UHUGEINT"
 
-  /** splitmix64 finalizer replay. Single-element list_transforms act as
-    * let-bindings so each stage's input is evaluated once (a plain nested
-    * expression would re-evaluate the byte fold 8×). Constants are the
-    * unsigned renderings of 0xbf58476d1ce4e5b9 / 0x94d049bb133111eb. */
-  private def mix(x: String): String =
+  /** splitmix64 finalizer replay (= HashFuncs.splitmix on a UHUGEINT
+    * expression). Single-element list_transforms act as let-bindings so
+    * each stage's input is evaluated once (a plain nested expression
+    * would re-evaluate the byte fold 8×). Constants are the unsigned
+    * renderings of 0xbf58476d1ce4e5b9 / 0x94d049bb133111eb. */
+  def mix(x: String): String =
     s"""(list_transform(list_transform(list_transform([$x],
           zx1 -> (xor(zx1, zx1 >> 30) * 13787848793156543929::UHUGEINT)
                    % $Two64::UHUGEINT),
@@ -65,5 +66,11 @@ object DuckOracle {
     * SimHash majority vote). */
   val pow2: String =
     (0 until 64).map(j => (BigInt(1) << j).toString + "::UHUGEINT")
+      .mkString("[", ", ", "]")
+
+  /** [2^0 .. 2^63] as a HUGEINT list literal (signed-accumulation bit
+    * sums, e.g. the SRP sketch). */
+  val pow2H: String =
+    (0 until 64).map(j => (BigInt(1) << j).toString + "::HUGEINT")
       .mkString("[", ", ", "]")
 }

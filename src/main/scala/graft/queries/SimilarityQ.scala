@@ -110,5 +110,58 @@ object SimilarityQ {
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q36, q37, q38)
+  /** SRP-sketch ANN: top-10 per query by (sketch Hamming, vec_id) —
+    * integer keys end to end, so the oracle comparison has no float
+    * boundary at all except inside the sketch bits themselves (whose
+    * dot products accumulate in the same dimension order both sides). */
+  val q41 = Q(
+    "q41_srp_hamming_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      Similarity.srpHammingTopK(emb, q, k = 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val mixBit = DuckOracle.mix(
+        "CAST(p * 64 + d - 1 AS UHUGEINT)") + " % 2 = 1"
+      s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), sg AS (
+        SELECT p,
+               list(CASE WHEN $mixBit THEN 1.0 ELSE -1.0 END
+                    ORDER BY d) AS sl
+        FROM (SELECT unnest(generate_series(0, 63)) AS p)
+             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+        GROUP BY p
+      ), bits AS (
+        SELECT emb.vec_id, sg.p,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                      d -> sl[d] * e[d])) >= 0
+                    THEN (${DuckOracle.pow2H})[sg.p + 1]
+                    ELSE 0::HUGEINT END AS b
+        FROM emb CROSS JOIN sg
+      ), sk AS (
+        SELECT vec_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                    THEN s - 18446744073709551616::HUGEINT
+                    ELSE s END AS BIGINT) AS sketch
+        FROM (SELECT vec_id, sum(b) AS s FROM bits GROUP BY vec_id)
+      ), ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(bit_count(xor(c.sketch, q.sketch)) AS BIGINT)
+                 AS hamming,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(c.sketch, q.sketch)), c.vec_id)
+                 AS rank
+        FROM sk c CROSS JOIN (SELECT * FROM sk WHERE vec_id IN (0,1,2)) q)
+      SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+    })
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q41)
 }

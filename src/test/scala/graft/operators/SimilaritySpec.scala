@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 1.5 / nLabels, s"recall $recall with $nLabels labels")
   }
 
+  test("srp sketches: self is hamming 0 rank 1; sketches deterministic") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.srpHammingTopK(emb, q, k = 5).collect()
+    val first = top.minBy(_.getAs[Long]("rank"))
+    assert(first.getAs[Long]("vec_id") === 0L)
+    assert(first.getAs[Long]("hamming") === 0L)
+    val s1 = Similarity.srpSketches(emb).orderBy("vec_id").collect()
+    val s2 = Similarity.srpSketches(emb).orderBy("vec_id").collect()
+    assert(s1.map(_.getLong(1)).toSeq == s2.map(_.getLong(1)).toSeq)
+    // sketches spread: not all identical
+    assert(s1.map(_.getLong(1)).distinct.length > 10)
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
