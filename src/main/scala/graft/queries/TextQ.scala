@@ -225,5 +225,51 @@ object TextQ {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35)
+  /** Token accounting + quality filters + language argmax: whitespace
+    * and BPE-ish token counts (whitespace words + punctuation/digit
+    * runs), digit/stopword ratios, and the stopword-argmax language
+    * (ties alphabetical, replayed as an ordered CASE in the oracle).
+    * Integer-derived arithmetic throughout → bit-exact. */
+  val q42 = Q(
+    "q42_token_quality",
+    (s, d) => {
+      import s.implicits._
+      val base = TextAnalysis.langScores(
+        TextAnalysis.qualityFeatures(t(s, d, "documents")))
+      base.select($"doc_id", $"n_tokens",
+        TextAnalysis.tokenEstimate($"text").as("n_tokens_bpe"),
+        $"digit_ratio", $"stop_ratio", $"detected_lang")
+        .orderBy($"doc_id")
+    },
+    Some {
+      def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+      def hits(lang: String) =
+        s"""len(list_filter(string_split(text, ' '),
+            w -> w IN (${inList(TextAnalysis.stopwords(lang))})))"""
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(string_split(text, ' '))
+                 + len(list_filter(string_split(
+                     regexp_replace(text, '[a-zA-Z ]+', ' ', 'g'), ' '),
+                     s2 -> len(s2) > 0)) AS n_tokens_bpe,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) / length(text) AS digit_ratio,
+               CAST(${hits("en")} AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               ${hits("de")} AS h_de, ${hits("en")} AS h_en,
+               ${hits("es")} AS h_es, ${hits("fr")} AS h_fr
+        FROM documents)
+      SELECT doc_id, n_tokens, n_tokens_bpe, digit_ratio, stop_ratio,
+             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                    THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS detected_lang
+      FROM f
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q42)
 }
