@@ -63,6 +63,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p.take(2000))
   }
 
+  test("inverted-index dedup plans have no join at all (q32, q33, q34)") {
+    for (q <- Seq(graft.queries.TextQ.q32, graft.queries.TextQ.q33,
+        graft.queries.TextQ.q34)) {
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"${q.name}: candidate pairs must come from the inverted index, " +
+          s"not a self-join\n${p.take(1200)}")
+    }
+  }
+
+  test("per-query top-k is the bounded-heap aggregate, not a window (q36)") {
+    val p = plan(graft.queries.SimilarityQ.q36)
+    assert(p.contains("top_k"), p.take(1500))
+    assert(!p.contains("Window"), "q36 must not plan a per-query window")
+  }
+
+  test("global rank/BH run the range-partition scale path (q19, q40)") {
+    for (q <- Seq(graft.queries.Windows.q19, graft.queries.ExtraQ.q40)) {
+      val df = q.run(spark, sf("sf0.001"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"),
+        s"${q.name} should range-repartition for the distributed rank\n" +
+          p.take(1200))
+      assert(p.contains("ReusedExchange"),
+        s"${q.name} should reuse the range exchange for partition counts\n" +
+          p.take(1200))
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project hot path") {
     // AQE finalizes the physical plan only after THIS df executes
     // (count() would spawn a separate query)
