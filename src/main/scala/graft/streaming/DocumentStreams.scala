@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.functions.Expressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming training-data ingestion (beyond-parity extension, SURVEY.md
+  * §2.12): continuous document arrival with exact dedup and near-dup
+  * gating against the already-ingested corpus — the streaming face of
+  * `operators.Dedup`, built on the same poly_hash64/simhash64 kernels so
+  * batch and streaming agree bit-for-bit on what counts as a duplicate.
+  *
+  * Scale notes:
+  *   - exact dedup state is keyed by the 8-byte fingerprint, and
+  *     `dropDuplicatesWithinWatermark` lets the state store EVICT keys
+  *     older than the watermark — bounded state, the requirement for an
+  *     unbounded stream (plain dropDuplicates grows state forever);
+  *   - the near-dup gate is a STREAM-STATIC equi join on 16-bit SimHash
+  *     band keys: the static side is the corpus band index (4 rows per
+  *     document, 10 bytes each), the stream side explodes each arriving
+  *     document to its 4 band keys — candidates then filter on true
+  *     Hamming distance. No stream-stream join, no state beyond the
+  *     exact-dedup store.
+  */
+object DocumentStreams {
+
+  /** Exact-duplicate removal on a document stream: fingerprint the text
+    * (poly_hash64), keep the first arrival per fingerprint within the
+    * watermark horizon. `tsCol` drives the watermark. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp64", Expressions.polyHash64(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp64")
+
+  /** Static corpus SimHash band index: 4 rows per document,
+    * (band, chunk, corpus_id, corpus_simhash). Broadcast-sized per band
+    * bucket; rebuilt offline as the corpus grows. */
+  def bandIndex(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+      Expressions.simHash64(col(textCol)).as("corpus_simhash"))
+      .select(col("corpus_id"), col("corpus_simhash"),
+        posexplode(expr(
+          """transform(sequence(0, 3),
+              b -> shiftright(corpus_simhash, b * 16) & 65535)"""))
+          .as(Seq("band", "chunk")))
+
+  /** Flag arriving documents whose SimHash is within `maxDist` (≤ 3,
+    * where 16-bit banding is lossless) of any indexed corpus document:
+    * returns one row per (arriving doc, matching corpus doc). */
+  def nearDupFlags(stream: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDist: Int = 3): DataFrame = {
+    val banded = stream
+      .withColumn("simhash", Expressions.simHash64(col(textCol)))
+      .select(col(idCol), col("simhash"),
+        posexplode(expr(
+          """transform(sequence(0, 3),
+              b -> shiftright(simhash, b * 16) & 65535)"""))
+          .as(Seq("band", "chunk")))
+    banded.join(index, Seq("band", "chunk"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withColumn("hamming",
+        bit_count(col("simhash").bitwiseXOR(col("corpus_simhash")))
+          .cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col(idCol), col("corpus_id"), col("hamming"))
+      .dropDuplicates(idCol, "corpus_id")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dedup: exact-duplicate suppression with watermark-bounded
+  * state (MemoryStream-driven micro-batches) and the stream-static
+  * SimHash near-dup gate against a corpus band index. */
+class DocumentStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Doc(doc_id: Long, ingest_ts: java.sql.Timestamp,
+      text: String)
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("dedupStream keeps the first arrival per exact fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DocumentStreams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(1, ts(10), "alpha beta gamma"),
+        Doc(2, ts(11), "delta epsilon zeta"),
+        Doc(3, ts(12), "alpha beta gamma")) // exact dup of 1
+      q.processAllAvailable()
+      in.addData(Doc(4, ts(13), "alpha beta gamma")) // still within state
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("nearDupFlags joins arriving docs against the corpus band index") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "entirely different content about spark catalyst planning"))
+      .toDF("doc_id", "text")
+    val index = DocumentStreams.bandIndex(corpus)
+    // batch frame drives the same plan the stream-static join runs
+    val arriving = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again"),
+      (201L, "totally unrelated fresh material nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val flags = DocumentStreams.nearDupFlags(arriving, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags.contains((200L, 100L)))
+    assert(!flags.exists(_._1 == 201L))
+  }
+}
