@@ -57,7 +57,7 @@ object Dedup {
     * id, then for every position i pair it with every later posting.
     * Two-level explode keeps per-row arrays bounded by the postings size.
     * Returns one row per (a, b) posting pair with a.id < b.id. */
-  private def expandPairs(inv: DataFrame): DataFrame =
+  private[operators] def expandPairs(inv: DataFrame): DataFrame =
     inv.withColumn("ds", expr("array_sort(ds)"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"),

@@ -146,20 +146,32 @@ object Multimodal {
     media.groupBy(sha2(col("content"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("media_id").as("keep_id"))
 
-  /** Near-dup candidates via embedding cosine (reuses the Similarity
-    * brute-force/IVF operators over the extracted features). */
+  /** Near-dup candidates over the extracted embeddings via SRP-sketch
+    * banding: sketch each feature vector (64-bit, codegen kernel), bucket
+    * on 16-bit sketch chunks (inverted index, same shape as text LSH —
+    * never an all-pairs join), then confirm candidates with the exact
+    * cosine. Candidates missed by banding are pairs with sketch Hamming
+    * > 3 — for `threshold` ≥ ~0.95 the SRP disagreement rate makes that
+    * loss negligible, the standard LSH recall trade. */
   def nearDupCandidates(spark: SparkSession, media: Dataset[MediaRow],
       threshold: Double = 0.95, dim: Int = 64): DataFrame = {
-    import spark.implicits._
     val feats = extractFeatures(spark, media, dim).toDF()
-      .withColumnRenamed("media_id", "vec_id")
-    val a = feats.select(col("vec_id").as("id_a"),
-      col("embedding").cast("array<double>").as("va"))
-    val b = feats.select(col("vec_id").as("id_b"),
-      col("embedding").cast("array<double>").as("vb"))
-    // small candidate sets per partition at test scale; production swaps
-    // in Similarity.ivfTopK with an LSH/cluster bucketing column
-    a.join(b, col("id_a") < col("id_b"))
+    val sk = feats.select(col("media_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("sketch",
+        graft.functions.Expressions.srpSketch64(col("v"), dim))
+    val banded = sk.select(col("id"), col("v"),
+      posexplode(expr(
+        """transform(sequence(0, 3),
+            b -> shiftright(sketch, b * 16) & 65535)"""))
+        .as(Seq("band", "chunk")))
+    val inv = banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    Dedup.expandPairs(inv)
+      .select(col("a.id").as("id_a"), col("a.v").as("va"),
+        col("b.id").as("id_b"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
