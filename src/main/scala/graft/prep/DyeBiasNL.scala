@@ -2,6 +2,7 @@ package graft.prep
 
 import graft.functions.StatFuncs
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** L14 — nonlinear dye-bias correction (reference samples.py:1340-1427 +
@@ -79,72 +80,145 @@ object DyeBiasNL {
       if (f.minX == 0) Double.NaN else v * (f.minMid / f.minX)
     else interp(v, f.xp, f.fp)
 
-  /** Run the correction for every sample. Returns (corrected signal,
-    * distortion-mask rows for samples that failed the guard). */
+  /** Median of the values inside the `_tmp_top` TopKAgg array column. */
+  private def arrayMedian: org.apache.spark.sql.Column = {
+    val arr = array_sort(expr("transform(_tmp_top, x -> x.t)"))
+    val m = size(arr)
+    when(m === 0, lit(Double.NaN))
+      .when(m % 2 === 1,
+        element_at(arr, expr("CAST((size(_tmp_top) + 1) div 2 AS INT)")))
+      .otherwise((element_at(arr,
+        expr("CAST(size(_tmp_top) div 2 AS INT)")) +
+        element_at(arr,
+          expr("CAST(size(_tmp_top) div 2 + 1 AS INT)"))) / 2.0)
+  }
+
+  /** Run the correction for every sample — fully distributed. Returns
+    * (corrected signal, distortion-mask rows for samples that failed the
+    * guard).
+    *
+    * Scale path: the previous implementation collected every sample's
+    * sorted intensity arrays to the driver (O(samples × 130k) doubles)
+    * and broadcast the fits into a UDF. Here the whole pipeline stays in
+    * DataFrames:
+    *   - the guard medians come from `percentile` + a TopKAgg(20) head;
+    *   - the quantile-normalization grid is rank arithmetic — ranks from
+    *     a per-(sample, channel) window (partition-bounded), target
+    *     order statistics via equi-joins on (sample, channel, rank);
+    *   - the knot curve (xp = sorted value, fp = midpoint) feeds
+    *     [[graft.operators.Interp.interpLookup]], the sort-merge
+    *     np.interp; out-of-range branches use a samples×2-row bounds
+    *     frame (the ONLY broadcast).
+    */
   def dyeBiasCorrectionNL(spark: SparkSession,
       signal: DataFrame): (DataFrame, DataFrame) = {
-    // per (sample, channel): sorted type-I in-band values
-    val cells = Prep.ibCells(signal.filter(col("inf_type") === "I"))
-    val arrays: Map[(String, String), Array[Double]] =
-      cells.groupBy("sample_label", "channel")
-        .agg(sort_array(collect_list(col("value").cast("double"))).as("vs"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          r.getSeq[Double](2).toArray).toMap
+    val t1 = signal.filter(col("inf_type") === "I")
+    val cells = Prep.ibCells(t1).select(col("sample_label"), col("channel"),
+      col("value").cast("double").as("v"))
 
-    // distortion guard per sample on total type-I in-band intensity
-    val totals = Prep.totalIbIntensity(signal.filter(col("inf_type") === "I"))
-      .join(signal.filter(col("inf_type") === "I")
-        .select("sample_label", "probe_id", "channel").distinct(),
+    // ---- distortion guard (med + top-20 median per channel) ----
+    val totals = Prep.totalIbIntensity(t1)
+      .join(t1.select("sample_label", "probe_id", "channel").distinct(),
         Seq("sample_label", "probe_id"))
-    val totalArrays: Map[(String, String), Array[Double]] =
-      totals.groupBy("sample_label", "channel")
-        .agg(sort_array(collect_list(col("total_ib").cast("double"))).as("vs"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          r.getSeq[Double](2).toArray).toMap
+    val guard = totals.groupBy("sample_label", "channel")
+      .agg(expr("percentile(CAST(total_ib AS DOUBLE), 0.5)").as("med"),
+        graft.functions.TopKAgg.topK(
+          struct((-col("total_ib").cast("double")).as("nt")),
+          struct(col("total_ib").cast("double").as("t")), 20).as("_tmp_top"))
+      .withColumn("t20", arrayMedian)
+      .select(col("sample_label"), col("channel"), col("med"), col("t20"))
+    val guardW = guard.groupBy("sample_label")
+      .pivot("channel", Seq("G", "R"))
+      .agg(first(col("med")).as("med"), first(col("t20")).as("t20"))
+    val dCol = (col("R_t20") / col("G_t20")) / (col("R_med") / col("G_med"))
+    val distortedDf = guardW
+      .withColumn("_distorted",
+        col("G_t20").isNull || col("G_med").isNull ||
+          col("G_t20") === 0 || col("G_med") === 0 ||
+          isnan(dCol) || dCol > 10)
+      .select(col("sample_label"), col("_distorted"))
 
-    val samples = arrays.keys.map(_._1).toSeq.distinct.sorted
-    val (fits, distorted) = samples.foldLeft(
-      (Map.empty[(String, String), ChannelFit], Seq.empty[String])) {
-      case ((fAcc, dAcc), s) =>
-        val tR = totalArrays.getOrElse((s, "R"), Array.empty)
-        val tG = totalArrays.getOrElse((s, "G"), Array.empty)
-        val medR = StatFuncs.median(tR)
-        val medG = StatFuncs.median(tG)
-        val top20R = StatFuncs.median(tR.sorted.takeRight(20))
-        val top20G = StatFuncs.median(tG.sorted.takeRight(20))
-        val distortion =
-          if (top20G == 0 || medG == 0) Double.NaN
-          else (top20R / top20G) / (medR / medG)
-        if (distortion.isNaN || distortion > 10) (fAcc, dAcc :+ s)
-        else {
-          val g = arrays((s, "G")); val r = arrays((s, "R"))
-          if (g.isEmpty || r.isEmpty || g.max <= 0 || r.max <= 0) (fAcc, dAcc)
-          else (fAcc + (((s, "R")) -> fitChannel(r, g)) +
-            (((s, "G")) -> fitChannel(g, r)), dAcc)
-        }
-    }
-    val bcast = spark.sparkContext.broadcast(fits)
+    // ---- fit eligibility: both channels non-empty with positive max ----
+    val chanStats = cells.groupBy("sample_label", "channel")
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    val chanW = chanStats.groupBy("sample_label")
+      .pivot("channel", Seq("G", "R"))
+      .agg(first(col("n")).as("n"), first(col("mx")).as("mx"))
+    val eligible = chanW.join(distortedDf, Seq("sample_label"))
+      .filter(!col("_distorted") &&
+        col("G_n").isNotNull && col("R_n").isNotNull &&
+        col("G_mx") > 0 && col("R_mx") > 0)
+      .select(col("sample_label"),
+        col("G_n").as("n_g"), col("R_n").as("n_r"))
 
-    val mapUdf = udf((sample: String, ch: String, v: java.lang.Float) =>
-      if (v == null) null
-      else bcast.value.get((sample, ch)).map { f =>
-        val r = applyFit(v.toDouble, f)
-        if (r.isNaN) null else java.lang.Float.valueOf(r.toFloat)
-      }.getOrElse(v))
+    // ---- knots: rank arithmetic quantile normalization + midpoint ----
+    val wch = Window.partitionBy(col("sample_label"), col("channel"))
+      .orderBy(col("v"))
+    val ranked = cells.join(broadcast(eligible), Seq("sample_label"))
+      .withColumn("r", row_number().over(wch).cast("long") - 1)
+      .withColumn("n",
+        when(col("channel") === "G", col("n_g")).otherwise(col("n_r")))
+      .withColumn("m",
+        when(col("channel") === "G", col("n_r")).otherwise(col("n_g")))
+      .withColumn("tch",
+        when(col("channel") === "G", lit("R")).otherwise(lit("G")))
+    val pos = when(col("n") === 1, lit(0.0))
+      .otherwise(col("r").cast("double") / (col("n") - 1) * (col("m") - 1))
+    val withPos = ranked.withColumn("pos", pos)
+      .withColumn("plo", floor(col("pos")).cast("long"))
+      .withColumn("phi", ceil(col("pos")).cast("long"))
+    val tRanks = ranked.select(col("sample_label"),
+      col("channel").as("tch"), col("r").as("tr"), col("v").as("tv"))
+    val withT = withPos
+      .join(tRanks.withColumnsRenamed(Map("tr" -> "plo", "tv" -> "tlo")),
+        Seq("sample_label", "tch", "plo"))
+      .join(tRanks.withColumnsRenamed(Map("tr" -> "phi", "tv" -> "thi")),
+        Seq("sample_label", "tch", "phi"))
+    val grid = when(col("plo") === col("phi"), col("tlo"))
+      .otherwise(col("tlo") +
+        (col("pos") - col("plo")) * (col("thi") - col("tlo")))
+    val knots = withT
+      .select(col("sample_label"), col("channel"),
+        col("v").as("xp"), ((col("v") + grid) / 2).as("fp"))
 
-    val corrected = signal
-      .withColumn("meth_g", mapUdf(col("sample_label"), lit("G"), col("meth_g")))
-      .withColumn("unmeth_g", mapUdf(col("sample_label"), lit("G"), col("unmeth_g")))
-      .withColumn("meth_r", mapUdf(col("sample_label"), lit("R"), col("meth_r")))
-      .withColumn("unmeth_r", mapUdf(col("sample_label"), lit("R"), col("unmeth_r")))
+    // ---- per-(sample, channel) curve bounds (tiny frame) ----
+    val bounds = knots.groupBy("sample_label", "channel")
+      .agg(min(col("xp")).as("minX"), max(col("xp")).as("maxX"),
+        min(col("fp")).as("minMid"), max(col("fp")).as("maxMid"))
 
-    import spark.implicits._
-    val maskRows = signal.filter(col("inf_type") === "I" &&
-      col("channel") === "G")
+    // ---- apply: explode the four value columns, interp, branch ----
+    val valueCols = Seq("meth_g", "unmeth_g", "meth_r", "unmeth_r")
+    val queries = signal.select(col("sample_label"), col("probe_id"),
+      explode(map(valueCols.flatMap(c =>
+        Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("vcol", "v")))
+      .withColumn("channel",
+        when(col("vcol").endsWith("_g"), lit("G")).otherwise(lit("R")))
+    val looked = graft.operators.Interp.interpLookup(queries, knots,
+      Seq("sample_label", "channel"), "v", "itp")
+    val v = col("v")
+    val mapped = looked
+      .join(broadcast(bounds), Seq("sample_label", "channel"), "left")
+      .withColumn("out",
+        when(col("minX").isNull, v) // no fit for this sample → passthrough
+          .when(isnan(v), lit(null).cast("double"))
+          .when(v > col("maxX"), v - col("maxX") + col("maxMid"))
+          .when(v < col("minX"),
+            when(col("minX") === 0, lit(null).cast("double"))
+              .otherwise(v * (col("minMid") / col("minX"))))
+          .otherwise(col("itp")))
+    val pivoted = mapped.groupBy("sample_label", "probe_id")
+      .pivot("vcol", valueCols)
+      .agg(first(col("out")))
+    val corrected = signal.drop(valueCols: _*)
+      .join(pivoted, Seq("sample_label", "probe_id"), "left")
+      .select(signal.columns.map(c =>
+        if (valueCols.contains(c)) col(c).cast("float").as(c)
+        else col(c)): _*)
+
+    val maskRows = t1.filter(col("channel") === "G")
       .select("probe_id").distinct()
-      .crossJoin(distorted.toDF("sample_label"))
+      .crossJoin(broadcast(
+        distortedDf.filter(col("_distorted")).select("sample_label")))
       .select(lit("dye bias nl").as("mask_name"), col("sample_label"),
         col("probe_id"))
     (corrected, maskRows)
