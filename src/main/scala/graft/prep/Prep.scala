@@ -219,11 +219,66 @@ object Prep {
   final case class NoobFit(sample: String, channel: String, mu: Double,
       sigma: Double, alpha: Double)
 
+  /** Distributed Huber M-estimates per (sample, channel): median + MAD
+    * init via exact `percentile` aggregations, then the clip-mean
+    * iteration driven from the driver — each pass is ONE aggregation
+    * over the cells, and the per-iteration driver state is O(groups)
+    * scalars (mu, sigma, done), never the data. Groups freeze the
+    * moment they converge (|Δmu| < tol·sigma), exactly like the
+    * per-array reference kernel (StatFuncs.huber); sigma = 0 groups drop
+    * out (no fit). Returns (sample_label, channel, mu, sigma) rows. */
+  def huberFits(cells: DataFrame, k: Double = 1.5,
+      tol: Double = 1e-6, maxIter: Int = 100): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val vCol = col("value").cast("double")
+    val base = cells.filter(!isnan(vCol))
+      .select(col("sample_label"), col("channel"), vCol.as("v"))
+    val init = base.groupBy("sample_label", "channel")
+      .agg(percentile(col("v"), lit(0.5)).as("mu0"))
+    val mad = base.join(broadcast(init), Seq("sample_label", "channel"))
+      .groupBy("sample_label", "channel")
+      .agg(percentile(abs(col("v") - col("mu0")), lit(0.5)).as("mad"),
+        first(col("mu0")).as("mu0"))
+    // state rows: one per group — collected each round (tiny)
+    var state = mad.collect().map { r =>
+      (r.getString(0), r.getString(1), r.getDouble(3),
+        r.getDouble(2) / 0.6744897501960817)
+    }.filter(_._4 != 0.0).map { case (s, ch, mu, sigma) =>
+      ((s, ch), (mu, sigma, false))
+    }.toMap
+    var iter = 0
+    while (state.values.exists(!_._3) && iter < maxIter) {
+      val active = state.filter(!_._2._3).toSeq
+        .map { case ((s, ch), (mu, sigma, _)) => (s, ch, mu, sigma) }
+        .toDF("sample_label", "channel", "mu", "sigma")
+      val means = base.join(broadcast(active), Seq("sample_label", "channel"))
+        .groupBy("sample_label", "channel")
+        .agg(avg(least(greatest(col("v"), col("mu") - col("sigma") * k),
+          col("mu") + col("sigma") * k)).as("mu_new"),
+          first(col("mu")).as("mu"), first(col("sigma")).as("sigma"))
+        .collect()
+      means.foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        val (muNew, mu, sigma) = (r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))
+        state += key -> (muNew, sigma, math.abs(mu - muNew) < tol * sigma)
+      }
+      iter += 1
+    }
+    state.toSeq.map { case ((s, ch), (mu, sigma, _)) => (s, ch, mu, sigma) }
+      .toDF("sample_label", "channel", "mu", "sigma")
+  }
+
   /** Fit the norm-exp background model per (sample, channel): background =
     * OOB (+ negative controls), zeros → 1, capped at median + 10·IQR;
-    * Huber fits for (mu, sigma); alpha = max(fgMu − bgMu, 10). Arrays are
-    * collected per group to the driver — KB-MB sized, the same boundary
-    * the reference uses. */
+    * Huber fits for (mu, sigma); alpha = max(fgMu − bgMu, 10).
+    *
+    * Scale path: cap statistics are exact percentile aggregations and the
+    * Huber fits run distributed ([[huberFits]]) — nothing larger than a
+    * groups-row frame ever reaches the driver (the previous
+    * implementation collected every sample's raw background/foreground
+    * arrays). */
   def noobFits(signal: DataFrame, masks: DataFrame,
       useNegativeControls: Boolean = true): Seq[NoobFit] = {
     val masked = Masks.applyMask(signal,
@@ -233,30 +288,36 @@ object Prep {
       bgCells0.unionByName(negControlCells(masked)) else bgCells0
     val fgCells = ibCells(masked)
 
-    def collectArrays(cells: DataFrame): Map[(String, String), Array[Double]] =
-      cells.groupBy("sample_label", "channel")
-        .agg(collect_list(col("value").cast("double")).as("vs"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          r.getSeq[Double](2).toArray)
-        .toMap
+    def zeroToOne(cells: DataFrame): DataFrame =
+      cells.select(col("sample_label"), col("channel"),
+        when(col("value") === 0, lit(1.0))
+          .otherwise(col("value").cast("double")).as("value"))
 
-    val bgMap = collectArrays(bgCells)
-    val fgMap = collectArrays(fgCells)
-    bgMap.toSeq.sortBy(_._1).flatMap { case ((s, ch), bgRaw) =>
-      val bg0 = bgRaw.map(v => if (v == 0) 1.0 else v)
-      if (bg0.count(_ > 0) < 100) None
-      else {
-        val cap = StatFuncs.median(bg0) + 10 * StatFuncs.iqr(bg0)
-        val bg = bg0.filter(_ < cap)
-        val fg = fgMap.getOrElse((s, ch), Array.empty)
-          .map(v => if (v == 0) 1.0 else v)
-        for {
-          (bgMu, bgSigma) <- StatFuncs.huber(bg)
-          (fgMu, _) <- StatFuncs.huber(fg)
-        } yield NoobFit(s, ch, bgMu, bgSigma, math.max(fgMu - bgMu, 10.0))
-      }
-    }
+    val bg0 = zeroToOne(bgCells)
+    // eligibility (≥ 100 positive values — after zeros→1, all values are
+    // ≥ 1, so this is the group row count) + the median+10·IQR cap
+    val capStats = bg0.groupBy("sample_label", "channel")
+      .agg(count(when(col("value") > 0, 1)).as("n_pos"),
+        percentile(col("value"), lit(0.5)).as("med"),
+        (percentile(col("value"), lit(0.75)) -
+          percentile(col("value"), lit(0.25))).as("iqr"))
+      .filter(col("n_pos") >= 100)
+      .select(col("sample_label"), col("channel"),
+        (col("med") + col("iqr") * 10).as("cap"))
+    val bgCapped = bg0.join(broadcast(capStats),
+      Seq("sample_label", "channel"))
+      .filter(col("value") < col("cap"))
+    val bgFit = huberFits(bgCapped)
+    val fgFit = huberFits(zeroToOne(fgCells))
+      .select(col("sample_label"), col("channel"), col("mu").as("fg_mu"))
+    bgFit.join(fgFit, Seq("sample_label", "channel"))
+      .select(col("sample_label"), col("channel"), col("mu"), col("sigma"),
+        greatest(col("fg_mu") - col("mu"), lit(10.0)).as("alpha"))
+      .collect()
+      .map(r => NoobFit(r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(f => (f.sample, f.channel))
+      .toSeq
   }
 
   /** Apply the norm-exp convolution posterior mean + offset
