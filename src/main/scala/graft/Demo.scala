@@ -112,7 +112,7 @@ object Demo {
     println(s"[demo] matched ${matched.size} idat files")
 
     val idat = Idat.read(spark, matched).toDF()
-    val signal = SignalBuilder.build(idat, manifest, minBeads = 1).cache()
+    val signal = SignalBuilder.build(idat, manifest, minBeads = 1).localCheckpoint()
     println(s"[demo] signal rows: ${signal.count()} " +
       s"(samples=${signal.select("sample_label").distinct().count()})")
 
@@ -120,10 +120,14 @@ object Demo {
       SignalBuilder.minBeadsMask(signal, 1))
     val (inferred, _) = Prep.inferType1Channel(signal)
     val corrected = Prep.dyeBiasCorrectionL(inferred)
-    val (withP, poobahMask) = Prep.poobah(spark, corrected, masks)
+    val (withP0, poobahMask) = Prep.poobah(spark, corrected, masks)
+    // localCheckpoint (not cache): downstream stages branch this frame
+    // repeatedly and only a LINEAGE-truncating materialization keeps the
+    // analyzer cost linear (cache leaves the logical plan intact)
+    val withP = withP0.localCheckpoint()
     println(s"[demo] poobah masked ${poobahMask.count()} (sample, probe) pairs")
 
-    val betas = SignalBuilder.calculateBetas(withP).cache()
+    val betas = SignalBuilder.calculateBetas(withP).localCheckpoint()
     betas.groupBy("sample_label")
       .agg(round(avg("beta"), 4).as("mean_beta")).orderBy("sample_label")
       .show(10, truncate = false)
@@ -132,7 +136,7 @@ object Demo {
       sheetRows.map(m => m + ("grp" ->
         (if (m("sample_id").contains("GSMB")) "B" else "A"))),
       "sample_id", "~ grp")
-    val dmp = Dm.computeDmp(spark, betas, design).cache()
+    val dmp = Dm.computeDmp(spark, betas, design).localCheckpoint()
     val nSig = dmp.filter(col("grp_T_B_p_value_adjusted") < 0.01).count()
     println(s"[demo] DMPs with adjusted p < 0.01: $nSig (expect ≈ 50)")
 

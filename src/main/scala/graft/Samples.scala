@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * marks materialization points where the reference relied on eager
   * state.
   *
+  * Every preprocessing step LAZILY truncates the signal lineage
+  * (localCheckpoint(eager = false)): prep operators reference their
+  * input from several branches (aggregate side-frames, mask joins, the
+  * ECDF/interp unions), so chaining k steps without truncation makes
+  * the analyzer re-walk the upstream plan as a PRODUCT of branch
+  * factors — measured as minutes of pure CheckAnalysis CPU on a
+  * four-step chain. Truncation keeps analysis linear in the number of
+  * steps; materialization happens at most once per step, which is how
+  * the reference behaves anyway (each pandas step is eager).
+  *
   * A pylluminator user's session maps 1:1:
   * {{{
   * val s  = Samples.readSamples(spark, dir, manifest)   // read_samples
@@ -37,6 +47,10 @@ final case class Samples(
       .collect().map(_.getString(0)).sorted.toSeq
 
   def cache(): Samples = { signal.cache(); this }
+
+  /** Lineage-truncating wrapper applied by every preprocessing step. */
+  private def step(updated: DataFrame): DataFrame =
+    updated.localCheckpoint(eager = false)
 
   // ---- selectors (F1-F10, samples.py:123-414) ----
 
@@ -117,35 +131,35 @@ final case class Samples(
       maskFailed: Boolean = false): Samples = {
     val (updated, failed) = Prep.inferType1Channel(signal, switchFailed,
       maskFailed)
-    val s2 = copy(signal = updated)
+    val s2 = copy(signal = step(updated))
     if (maskFailed) s2.withMask(failed) else s2
   }
 
   def dyeBiasCorrection(): Samples =
-    copy(signal = Prep.dyeBiasCorrection(signal, arrayType))
+    copy(signal = step(Prep.dyeBiasCorrection(signal, arrayType)))
 
   def dyeBiasCorrectionL(): Samples =
-    copy(signal = Prep.dyeBiasCorrectionL(signal))
+    copy(signal = step(Prep.dyeBiasCorrectionL(signal)))
 
   def dyeBiasCorrectionNL(): Samples = {
     val (corrected, distortionMask) =
       DyeBiasNL.dyeBiasCorrectionNL(spark, signal)
-    copy(signal = corrected).withMask(distortionMask)
+    copy(signal = step(corrected)).withMask(distortionMask)
   }
 
   def noobBackgroundCorrection(useNegativeControls: Boolean = true,
       offset: Double = 15.0): Samples =
-    copy(signal = Prep.noobBackgroundCorrection(spark, signal, masks,
-      useNegativeControls, offset))
+    copy(signal = step(Prep.noobBackgroundCorrection(spark, signal, masks,
+      useNegativeControls, offset)))
 
   def scrubBackgroundCorrection(): Samples =
-    copy(signal = Prep.scrubBackgroundCorrection(signal))
+    copy(signal = step(Prep.scrubBackgroundCorrection(signal)))
 
   def poobah(useNegativeControls: Boolean = true,
       threshold: Double = 0.05): Samples = {
     val (withP, mask) = Prep.poobah(spark, signal, masks,
       useNegativeControls, threshold)
-    copy(signal = withP).withMask(mask)
+    copy(signal = step(withP)).withMask(mask)
   }
 
   // ---- betas & downstream ----

@@ -171,7 +171,14 @@ object Dm {
           .withColumn(s"${f}_estimate", element_at(col("fit"), 5 + 4 * i))
           .withColumn(s"${f}_std_err", element_at(col("fit"), 6 + 4 * i))
     }
-    sanitized.foldLeft(withCols.drop("fit")) { (df, f) =>
+    // Folding adjustBH multiplies the plan: each call references its
+    // input from three branches (rank, counts, null-passthrough), so k
+    // factors analyze the upstream lineage 3^k times — localCheckpoint
+    // truncates it to a leaf first (the per-probe stats frame is the
+    // natural materialization point; caching alone does NOT shrink the
+    // LOGICAL plan the analyzer walks).
+    val statsBase = withCols.drop("fit").localCheckpoint()
+    sanitized.foldLeft(statsBase) { (df, f) =>
       adjustBH(df, s"${f}_p_value", s"${f}_p_value_adjusted")
     }
   }
@@ -248,7 +255,14 @@ object Dm {
           .withColumn(s"${f}_estimate", element_at(col("fit"), 5 + 4 * i))
           .withColumn(s"${f}_std_err", element_at(col("fit"), 6 + 4 * i))
     }
-    sanitized.foldLeft(withCols.drop("fit")) { (df, f) =>
+    // Folding adjustBH multiplies the plan: each call references its
+    // input from three branches (rank, counts, null-passthrough), so k
+    // factors analyze the upstream lineage 3^k times — localCheckpoint
+    // truncates it to a leaf first (the per-probe stats frame is the
+    // natural materialization point; caching alone does NOT shrink the
+    // LOGICAL plan the analyzer walks).
+    val statsBase = withCols.drop("fit").localCheckpoint()
+    sanitized.foldLeft(statsBase) { (df, f) =>
       adjustBH(df, s"${f}_p_value", s"${f}_p_value_adjusted")
     }
   }
@@ -353,7 +367,9 @@ object Dm {
         count(lit(1)).as("n_probes")) ++
         contrasts.map(c => stoufferAgg(s"${c}_p_value").as(s"${c}_p_value")) ++
         contrasts.map(c => avg(col(s"${c}_estimate")).as(s"${c}_estimate"))
+    // same lineage-truncation rationale as runOls's fold
     val dmr = seg.groupBy("segment_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
     contrasts.foldLeft(dmr) { (df, c) =>
       adjustBH(df, s"${c}_p_value", s"${c}_p_value_adjusted")
     }

@@ -219,54 +219,29 @@ object Prep {
   final case class NoobFit(sample: String, channel: String, mu: Double,
       sigma: Double, alpha: Double)
 
-  /** Distributed Huber M-estimates per (sample, channel): median + MAD
-    * init via exact `percentile` aggregations, then the clip-mean
-    * iteration driven from the driver — each pass is ONE aggregation
-    * over the cells, and the per-iteration driver state is O(groups)
-    * scalars (mu, sigma, done), never the data. Groups freeze the
-    * moment they converge (|Δmu| < tol·sigma), exactly like the
-    * per-array reference kernel (StatFuncs.huber); sigma = 0 groups drop
-    * out (no fit). Returns (sample_label, channel, mu, sigma) rows. */
+  /** Distributed Huber M-estimates per (sample, channel), the SURVEY A17
+    * `mapGroups` shape: each group's values (bounded — one sample's
+    * background, ≤ ~400k doubles ≈ 3 MB) are gathered inside its OWN
+    * executor task and fitted with the exact reference kernel
+    * (StatFuncs.huber). One shuffle, no driver state, and the iterative
+    * clip-mean loop runs as a tight local loop instead of a Spark job
+    * per iteration (a driver-driven aggregate-per-iteration variant was
+    * measured at minutes of pure scheduling overhead). sigma = 0 groups
+    * drop out (no fit). Returns (sample_label, channel, mu, sigma). */
   def huberFits(cells: DataFrame, k: Double = 1.5,
-      tol: Double = 1e-6, maxIter: Int = 100): DataFrame = {
+      tol: Double = 1e-6): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val vCol = col("value").cast("double")
-    val base = cells.filter(!isnan(vCol))
-      .select(col("sample_label"), col("channel"), vCol.as("v"))
-    val init = base.groupBy("sample_label", "channel")
-      .agg(percentile(col("v"), lit(0.5)).as("mu0"))
-    val mad = base.join(broadcast(init), Seq("sample_label", "channel"))
-      .groupBy("sample_label", "channel")
-      .agg(percentile(abs(col("v") - col("mu0")), lit(0.5)).as("mad"),
-        first(col("mu0")).as("mu0"))
-    // state rows: one per group — collected each round (tiny)
-    var state = mad.collect().map { r =>
-      (r.getString(0), r.getString(1), r.getDouble(3),
-        r.getDouble(2) / 0.6744897501960817)
-    }.filter(_._4 != 0.0).map { case (s, ch, mu, sigma) =>
-      ((s, ch), (mu, sigma, false))
-    }.toMap
-    var iter = 0
-    while (state.values.exists(!_._3) && iter < maxIter) {
-      val active = state.filter(!_._2._3).toSeq
-        .map { case ((s, ch), (mu, sigma, _)) => (s, ch, mu, sigma) }
-        .toDF("sample_label", "channel", "mu", "sigma")
-      val means = base.join(broadcast(active), Seq("sample_label", "channel"))
-        .groupBy("sample_label", "channel")
-        .agg(avg(least(greatest(col("v"), col("mu") - col("sigma") * k),
-          col("mu") + col("sigma") * k)).as("mu_new"),
-          first(col("mu")).as("mu"), first(col("sigma")).as("sigma"))
-        .collect()
-      means.foreach { r =>
-        val key = (r.getString(0), r.getString(1))
-        val (muNew, mu, sigma) = (r.getDouble(2), r.getDouble(3),
-          r.getDouble(4))
-        state += key -> (muNew, sigma, math.abs(mu - muNew) < tol * sigma)
+    cells
+      .select(col("sample_label"), col("channel"),
+        col("value").cast("double").as("v"))
+      .as[(String, String, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Double)]) =>
+        StatFuncs.huber(it.map(_._3).toArray, k, tol)
+          .map { case (mu, sigma) => (key._1, key._2, mu, sigma) }.iterator
       }
-      iter += 1
-    }
-    state.toSeq.map { case ((s, ch), (mu, sigma, _)) => (s, ch, mu, sigma) }
       .toDF("sample_label", "channel", "mu", "sigma")
   }
 
