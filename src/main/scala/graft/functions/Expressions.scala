@@ -427,5 +427,38 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.PolyHash64].getName,
         "poly_hash64"),
       (es: Seq[Expression]) => Expressions.PolyHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[Expressions.TokenHashes].getName,
+        "token_hashes"),
+      (es: Seq[Expression]) => Expressions.TokenHashes(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Expressions.SimHash64].getName,
+        "simhash64"),
+      (es: Seq[Expression]) => Expressions.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[Expressions.WordShingleHashes].getName,
+        "word_shingle_hashes"),
+      (es: Seq[Expression]) =>
+        Expressions.WordShingleHashes(es.head, litInt(es(1)))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[Expressions.MinHashSig].getName,
+        "minhash_sig"),
+      (es: Seq[Expression]) =>
+        Expressions.MinHashSig(es.head, litInt(es(1)), litInt(es(2)))))
+    e.injectFunction((FunctionIdentifier("srp_sketch64"),
+      new ExpressionInfo(classOf[Expressions.SrpSketch64].getName,
+        "srp_sketch64"),
+      (es: Seq[Expression]) =>
+        Expressions.SrpSketch64(es.head, litInt(es(1)))))
+    e.injectFunction((FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (es: Seq[Expression]) => TopKAgg(es(0), es(1), litInt(es(2)))))
+  }
+
+  /** Integer literal argument of a SQL call (k, numHashes, dim …). */
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
   }
 }

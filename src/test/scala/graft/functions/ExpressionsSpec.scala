@@ -35,6 +35,19 @@ class ExpressionsSpec extends SparkSpec {
     // lives (getOrCreate reuses it), so exercise the injection callback
     // directly against a fresh extensions container
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must register all 3 without throwing
+    new GraftExtensions().apply(ext) // must register all without throwing
+  }
+
+  test("SQL surface: hash kernels + top_k callable from spark.sql") {
+    Expressions.register(spark)
+    val r = spark.sql("""
+      SELECT poly_hash64('abc') AS ph,
+             simhash64('a b c') AS sh,
+             token_hashes('a b') AS th""").head()
+    assert(r.getLong(0) === HashFuncs.polyHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(r.getLong(1) === HashFuncs.simHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getSeq[Long](2).length === 2)
   }
 }
