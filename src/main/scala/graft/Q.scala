@@ -38,6 +38,12 @@ object Q {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
+    // Coalesce post-shuffle partitions to the advisory size instead of
+    // maximizing parallelism: at 100 TB both settings land on ~64 MB
+    // partitions; on small inputs parallelismFirst=true (the default)
+    // schedules one micro-task per core per stage — pure overhead. The
+    // Spark tuning guide itself recommends false for busy clusters.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     // Wrap-around 64-bit arithmetic (MinHash affine rehash, fingerprints)
     // needs Java semantics, not ANSI overflow errors:
     "spark.sql.ansi.enabled" -> "false",

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join — for each left row, attach the most recent
+  * right row at or before the left row's time, matched on equi keys.
+  *
+  * The reference has no as-of surface (its interval ops are pyranges
+  * overlaps, SURVEY.md §2.4); this is a training-data-pipeline operator:
+  * "state as of event time" lookups (latest model checkpoint before a
+  * sample, last purchase before a click, most recent label before a
+  * snapshot).
+  *
+  * Scale design: the naive formulation is a non-equi join
+  * (`l.key = r.key AND r.ts < l.ts` + argmax) that Catalyst can only plan
+  * as a shuffled join with per-row scans of the right group — quadratic in
+  * hot keys. This implementation instead union-tags both sides, shuffles
+  * ONCE on the equi keys, sorts each key group by `(ts, side)` and
+  * carries the right row's payload forward with
+  * `last(_, ignoreNulls).over(unboundedPreceding → currentRow)` — a single
+  * linear window pass, no join at all. At 100 TB this is one shuffle of
+  * left+right and a sort, the same cost as the sort-merge join Catalyst
+  * would need anyway, with no quadratic residual.
+  *
+  * Strictness: `strict = true` matches `r.ts < l.ts` (right rows at the
+  * exact left timestamp are NOT visible); `false` matches `r.ts <= l.ts`.
+  * Implemented purely by the side ordering at equal timestamps.
+  *
+  * Determinism: if several right rows share the same `(keys, ts)`, which
+  * one is "last" is tie-broken by `rightTieBreak` (pass e.g. a unique id);
+  * with no tie-break the caller must pre-aggregate the right side to one
+  * row per `(keys, ts)` — the oracle-checked q43 does exactly that.
+  *
+  * Semantics are LEFT OUTER: left rows with no prior right row keep null
+  * payload columns (filter them for inner as-of).
+  */
+object AsOfJoin {
+
+  /** @param keys       equi-join key columns (present on both sides)
+    * @param leftTs     left event-time column name
+    * @param rightTs    right event-time column name
+    * @param rightCols  right payload columns to carry; each appears in the
+    *                   output as `prefix + name`, plus `prefix + rightTs`
+    *                   (the matched row's time)
+    * @param rightTieBreak extra right-side ordering columns for equal
+    *                   timestamps (ascending; the LAST row wins)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      strict: Boolean = true, prefix: String = "asof_",
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    val ts = "__asof_ts"
+    val side = "__asof_side"
+    val tie = "__asof_tie"
+    // Right rows must sort before left rows at equal ts for inclusive
+    // semantics, after them for strict.
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+
+    val carried = (rightTs +: rightCols).map(c => prefix + c)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as(ts), lit(rightSide).as(side),
+          col(rightTs).as(prefix + rightTs)) ++
+        rightCols.map(c => col(c).as(prefix + c)) ++
+        Seq((if (rightTieBreak.isEmpty) lit(0)
+             else struct(rightTieBreak.map(col): _*)).as(tie)): _*)
+    val l = left.withColumn(ts, col(leftTs))
+      .withColumn(side, lit(leftSide))
+      .withColumn(tie, lit(null).cast(r.schema(tie).dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(side) === leftSide)
+      .drop(ts, side, tie)
+  }
+}

@@ -139,4 +139,53 @@ object Similarity {
       .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
     topKPerQuery(scored, k, idCol, queryIdCol)
   }
+
+  /** Embedding-cosine near-duplicate pairs — the vector member of the
+    * dedup family (exact hash / Jaccard / MinHash-LSH / SimHash live in
+    * [[Dedup]]). Classic two-stage near-dup shape:
+    *
+    *   1. CANDIDATES: band each row's 64-bit SRP sketch into `bands`
+    *      buckets of `bandBits` bits; rows sharing any (band, value)
+    *      bucket are candidates. Expansion goes through an inverted
+    *      index (groupBy bucket → postings → ordered pairs, same shape
+    *      as [[Dedup.jaccardPairs]]) — NEVER a self-join, so the only
+    *      shuffles are narrow (id, bucket) rows and the candidate set
+    *      itself. P(band match) falls exponentially with the angle, the
+    *      standard LSH amplification.
+    *   2. VERIFY: join the ~|candidates| pairs back to the vectors and
+    *      keep exact cosine ≥ `minCos`.
+    *
+    * At 100 TB the candidate set (not the n² pair space) bounds the
+    * work; `dfCap` drops degenerate buckets (e.g. the all-zeros sketch
+    * of null-ish vectors) the way hot shingles are capped in text dedup.
+    */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      bands: Int = 8, bandBits: Int = 8, minCos: Double = 0.3,
+      dfCap: Option[Int] = None): DataFrame = {
+    require(bands * bandBits <= 64, "bands*bandBits must fit in 64 bits")
+    val mask = (1L << bandBits) - 1
+    val bandVals = array((0 until bands).map(j =>
+      shiftrightunsigned(col("sketch"), bandBits * j).bitwiseAND(
+        lit(mask))): _*)
+    val buckets = srpSketches(corpus, idCol, vecCol, dim)
+      .select(col(idCol).as("id"), posexplode(bandVals).as(Seq("bj", "bv")))
+    val inv = buckets.groupBy("bj", "bv")
+      .agg(collect_list(struct(col("id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = dfCap.map(c => inv.filter(size(col("ds")) <= c))
+      .getOrElse(inv)
+    val cands = Dedup.expandPairs(capped)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    cands
+      .join(vecs.withColumnsRenamed(Map(idCol -> "id_a", "v" -> "v_a")),
+        Seq("id_a"))
+      .join(vecs.withColumnsRenamed(Map(idCol -> "id_b", "v" -> "v_b")),
+        Seq("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

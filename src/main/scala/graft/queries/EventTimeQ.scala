@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Q
+import graft.Q.t
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table: the distributed as-of
+  * join (state-as-of-event-time lookups) and value-range window frames
+  * (sliding event-time aggregates) — the batch shapes of the streaming
+  * surface in graft.streaming.
+  *
+  * Timestamps are exported as epoch microseconds (BIGINT both sides) per
+  * the Q conventions — never raw timestamp values.
+  */
+object EventTimeQ {
+
+  /** As-of join: each click is joined to the SAME user's most recent
+    * strictly-earlier purchase. Purchases are pre-aggregated to one row
+    * per (user_id, ts) so the as-of match is deterministic; the Spark
+    * side is [[AsOfJoin.asOf]] (single shuffle union + carry-forward
+    * window — no range join), the oracle is DuckDB's native ASOF JOIN. */
+  val q43 = Q(
+    "q43_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("pval"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("pval"))
+        .filter($"asof_ts".isNotNull)
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("click_us"),
+          unix_micros($"asof_ts").as("purchase_us"),
+          $"asof_pval".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+      ), c AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.event_id, c.user_id,
+             epoch_us(c.ts) AS click_us,
+             epoch_us(p.ts) AS purchase_us,
+             p.pval AS purchase_value
+      FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts > p.ts
+      ORDER BY event_id"""))
+
+  /** Sliding event-time aggregate: per user, count and sum of the last
+    * hour's events at every event — a RANGE frame on epoch micros (the
+    * batch analog of a sliding watermarked window). One shuffle on
+    * user_id; the frame is value-based so ties are handled identically
+    * by both engines. */
+  val q46 = Q(
+    "q46_range_frame",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .select($"event_id", $"user_id", $"us",
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum($"value").over(w), 6).as("sum_1h"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 6) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q43, q46)
+}

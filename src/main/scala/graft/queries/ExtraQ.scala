@@ -61,5 +61,32 @@ object ExtraQ {
       GROUP BY decile
       ORDER BY decile"""))
 
-  val all: Seq[Q] = Seq(q39, q40)
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    * subtotals and a grand total in one pass (Catalyst expands the
+    * grouping sets map-side; still a single shuffle). NULL grouping
+    * cells are coalesced to 'ALL' on both sides (the driver-generated
+    * columns are non-null, so the sentinel is unambiguous). */
+  val q45 = Q(
+    "q45_rollup",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"n", $"sum_qty")
+        .orderBy($"rf", $"ls")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q45)
 }

@@ -163,5 +163,65 @@ object SimilarityQ {
       ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41)
+  /** Embedding-cosine near-duplicate pairs (the vector member of the
+    * dedup family, q31-q34): SRP sketches banded 8×8 bits → inverted-
+    * index candidate pairs → exact-cosine verify. The oracle replays the
+    * whole pipeline: sketch bits, band values via unsigned shifts,
+    * self-joined candidates, list_cosine_similarity. The operator's raw
+    * recall floor (0.29) sits BELOW the rounded output threshold (0.30)
+    * so no float boundary can flip candidate membership. */
+  val q44 = Q(
+    "q44_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      Similarity.srpNearDupPairs(t(s, d, "embeddings"),
+          bands = 8, bandBits = 8, minCos = 0.29)
+        .withColumn("cos_sim", round($"cos", 6))
+        .filter($"cos_sim" >= 0.3)
+        .select($"id_a", $"id_b", $"cos_sim")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val mixBit = DuckOracle.mix(
+        "CAST(p * 64 + d - 1 AS UHUGEINT)") + " % 2 = 1"
+      s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), sg AS (
+        SELECT p,
+               list(CASE WHEN $mixBit THEN 1.0 ELSE -1.0 END
+                    ORDER BY d) AS sl
+        FROM (SELECT unnest(generate_series(0, 63)) AS p)
+             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+        GROUP BY p
+      ), bits AS (
+        SELECT emb.vec_id, sg.p,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                      d -> sl[d] * e[d])) >= 0
+                    THEN (${DuckOracle.pow2H})[sg.p + 1]
+                    ELSE 0::HUGEINT END AS b
+        FROM emb CROSS JOIN sg
+      ), sku AS (
+        SELECT vec_id, CAST(sum(b) AS UHUGEINT) AS s
+        FROM bits GROUP BY vec_id
+      ), bk AS (
+        SELECT vec_id, bj,
+               CAST((s >> CAST(8 * bj AS UHUGEINT)) & 255::UHUGEINT
+                    AS BIGINT) AS bv
+        FROM sku CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bj)
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.bj = b.bj AND a.bv = b.bv AND a.vec_id < b.vec_id
+      )
+      SELECT c.id_a, c.id_b,
+             round(list_cosine_similarity(ea.e, eb.e), 6) AS cos_sim
+      FROM cand c
+      JOIN emb ea ON ea.vec_id = c.id_a
+      JOIN emb eb ON eb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= 0.3
+      ORDER BY id_a, id_b"""
+    })
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44)
 }

@@ -93,6 +93,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join is union + window — no join operator at all (q43)") {
+    val p = plan(graft.queries.EventTimeQ.q43)
+    assert(!p.contains("Join"),
+      s"as-of must be the single-shuffle union/carry-forward plan\n" +
+        p.take(1200))
+    assert(p.contains("Window") && p.contains("Union"), p.take(1200))
+  }
+
+  test("embedding near-dup verify joins are equi hash joins (q44)") {
+    val p = plan(graft.queries.SimilarityQ.q44)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("HashJoin"), p.take(1500))
+  }
+
+  test("rollup is a single-shuffle expanded aggregate (q45)") {
+    val p = plan(graft.queries.ExtraQ.q45)
+    assert(p.contains("Expand") && p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("partial"), "rollup must keep map-side combine")
+  }
+
   test("whole-stage codegen covers the scan→filter→project hot path") {
     // AQE finalizes the physical plan only after THIS df executes
     // (count() would spawn a separate query)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** AsOfJoin.asOf vs a brute-force non-equi reference (join all earlier
+  * right rows, keep the argmax) — strict and inclusive semantics, equal
+  * timestamps, left rows with no match, multiple keys interleaved, and
+  * the tie-break between right rows at the same timestamp. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (key, lts, lid) — right: (key, rts, payload)
+  private lazy val left = Seq(
+    ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+    ("b", 10L, 4L), ("b", 15L, 5L),
+    ("c", 5L, 6L) // no right rows for key c at all
+  ).toDF("k", "lts", "lid")
+
+  private lazy val right = Seq(
+    ("a", 10L, 100.0), ("a", 25L, 200.0),
+    ("b", 12L, 300.0)
+  ).toDF("k", "rts", "payload")
+
+  /** Brute-force reference: for each left row, all right rows passing the
+    * time predicate, argmax by rts. */
+  private def reference(strict: Boolean) = {
+    val pred = if (strict) $"rts" < $"lts" else $"rts" <= $"lts"
+    left.join(right, left("k") === right("k") && pred, "left")
+      .groupBy(left("k").as("k"), $"lts", $"lid")
+      .agg(max(struct($"rts", $"payload")).as("m"))
+      .select($"k", $"lts", $"lid",
+        $"m.rts".as("asof_rts"), $"m.payload".as("asof_payload"))
+  }
+
+  test("strict as-of equals brute-force argmax (rts < lts)") {
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+        Seq("payload"), strict = true)
+      .select($"k", $"lts", $"lid", $"asof_rts", $"asof_payload")
+    val want = reference(strict = true)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the equal-timestamp right row (a,10) must NOT match left (a,10)
+    val row = got.filter($"lid" === 1L).collect().head
+    assert(row.isNullAt(row.fieldIndex("asof_rts")))
+  }
+
+  test("inclusive as-of equals brute-force argmax (rts <= lts)") {
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+        Seq("payload"), strict = false)
+      .select($"k", $"lts", $"lid", $"asof_rts", $"asof_payload")
+    val want = reference(strict = false)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val row = got.filter($"lid" === 1L).collect().head
+    assert(row.getLong(row.fieldIndex("asof_rts")) === 10L)
+  }
+
+  test("left rows keep all their columns and count") {
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+      Seq("payload"))
+    assert(got.count() === left.count())
+    assert(Seq("k", "lts", "lid", "asof_rts", "asof_payload")
+      .forall(got.columns.contains))
+  }
+
+  test("rightTieBreak picks the highest tie-break row at equal ts") {
+    val dupRight = Seq(
+      ("a", 10L, 1L, 111.0), ("a", 10L, 2L, 222.0)
+    ).toDF("k", "rts", "rid", "payload")
+    val got = AsOfJoin.asOf(
+        left.filter($"lid" === 2L), dupRight, Seq("k"), "lts", "rts",
+        Seq("payload"), rightTieBreak = Seq("rid"))
+      .collect().head
+    assert(got.getDouble(got.fieldIndex("asof_payload")) === 222.0)
+  }
+}

@@ -68,6 +68,29 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.map(_.getLong(1)).distinct.length > 10)
   }
 
+  test("srpNearDupPairs equals brute-force pairs gated by shared bands") {
+    val got = Similarity.srpNearDupPairs(emb, bands = 8, bandBits = 8,
+        minCos = 0.2)
+      .select($"id_a", $"id_b", round($"cos", 9).as("c"))
+    // brute-force reference: all a<b pairs with cosine >= minCos AND at
+    // least one equal 8-bit band between the two sketches
+    val sk = Similarity.srpSketches(emb)
+    val v = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .join(sk, "vec_id")
+    val a = v.toDF("id_a", "v_a", "sk_a")
+    val b = v.toDF("id_b", "v_b", "sk_b")
+    val sharesBand = (0 until 8).map(j =>
+        shiftrightunsigned($"sk_a", 8 * j).bitwiseAND(lit(255L)) ===
+          shiftrightunsigned($"sk_b", 8 * j).bitwiseAND(lit(255L)))
+      .reduce(_ || _)
+    val want = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"v_a", $"v_b"))
+      .filter($"cos" >= 0.2 && sharesBand)
+      .select($"id_a", $"id_b", round($"cos", 9).as("c"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
