@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
-  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast,
+  Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -173,6 +173,33 @@ object HashFuncs {
       p += 1
     }
     out
+  }
+
+  /** Sequential ascending-dimension dot product — the SAME accumulation
+    * order as the `aggregate(zip_with(...))` fold it replaces (and as the
+    * oracle's list_sum), so swapping the HOF for the kernel is
+    * bit-identical; it just runs as one tight loop inside whole-stage
+    * codegen instead of per-element interpreted lambda dispatch. */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity, computed exactly as the declarative form did:
+    * dot / (sqrt(Σa²) · sqrt(Σb²)), every sum a sequential fold. */
+  def vecCosine(a: ArrayData, b: ArrayData): Double = {
+    var sa = 0.0
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { val x = a.getDouble(i); sa += x * x; i += 1 }
+    var sb = 0.0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) { val x = b.getDouble(j); sb += x * x; j += 1 }
+    vecDot(a, b) / (math.sqrt(sa) * math.sqrt(sb))
   }
 
   /** MinHash signature: for each of the numHashes affine family members
@@ -362,6 +389,36 @@ object Expressions {
       copy(child = c)
   }
 
+  /** vec_dot(array<double>, array<double>) — sequential dot product as a
+    * single codegen loop (bit-identical to the aggregate/zip_with fold it
+    * replaces; see HashFuncs.vecDot). */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.vecDot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecDot = copy(left = l, right = r)
+  }
+
+  /** vec_cosine(array<double>, array<double>) — fused cosine similarity,
+    * dot / (‖a‖·‖b‖) with sequential folds (HashFuncs.vecCosine). */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.vecCosine(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.vecCosine($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecCosine = copy(left = l, right = r)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -382,6 +439,17 @@ object Expressions {
   def srpSketch64(c: Column, dim: Int): Column =
     column(SrpSketch64(expression(c), dim))
 
+  /** Cast a SQL argument to array<double> (the vector kernels are
+    * double-only). */
+  def toAD(e: Expression): Expression =
+    if (e.dataType == ArrayType(DoubleType)) e
+    else Cast(e, ArrayType(DoubleType))
+
+  def vecDot(a: Column, b: Column): Column =
+    column(VecDot(toAD(expression(a)), toAD(expression(b))))
+  def vecCosine(a: Column, b: Column): Column =
+    column(VecCosine(toAD(expression(a)), toAD(expression(b))))
+
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -398,6 +466,10 @@ object Expressions {
       es => TokenHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(toAD(es(0)), toAD(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => VecCosine(toAD(es(0)), toAD(es(1))), "built-in")
   }
 }
 
@@ -453,6 +525,16 @@ class GraftExtensions
     e.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (es: Seq[Expression]) => TopKAgg(es(0), es(1), litInt(es(2)))))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[Expressions.VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) =>
+        Expressions.VecDot(Expressions.toAD(es(0)), Expressions.toAD(es(1)))))
+    e.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[Expressions.VecCosine].getName,
+        "vec_cosine"),
+      (es: Seq[Expression]) =>
+        Expressions.VecCosine(Expressions.toAD(es(0)),
+          Expressions.toAD(es(1)))))
   }
 
   /** Integer literal argument of a SQL call (k, numHashes, dim …). */

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and an IVF-style
   * cluster-pruned variant as the scale path.
   *
-  * All vector math is higher-order `functions._` (zip_with/aggregate) —
-  * codegen'd, no UDFs. Accumulation is a sequential left fold, matching
-  * the order a scalar loop would use (deterministic per row).
+  * All vector math runs as codegen kernel expressions
+  * ([[graft.functions.Expressions.VecDot]]/VecCosine) — no UDFs, no
+  * per-element interpreted lambdas. Accumulation is a sequential left
+  * fold, matching the order a scalar loop would use (deterministic per
+  * row and bit-identical to the declarative HOF formulation).
   *
   * Scale: brute force is a broadcast of the (small) query set against the
   * corpus — linear scan, no shuffle, TakeOrdered for the top-k. IVF prunes
@@ -19,18 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two double-array columns. */
+  /** Sequential dot product of two double-array columns — a codegen
+    * kernel ([[graft.functions.Expressions.VecDot]]): Spark's
+    * aggregate/zip_with HOFs interpret their lambda per ELEMENT, which
+    * puts a virtual dispatch inside the innermost dim-loop of every
+    * similarity scan; the kernel is one tight loop with the identical
+    * sequential accumulation order (bit-equal results; spec-asserted). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.Expressions.vecDot(a, b)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** L2 norm (kernel-backed: ‖a‖ = sqrt(a·a)). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity between two double-array columns, computed as
-    * dot / (norm(a) * norm(b)). */
+    * dot / (norm(a) * norm(b)) with sequential folds — one fused kernel
+    * call per pair. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.Expressions.vecCosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

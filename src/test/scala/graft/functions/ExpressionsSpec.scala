@@ -50,4 +50,37 @@ class ExpressionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
     assert(r.getSeq[Long](2).length === 2)
   }
+
+  test("vec_dot / vec_cosine kernels are bit-equal to the HOF folds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pseudo-random but deterministic vectors, incl. a null row
+    val df = spark.range(200).toDF("i")
+      .withColumn("a", when($"i" === 199, lit(null)).otherwise(
+        expr("transform(sequence(1, 64), d -> sin(i * 64 + d))")))
+      .withColumn("b",
+        expr("transform(sequence(1, 64), d -> cos(i * 37 + d))"))
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val r = df.select(
+      Expressions.vecDot($"a", $"b").as("kd"),
+      hofDot.as("hd"),
+      Expressions.vecCosine($"a", $"b").as("kc"),
+      (hofDot / (hofNorm($"a") * hofNorm($"b"))).as("hc")).collect()
+    assert(r.length === 200)
+    r.foreach { row =>
+      if (row.isNullAt(0)) assert(row.isNullAt(1) && row.isNullAt(2))
+      else {
+        assert(row.getDouble(0) === row.getDouble(1)) // bit-equal
+        assert(row.getDouble(2) === row.getDouble(3))
+      }
+    }
+    // SQL surface
+    Expressions.register(spark)
+    val s = spark.sql(
+      "SELECT vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head()
+    assert(s.getDouble(0) === 1.0)
+  }
 }
