@@ -329,11 +329,8 @@ object Dm {
       .withColumn("next_chrom", lead(col("chromosome"), 1).over(wg))
       .withColumn("next_vec", lead(col("vec"), 1).over(wg))
       .withColumn("last_in_chrom", col("next_chrom").isNull)
-      .withColumn("dist", when(col("next_vec").isNotNull, expr(
-        """aggregate(zip_with(vec, next_vec,
-             (a, b) -> CASE WHEN a IS NULL OR b IS NULL THEN 0.0D
-                       ELSE (a - b) * (a - b) END),
-           0.0D, (acc, v) -> acc + v)""")))
+      .withColumn("dist", when(col("next_vec").isNotNull,
+        graft.functions.Expressions.vecSqDist(col("vec"), col("next_vec"))))
 
     val cutoff = distCutoff.getOrElse {
       sorted.filter(col("dist").isNotNull && !col("last_in_chrom"))

@@ -202,6 +202,35 @@ object HashFuncs {
     vecDot(a, b) / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** Fraction of positions where two long arrays agree (MinHash
+    * signature agreement → estimated Jaccard): integer count divided by
+    * the left length — exact in double, same value as the
+    * size(filter(zip_with(...)))/size(...) HOF chain it replaces. */
+  def longEqFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c.toDouble / a.numElements()
+  }
+
+  /** Squared Euclidean distance with null elements contributing 0.0
+    * (the DMR consecutive-probe distance semantics, dm.py:572-575):
+    * sequential ascending fold, bit-equal to the HOF CASE chain. */
+  def vecSqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
   /** MinHash signature: for each of the numHashes affine family members
     * (graft.operators.Dedup.mixConstants), the min of a_i·h + b_i over
     * the document's shingle hashes. Duplicate shingles cannot change a
@@ -419,6 +448,36 @@ object Expressions {
         r: Expression): VecCosine = copy(left = l, right = r)
   }
 
+  /** long_eq_frac(array<long>, array<long>) — MinHash signature
+    * agreement fraction as one codegen loop. */
+  case class LongEqFrac(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.longEqFrac(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.longEqFrac($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): LongEqFrac = copy(left = l, right = r)
+  }
+
+  /** vec_sqdist(array<double>, array<double>) — squared Euclidean
+    * distance, null elements contribute zero (DMR probe distance). */
+  case class VecSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.vecSqDist(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.vecSqDist($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecSqDist = copy(left = l, right = r)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -449,6 +508,10 @@ object Expressions {
     column(VecDot(toAD(expression(a)), toAD(expression(b))))
   def vecCosine(a: Column, b: Column): Column =
     column(VecCosine(toAD(expression(a)), toAD(expression(b))))
+  def longEqFrac(a: Column, b: Column): Column =
+    column(LongEqFrac(expression(a), expression(b)))
+  def vecSqDist(a: Column, b: Column): Column =
+    column(VecSqDist(toAD(expression(a)), toAD(expression(b))))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
@@ -470,6 +533,10 @@ object Expressions {
       es => VecDot(toAD(es(0)), toAD(es(1))), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       es => VecCosine(toAD(es(0)), toAD(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("long_eq_frac",
+      es => LongEqFrac(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_sqdist",
+      es => VecSqDist(toAD(es(0)), toAD(es(1))), "built-in")
   }
 }
 
@@ -534,6 +601,16 @@ class GraftExtensions
         "vec_cosine"),
       (es: Seq[Expression]) =>
         Expressions.VecCosine(Expressions.toAD(es(0)),
+          Expressions.toAD(es(1)))))
+    e.injectFunction((FunctionIdentifier("long_eq_frac"),
+      new ExpressionInfo(classOf[Expressions.LongEqFrac].getName,
+        "long_eq_frac"),
+      (es: Seq[Expression]) => Expressions.LongEqFrac(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[Expressions.VecSqDist].getName,
+        "vec_sqdist"),
+      (es: Seq[Expression]) =>
+        Expressions.VecSqDist(Expressions.toAD(es(0)),
           Expressions.toAD(es(1)))))
   }
 

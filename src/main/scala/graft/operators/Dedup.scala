@@ -136,9 +136,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
         col("b.id").as("id_b"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard", expr(
-        """size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
-           / CAST(size(sig_a) AS DOUBLE)"""))
+      .withColumn("est_jaccard",
+        graft.functions.Expressions.longEqFrac(col("sig_a"), col("sig_b")))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

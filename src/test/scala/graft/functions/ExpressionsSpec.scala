@@ -83,4 +83,30 @@ class ExpressionsSpec extends SparkSpec {
       "SELECT vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head()
     assert(s.getDouble(0) === 1.0)
   }
+
+  test("long_eq_frac / vec_sqdist kernels match their HOF references") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(100).toDF("i")
+      .withColumn("la", expr("transform(sequence(1, 32), d -> (i * d) % 7)"))
+      .withColumn("lb", expr("transform(sequence(1, 32), d -> (i + d) % 7)"))
+      // double vectors with embedded nulls (the DMR beta-vector shape)
+      .withColumn("va", expr(
+        "transform(sequence(1, 8), d -> IF(d = 3, NULL, sin(i + d)))"))
+      .withColumn("vb", expr(
+        "transform(sequence(1, 8), d -> IF(d = 5, NULL, cos(i + d)))"))
+    val r = df.select(
+      Expressions.longEqFrac($"la", $"lb").as("kf"),
+      expr("""size(filter(zip_with(la, lb, (x, y) -> x = y), v -> v))
+              / CAST(size(la) AS DOUBLE)""").as("hf"),
+      Expressions.vecSqDist($"va", $"vb").as("kd"),
+      expr("""aggregate(zip_with(va, vb,
+                (a, b) -> CASE WHEN a IS NULL OR b IS NULL THEN 0.0D
+                          ELSE (a - b) * (a - b) END),
+              0.0D, (acc, v) -> acc + v)""").as("hd")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) === row.getDouble(1))
+      assert(row.getDouble(2) === row.getDouble(3))
+    }
+  }
 }
