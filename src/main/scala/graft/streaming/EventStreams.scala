@@ -75,6 +75,57 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class AsOfState(us: Long, value: Double)
+
+  final case class AsOfOut(event_id: Long, user_id: Long, query_us: Long,
+      state_us: java.lang.Long, state_value: java.lang.Double)
+
+  /** Streaming as-of enrichment — the continuous form of
+    * [[graft.operators.AsOfJoin]]: each `queryType` event is emitted with
+    * the latest strictly-earlier `stateType` event of the same user. Per
+    * key the state is ONE (ts, value) pair kept in GroupState, so state
+    * size is O(distinct keys), not O(events) — the property that makes
+    * this run indefinitely. Strictness matches AsOfJoin.asOf: a state
+    * event at the exact query timestamp is not visible (within a batch,
+    * events sort by (ts, side) with queries first; a state row carried
+    * from an EARLIER batch at the same ts was seen before the query and
+    * is visible — event-time ties across triggers are the usual
+    * at-least-once caveat of low-watermark streams). */
+  def asOfEnrich(spark: SparkSession, events: DataFrame,
+      queryType: String = "click",
+      stateType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Event]
+      .filter(e => e.event_type == queryType || e.event_type == stateType)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[AsOfState]) =>
+          // µs-precision event time (getTime alone truncates to ms)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          // strict order: at equal ts the query precedes the state event
+          val evs = it.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == queryType) 0 else 1,
+              e.event_id))
+          var cur: Option[AsOfState] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AsOfOut]()
+          for (e <- evs) {
+            val us = micros(e.ts)
+            if (e.event_type == queryType) {
+              out += AsOfOut(e.event_id, user, us,
+                cur.map(s => java.lang.Long.valueOf(s.us)).orNull,
+                cur.map(s => java.lang.Double.valueOf(s.value)).orNull)
+            } else {
+              if (cur.forall(_.us <= us)) cur = Some(AsOfState(us, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Read the events table as a file stream (one-file-per-trigger batch
     * drives it synchronously in tests). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

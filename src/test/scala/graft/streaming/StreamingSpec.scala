@@ -55,4 +55,56 @@ class StreamingSpec extends SparkSpec {
       .filter(got("n_sessions") =!= batchSessions("n_sessions")).count()
     assert(diff == 0)
   }
+
+  test("streaming as-of enrichment equals the batch AsOfJoin") {
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val got = EventStreams.asOfEnrich(spark, events)
+      .select($"event_id", $"user_id", $"query_us", $"state_us",
+        $"state_value")
+    // batch reference: same query via the as-of operator (q43 shape,
+    // minus the per-(user, ts) pre-aggregation — the streaming state
+    // keeps the LAST purchase at equal ts, so tie-break on event order)
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("p_id"),
+        $"value".as("pval"))
+    val want = graft.operators.AsOfJoin.asOf(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("pval"),
+        rightTieBreak = Seq("p_id"))
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("query_us"),
+        unix_micros($"asof_ts").as("state_us"),
+        $"asof_pval".as("state_value"))
+    assert(got.count() === clicks.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("as-of enrichment state carries across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventStreams.asOfEnrich(spark, stream)
+    val dir = java.nio.file.Files.createTempDirectory("asof").toString
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 1: a purchase, then a click strictly after it
+    mem.addData((1L, 1000L, 7L, "purchase", 5.0),
+      (2L, 2000L, 7L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: a later click must still see batch 1's purchase state
+    mem.addData((3L, 3000L, 7L, "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("asof_out").orderBy("event_id").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("state_us")) === 1000L))
+    assert(rows.forall(r =>
+      r.getDouble(r.fieldIndex("state_value")) === 5.0))
+  }
 }
