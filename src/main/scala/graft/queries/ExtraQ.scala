@@ -88,5 +88,72 @@ object ExtraQ {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q45)
+  /** R2 — unpivot/melt to long form (the reference's pd.melt,
+    * visualizations.py:2117): three measure columns become (metric, v)
+    * rows via the native unpivot operator (an Expand node — no shuffle
+    * at all until the final presentation sort). */
+  val q47 = Q(
+    "q47_unpivot",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" % 100 === 0)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "metric", "v")
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"metric", round($"v", 2).as("v"))
+        .orderBy($"l_orderkey", $"line_no", $"metric")
+    },
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+             metric, round(v, 2) AS v
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, line_no, metric"""))
+
+  /** A18 — the distributed sort-merge ECDF lookup (operators.Ecdf, the
+    * pOOBAH scale path) against a correlated-count oracle: F(v) =
+    * #(background ≤ v)/n per group, right-continuous. count/n is an
+    * integer ratio in double — bit-identical across engines, so no
+    * rounding is needed. */
+  val q48 = Q(
+    "q48_ecdf_lookup",
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val queries = li.filter($"l_orderkey" % 500 === 0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"l_returnflag", $"l_extendedprice")
+      graft.operators.Ecdf.ecdfLookup(queries,
+          li.select($"l_returnflag", $"l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice", "ecdf")
+        .select($"l_orderkey", $"line_no", $"l_returnflag", $"ecdf")
+        .orderBy($"l_orderkey", $"line_no")
+    },
+    Some("""
+      WITH q AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+               l_returnflag, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 500 = 0
+      ), n AS (
+        SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+      )
+      SELECT q.l_orderkey, q.line_no, q.l_returnflag,
+             CAST((SELECT count(*) FROM lineitem b
+                   WHERE b.l_returnflag = q.l_returnflag
+                     AND b.l_extendedprice <= q.l_extendedprice) AS DOUBLE)
+               / n.n AS ecdf
+      FROM q JOIN n ON n.l_returnflag = q.l_returnflag
+      ORDER BY l_orderkey, line_no"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48)
 }
