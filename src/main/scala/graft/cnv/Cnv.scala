@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * L6 — binning: 50 kb genome tiles − assembly gaps, then adjacent bins
   * merged until each holds ≥ minOverlap probes (cnv.py:138-211). The
-  * merge loop is a driver-side loop of DataFrame transformations; each
-  * pass is a window over (chromosome) — typically ≤ minOverlap passes.
+  * merge ramp runs per chromosome inside a cogroup (one shuffle; the
+  * ramp itself is in-memory per chromosome — bounded groups, like L8).
   *
   * L8 — CBS segmentation per chromosome inside mapGroups (chromosomes
   * parallelize naturally), seeded permutation test
@@ -101,46 +101,109 @@ object Cnv {
   }
 
   /** L6 step 2 — merge adjacent bins until every bin overlaps ≥
-    * minOverlap probes (cnv.py:247-326). Each pass merges each
-    * under-filled bin into its following neighbor (window over
-    * chromosome); loops until stable or maxIter. */
+    * minOverlap probes, following the reference's precision-controlled
+    * RAMP (cnv.py:247-326). Executed per chromosome inside a cogroup —
+    * the same scale shape as CBS segmentation below: chromosome groups
+    * are bounded (≤ ~1M probes / ~60k bins → a few MB), the cogroup is
+    * ONE shuffle, and the ≤ minOverlap/precision ramp steps cost
+    * microseconds in memory where a driver-side loop of DataFrame
+    * passes pays a full distributed job per threshold (measured 30+ s
+    * at EPICv2 scale vs < 5 s for this shape). */
   def mergeBinsToMinimumOverlap(spark: SparkSession, bins0: DataFrame,
       probes: DataFrame, minOverlap: Int = 20,
-      maxIter: Int = 50): DataFrame = {
-    var bins = bins0.select("chrom", "start", "end")
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val counts = Intervals.overlapJoin(
-        bins.withColumn("bin_key", concat_ws(":", col("chrom"), col("start"))),
-        probes, 50000L, Seq("bin_key"), Seq("probe_id"))
-        .groupBy("chrom", "bin_key")
-        .agg(count(lit(1)).as("n"))
-      val withN = bins
-        .withColumn("bin_key", concat_ws(":", col("chrom"), col("start")))
-        .join(counts.select("bin_key", "n"), Seq("bin_key"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-      val under = withN.filter(col("n") < minOverlap).limit(1).count()
-      if (under == 0) { done = true }
-      else {
-        // merge each under-filled bin with its successor: mark group
-        // boundaries where the PREVIOUS bin was full
-        val w = Window.partitionBy("chrom").orderBy("start")
-        val wRun = w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)
-        bins = withN
-          .withColumn("prev_full",
-            coalesce(lag(col("n") >= minOverlap, 1).over(w), lit(true)))
-          .withColumn("grp",
-            sum(when(col("prev_full"), 1L).otherwise(0L)).over(wRun))
-          .groupBy("chrom", "grp")
-          .agg(min("start").as("start"), max("end").as("end"))
-          .drop("grp")
-          .localCheckpoint() // keep the loop's lineage flat
+      precision: Int = 1, slack: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val binsDs = bins0.select(col("chrom"),
+      col("start").cast("long"), col("end").cast("long"))
+      .as[(String, Long, Long)].groupByKey(_._1)
+    val probesDs = probes.select(col("chrom"),
+      col("start").cast("long"), col("end").cast("long"))
+      .as[(String, Long, Long)].groupByKey(_._1)
+    binsDs.cogroup(probesDs) { (chrom, bIt, pIt) =>
+      val bins = bIt.map(b => (b._2, b._3)).toArray.sortBy(_._1)
+      val pr = pIt.map(p => (p._2, p._3)).toArray
+      mergeRamp(bins, pr.map(_._1).sorted, pr.map(_._2).sorted,
+        minOverlap, precision, slack)
+        .iterator.map { case (s, e) => (chrom, s, e) }
+    }.toDF("chrom", "start", "end")
+  }
+
+  /** The reference's merge ramp (cnv.py:299-322) on ONE chromosome's
+    * sorted bins: the under-fill threshold climbs from the observed
+    * minimum count to `minOverlap` in `precision` steps; at each step an
+    * under-filled bin merges with its adjacent left neighbor (falling
+    * back to right), marked runs collapsing like pyranges
+    * merge_overlaps; merged bins are recounted; bins still under the
+    * target at the end are dropped (cnv.py:325). The ramp is
+    * load-bearing: jumping straight to `minOverlap` on uniformly
+    * under-filled tiles marks every bin and collapses the chromosome to
+    * a single bin (caught at EPICv2 scale by DomainBench). */
+  private[cnv] def mergeRamp(bins0: Array[(Long, Long)],
+      pStarts: Array[Long], pEnds: Array[Long], minOverlap: Int,
+      precision: Int, slack: Long): Array[(Long, Long)] = {
+    def lowerBound(a: Array[Long], x: Long): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (a(mid) < x) lo = mid + 1 else hi = mid
       }
-      iter += 1
+      lo
     }
-    bins
+    // overlap count for [s, e) = #(p_start < e) − #(p_end ≤ s)
+    def countOverlap(s: Long, e: Long): Long =
+      (lowerBound(pStarts, e) - lowerBound(pEnds, s + 1)).toLong
+
+    var starts = bins0.map(_._1)
+    var ends = bins0.map(_._2)
+    var ns: Array[Long] = Array.tabulate(starts.length)(i =>
+      countOverlap(starts(i), ends(i)))
+    if (ns.isEmpty) return Array.empty
+    val step = math.max(1, precision)
+    val mins = ((math.max(1L, ns.min).toInt until minOverlap by step) :+
+      minOverlap).distinct.sorted
+    for (t <- mins) {
+      val len = starts.length
+      val needs = Array.tabulate(len)(i => ns(i) < t)
+      val ml0 = Array.tabulate(len)(i => needs(i) &&
+        i > 0 && starts(i) <= ends(i - 1) + slack)
+      val ml = Array.tabulate(len)(i =>
+        ml0(i) || (i < len - 1 && ml0(i + 1)))
+      val mr0 = Array.tabulate(len)(i => needs(i) && !ml(i) &&
+        i < len - 1 && starts(i + 1) <= ends(i) + slack)
+      val mr = Array.tabulate(len)(i =>
+        mr0(i) || (i > 0 && mr0(i - 1)))
+      val toMerge = Array.tabulate(len)(i => ml(i) || mr(i))
+      if (toMerge.exists(identity)) {
+        val outS = scala.collection.mutable.ArrayBuffer[Long]()
+        val outE = scala.collection.mutable.ArrayBuffer[Long]()
+        val outN = scala.collection.mutable.ArrayBuffer[Long]()
+        var runS = -1L
+        var runE = -1L
+        def flushRun(): Unit = if (runS >= 0) {
+          outS += runS; outE += runE; outN += countOverlap(runS, runE)
+          runS = -1L; runE = -1L
+        }
+        var i = 0
+        while (i < len) {
+          if (toMerge(i)) {
+            if (runS >= 0 && starts(i) <= runE + slack) {
+              runE = math.max(runE, ends(i))
+            } else {
+              flushRun(); runS = starts(i); runE = ends(i)
+            }
+          } else {
+            flushRun()
+            outS += starts(i); outE += ends(i); outN += ns(i)
+          }
+          i += 1
+        }
+        flushRun()
+        starts = outS.toArray; ends = outE.toArray; ns = outN.toArray
+      }
+    }
+    starts.indices.collect {
+      case i if ns(i) >= minOverlap => (starts(i), ends(i))
+    }.toArray
   }
 
   /** L7 — per-bin median of the probe CNV signal (cnv.py:184-187).
@@ -244,9 +307,19 @@ object Cnv {
 
     def strideOf(n: Int): Int = if (n <= MaxScan) 1 else n / MaxScan + 1
 
-    def significant(v: Array[Double], tObs: Double): Boolean = {
+    // The permutation test compares observed and permuted maxima over the
+    // SAME candidate grid, so the statistic stays exact wrt that grid; the
+    // grid is capped at PermScan points because each of the `shuffles`
+    // permutations pays a full O((n/stride)²) arc scan — at 10000 shuffles
+    // an uncapped 2000-bin scan is ~10^10 ops per significant split. The
+    // split LOCATION still comes from the fine scan in recurse().
+    val PermScan = 512
+    def permStrideOf(n: Int): Int = if (n <= PermScan) 1 else n / PermScan + 1
+
+    def significant(v: Array[Double]): Boolean = {
+      val stride = permStrideOf(v.length)
+      val tObs = maxT(v, stride)._1
       if (tObs == 0.0) return false
-      val stride = strideOf(v.length)
       val maxHits = (pThreshold * shuffles).toInt
       var hits = 0
       var i = 0
@@ -271,8 +344,8 @@ object Cnv {
       val v = values.slice(lo, hi)
       if (v.length < 4) { out += ((lo, hi)); return }
       val (t, i, j) = maxT(v, strideOf(v.length))
-      val isProper = j > i && (i > 0 || j < v.length)
-      if (isProper && significant(v, t)) {
+      val isProper = t > 0.0 && j > i && (i > 0 || j < v.length)
+      if (isProper && significant(v)) {
         if (i > 0) recurse(lo, lo + i)
         recurse(lo + i, lo + j)
         if (j < v.length) recurse(lo + j, hi)

@@ -75,6 +75,63 @@ class CnvSpec extends SparkSpec {
     assert(chr1.map(_.getAs[Int]("nb_bins")).sum == 40)
   }
 
+  test("bin merge ramps to the minimum without collapsing uniform runs") {
+    // 40 contiguous 50kb tiles with island-like clustered density
+    // repeating [25, 25, 10] probes per tile (the reference's real
+    // arrays are island/desert, never uniform): the ramp merges each
+    // sparse tile into its dense left neighbor and STOPS — runs break
+    // wherever two consecutive bins are already full. (A perfectly
+    // uniform under-filled chromosome collapses to one bin under the
+    // reference's own marking rules — that is faithful, not a bug;
+    // the pre-DomainBench implementation collapsed even clustered
+    // data because it skipped the ramp.)
+    val tiles = (0 until 40)
+      .map(i => ("1", i * 50000L, (i + 1) * 50000L))
+      .toDF("chrom", "start", "end")
+    val positions = (0 until 40).flatMap { i =>
+      val k = Seq(25, 10, 25)(i % 3)
+      (0 until k).map(p => i * 50000L + p * (49000L / k))
+    }
+    val probes = positions
+      .map(x => ("1", x, x + 2L, s"p$x"))
+      .toDF("chrom", "start", "end", "probe_id")
+    val merged = Cnv.mergeBinsToMinimumOverlap(spark, tiles, probes,
+      minOverlap = 20).orderBy("start").collect()
+    assert(merged.length > 5,
+      s"clustered run collapsed to ${merged.length} bins")
+    // every output bin holds >= 20 probes (the reference's post-filter)
+    val spans = merged.map(r =>
+      (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    spans.foreach { case (s, e) =>
+      val n = positions.count(x => x >= s && x < e)
+      assert(n >= 20, s"bin [$s,$e) has only $n probes")
+    }
+    // disjoint, ordered coverage
+    spans.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+      case _ =>
+    }
+  }
+
+  test("bin merge leaves already-full bins untouched") {
+    val tiles = (0 until 6)
+      .map(i => ("1", i * 50000L, (i + 1) * 50000L))
+      .toDF("chrom", "start", "end")
+    // tiles 0-2 dense (25 probes), tiles 3-5 sparse (10 probes)
+    val probes = (0 until 6).flatMap { i =>
+      val k = if (i < 3) 25 else 10
+      (0 until k).map(p =>
+        ("1", i * 50000L + p * 1900L, i * 50000L + p * 1900L + 2L,
+          s"p${i}_$p"))
+    }.toDF("chrom", "start", "end", "probe_id")
+    val merged = Cnv.mergeBinsToMinimumOverlap(spark, tiles, probes,
+        minOverlap = 20).orderBy("start").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    // the three dense tiles survive as-is; the sparse tail merges
+    assert(merged.take(2).toSeq == Seq((0L, 50000L), (50000L, 100000L)))
+    assert(merged.forall { case (s, e) => e > s })
+  }
+
   test("gap-aware tiles subtract assembly gaps") {
     val seqLen = Seq(("1", 200000L)).toDF("chrom", "seq_length")
     val gaps = Seq(("1", 40000L, 60000L)).toDF("chrom", "start", "end")
