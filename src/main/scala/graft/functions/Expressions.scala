@@ -202,6 +202,18 @@ object HashFuncs {
     vecDot(a, b) / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** Rabin-Karp base-31 mod 1e9+7 over the bytes (= the per-character
+    * fold for ASCII input, which the driver's documents are): the
+    * rolling-hash fingerprint as one loop instead of a per-character
+    * interpreted aggregate over split(text, ''). */
+  def rollingHash31(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (h * 31L + (b(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
   /** Fraction of positions where two long arrays agree (MinHash
     * signature agreement → estimated Jaccard): integer count divided by
     * the left length — exact in double, same value as the
@@ -448,6 +460,19 @@ object Expressions {
         r: Expression): VecCosine = copy(left = l, right = r)
   }
 
+  /** rolling_hash31(str) — Rabin-Karp base-31 mod 1e9+7 fingerprint as
+    * one codegen byte loop. */
+  case class RollingHash31(child: Expression) extends StringKernel {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.rollingHash31(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.rollingHash31($c)")
+    override protected def withNewChildInternal(
+        c: Expression): RollingHash31 = copy(c)
+  }
+
   /** long_eq_frac(array<long>, array<long>) — MinHash signature
     * agreement fraction as one codegen loop. */
   case class LongEqFrac(left: Expression, right: Expression)
@@ -510,6 +535,8 @@ object Expressions {
     column(VecCosine(toAD(expression(a)), toAD(expression(b))))
   def longEqFrac(a: Column, b: Column): Column =
     column(LongEqFrac(expression(a), expression(b)))
+  def rollingHash31(c: Column): Column =
+    column(RollingHash31(expression(c)))
   def vecSqDist(a: Column, b: Column): Column =
     column(VecSqDist(toAD(expression(a)), toAD(expression(b))))
 
@@ -535,6 +562,8 @@ object Expressions {
       es => VecCosine(toAD(es(0)), toAD(es(1))), "built-in")
     reg.createOrReplaceTempFunction("long_eq_frac",
       es => LongEqFrac(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash31",
+      es => RollingHash31(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_sqdist",
       es => VecSqDist(toAD(es(0)), toAD(es(1))), "built-in")
   }
@@ -602,6 +631,10 @@ class GraftExtensions
       (es: Seq[Expression]) =>
         Expressions.VecCosine(Expressions.toAD(es(0)),
           Expressions.toAD(es(1)))))
+    e.injectFunction((FunctionIdentifier("rolling_hash31"),
+      new ExpressionInfo(classOf[Expressions.RollingHash31].getName,
+        "rolling_hash31"),
+      (es: Seq[Expression]) => Expressions.RollingHash31(es.head)))
     e.injectFunction((FunctionIdentifier("long_eq_frac"),
       new ExpressionInfo(classOf[Expressions.LongEqFrac].getName,
         "long_eq_frac"),

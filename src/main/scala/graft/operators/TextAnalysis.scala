@@ -79,10 +79,10 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint (Rabin-Karp base-31 mod 1e9+7 over the whole
     * text — exact-dup key that is cheap to compute incrementally at scale;
-    * the modulus keeps the fold in range under ANSI arithmetic). */
+    * the modulus keeps the fold in range under ANSI arithmetic). One
+    * codegen byte loop (graft.functions.Expressions.RollingHash31) — the
+    * per-character split + interpreted aggregate it replaces paid a
+    * lambda dispatch per CHARACTER of the corpus. */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % 1000000007L)
+    graft.functions.Expressions.rollingHash31(text)
 }

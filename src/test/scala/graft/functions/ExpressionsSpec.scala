@@ -109,4 +109,19 @@ class ExpressionsSpec extends SparkSpec {
       assert(row.getDouble(2) === row.getDouble(3))
     }
   }
+
+  test("rolling_hash31 kernel equals the per-character fold on ASCII") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .limit(50)
+    val r = docs.select(
+      Expressions.rollingHash31($"text").as("k"),
+      aggregate(
+        transform(split($"text", ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31L + c) % 1000000007L).as("h")).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+  }
 }
