@@ -15,6 +15,27 @@ object SampleSheet {
     name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
       .replaceAll("[\\s\\-]+", "_").toLowerCase
 
+  /** S9 — write a sheet back to a single CSV file (sample_sheet.py:139).
+    * Driver-side by design: sheets are KB-sized metadata, and the
+    * reference emits one plain CSV (a distributed write would shard it).
+    * Minimal RFC-4180 quoting; nulls become empty cells. */
+  def write(sheet: DataFrame, path: String): Unit = {
+    def cell(v: Any): String = {
+      val s = Option(v).map(_.toString).getOrElse("")
+      if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val cols = sheet.columns
+    val pw = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+    try {
+      pw.println(cols.map(cell).mkString(","))
+      sheet.collect().foreach { r =>
+        pw.println(cols.indices.map(i => cell(r.get(i))).mkString(","))
+      }
+    } finally pw.close()
+  }
+
   /** S2 — read a sample-sheet CSV. Skips an Illumina `[Data]` marker block
     * when present (sample_sheet.py:53-59), snake_cases headers, applies
     * the sentrix renames (sample_sheet.py:61-63), requires `sample_id`. */
@@ -28,6 +49,7 @@ object SampleSheet {
     import spark.implicits._
     val df = spark.read.option("header", "true")
       .option("delimiter", delimiter)
+      .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
       .csv(content.toDS())
     val renamed = df.columns.foldLeft(df) { (d, c) =>
       d.withColumnRenamed(c, toSnakeCase(c) match {
