@@ -175,6 +175,15 @@ final case class Samples(
   def getTotalIbIntensity(applyMask: Boolean = true): DataFrame =
     Prep.totalIbIntensity(getSignalDf(applyMask))
 
+  /** L19 — the reference's dimensionality_reduction over this Samples'
+    * betas (ml.py:14-86): any of the 14 model keys (see
+    * [[graft.ml.Reductions.ModelKeys]]). */
+  def dimensionalityReduction(model: String = "PCA",
+      nComponents: Int = 2, nProbes: Int = 1000,
+      applyMask: Boolean = true): graft.ml.Ml.Reduction =
+    graft.ml.Reductions.dimensionalityReduction(
+      getBetas(applyMask, dropNa = true), model, nComponents, nProbes)
+
   def mergeSamplesBy(groupCol: String): Samples = {
     val sheetDf = sheet.getOrElse(
       throw new IllegalStateException("mergeSamplesBy needs a sample sheet"))
