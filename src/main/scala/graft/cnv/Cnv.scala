@@ -274,7 +274,7 @@ object Cnv {
   def cbs(values: Array[Double], shuffles: Int, pThreshold: Double,
       seed: Long): Seq[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-    val rng = new scala.util.Random(seed)
+
     val MaxScan = 2048
 
     // best arc of v: (t, i, j) with arc [i, j), 0 <= i < j <= n,
@@ -316,27 +316,53 @@ object Cnv {
     val PermScan = 512
     def permStrideOf(n: Int): Int = if (n <= PermScan) 1 else n / PermScan + 1
 
-    def significant(v: Array[Double]): Boolean = {
+    // Permutations run on a small shared pool: chromosomes already
+    // parallelize across tasks, but the WALL CLOCK is set by the one
+    // chromosome with real signal — its significant splits must run all
+    // `shuffles` permutations while other cores sit idle. Each
+    // permutation draws from its own splitmix-seeded RNG (deterministic
+    // and order-independent, so parallel execution cannot change the
+    // verdict); an AtomicInteger propagates the early-stop across
+    // threads. Pool size is a bounded compromise against oversubscribing
+    // executors that still have live chromosome tasks.
+    def significant(v: Array[Double], splitSeed: Long): Boolean = {
       val stride = permStrideOf(v.length)
       val tObs = maxT(v, stride)._1
       if (tObs == 0.0) return false
       val maxHits = (pThreshold * shuffles).toInt
-      var hits = 0
-      var i = 0
-      val copy = v.clone()
-      while (i < shuffles && hits <= maxHits) {
-        var j = copy.length - 1
-        while (j > 0) { // Fisher-Yates with the seeded rng
-          val k = rng.nextInt(j + 1)
-          val tmp = copy(j); copy(j) = copy(k); copy(k) = tmp
-          j -= 1
-        }
-        if (maxT(copy, stride)._1 >= tObs) hits += 1
-        i += 1
+      val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      val nThreads = math.min(8, Runtime.getRuntime.availableProcessors)
+      val batch = (shuffles + nThreads - 1) / nThreads
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          val copy = v.clone()
+          var i = t * batch
+          val end = math.min(shuffles, (t + 1) * batch)
+          while (i < end && hits.get() <= maxHits) {
+            // re-seed AND reset per permutation: each draw is a pure
+            // function of (splitSeed, i), so the verdict cannot depend
+            // on thread count or interleaving
+            System.arraycopy(v, 0, copy, 0, v.length)
+            val rng = new scala.util.Random(
+              graft.functions.HashFuncs.splitmix(splitSeed + i))
+            var j = copy.length - 1
+            while (j > 0) { // Fisher-Yates, per-permutation seed
+              val k = rng.nextInt(j + 1)
+              val tmp = copy(j); copy(j) = copy(k); copy(k) = tmp
+              j -= 1
+            }
+            if (maxT(copy, stride)._1 >= tObs) hits.incrementAndGet()
+            i += 1
+          }
+        })
+        th.setDaemon(true)
+        th.start()
+        th
       }
-      hits > maxHits match {
+      threads.foreach(_.join())
+      hits.get() > maxHits match {
         case true => false
-        case false => hits.toDouble / shuffles <= pThreshold
+        case false => hits.get().toDouble / shuffles <= pThreshold
       }
     }
 
@@ -345,7 +371,9 @@ object Cnv {
       if (v.length < 4) { out += ((lo, hi)); return }
       val (t, i, j) = maxT(v, strideOf(v.length))
       val isProper = t > 0.0 && j > i && (i > 0 || j < v.length)
-      if (isProper && significant(v)) {
+      val splitSeed = graft.functions.HashFuncs.splitmix(
+        seed ^ (lo.toLong << 32) ^ hi.toLong)
+      if (isProper && significant(v, splitSeed)) {
         if (i > 0) recurse(lo, lo + i)
         recurse(lo + i, lo + j)
         if (j < v.length) recurse(lo + j, hi)
