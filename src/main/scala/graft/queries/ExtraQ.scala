@@ -104,7 +104,7 @@ object ExtraQ {
           "metric", "v")
         .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
           $"metric", round($"v", 2).as("v"))
-        .orderBy($"l_orderkey", $"line_no", $"metric")
+        .orderBy($"l_orderkey", $"line_no", $"metric", $"v")
     },
     Some("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
@@ -118,7 +118,7 @@ object ExtraQ {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
       WHERE l_orderkey % 100 = 0
-      ORDER BY l_orderkey, line_no, metric"""))
+      ORDER BY l_orderkey, line_no, metric, v"""))
 
   /** A18 — the distributed sort-merge ECDF lookup (operators.Ecdf, the
     * pOOBAH scale path) against a correlated-count oracle: F(v) =
@@ -137,7 +137,7 @@ object ExtraQ {
           li.select($"l_returnflag", $"l_extendedprice"),
           Seq("l_returnflag"), "l_extendedprice", "ecdf")
         .select($"l_orderkey", $"line_no", $"l_returnflag", $"ecdf")
-        .orderBy($"l_orderkey", $"line_no")
+        .orderBy($"l_orderkey", $"line_no", $"l_returnflag", $"ecdf")
     },
     Some("""
       WITH q AS (
@@ -153,7 +153,66 @@ object ExtraQ {
                      AND b.l_extendedprice <= q.l_extendedprice) AS DOUBLE)
                / n.n AS ecdf
       FROM q JOIN n ON n.l_returnflag = q.l_returnflag
-      ORDER BY l_orderkey, line_no"""))
+      ORDER BY q.l_orderkey, q.line_no, q.l_returnflag, ecdf"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48)
+  /** L14/np.interp — the distributed sort-merge piecewise-linear
+    * interpolation (operators.Interp, the dye-bias-NL scale path)
+    * against a bracketing-knot oracle. Knots are a deterministic curve
+    * per returnflag (bucket-grid x, rounded mean-quantity y); the blend
+    * is ONE arithmetic expression evaluated on identical doubles both
+    * sides, so no output rounding is needed. */
+  val q49 = Q(
+    "q49_interp_lookup",
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val knots = li
+        .groupBy($"l_returnflag",
+          (floor($"l_extendedprice" / 10000.0) * 10000.0).as("xp"))
+        .agg(round(avg($"l_quantity"), 6).as("fp"))
+      val queries = li.filter($"l_orderkey" % 777 === 0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"l_returnflag", $"l_extendedprice")
+      graft.operators.Interp.interpLookup(queries, knots,
+          Seq("l_returnflag"), "l_extendedprice", "y")
+        .select($"l_orderkey", $"line_no", $"l_returnflag", $"y")
+        .orderBy($"l_orderkey", $"line_no", $"l_returnflag", $"y")
+    },
+    Some("""
+      WITH k AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice / 10000.0) * 10000.0 AS DOUBLE)
+                 AS xp,
+               round(avg(l_quantity), 6) AS fp
+        FROM lineitem GROUP BY 1, 2
+      ), q AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+               l_returnflag, l_extendedprice AS x
+        FROM lineitem WHERE l_orderkey % 777 = 0
+      ), lo AS (
+        SELECT q.l_returnflag, q.x, max(k.xp) AS lx,
+               arg_max(k.fp, k.xp) AS ly
+        FROM (SELECT DISTINCT l_returnflag, x FROM q) q
+        JOIN k ON k.l_returnflag = q.l_returnflag AND k.xp <= q.x
+        GROUP BY 1, 2
+      ), hi AS (
+        SELECT q.l_returnflag, q.x, min(k.xp) AS hx,
+               arg_min(k.fp, k.xp) AS hy
+        FROM (SELECT DISTINCT l_returnflag, x FROM q) q
+        JOIN k ON k.l_returnflag = q.l_returnflag AND k.xp > q.x
+        GROUP BY 1, 2
+      )
+      SELECT q.l_orderkey, q.line_no, q.l_returnflag,
+             CASE WHEN lo.lx IS NULL AND hi.hx IS NULL THEN NULL
+                  WHEN lo.lx IS NULL THEN hi.hy
+                  WHEN hi.hx IS NULL THEN lo.ly
+                  ELSE lo.ly + (hi.hy - lo.ly) * (q.x - lo.lx)
+                               / (hi.hx - lo.lx)
+             END AS y
+      FROM q
+      LEFT JOIN lo ON lo.l_returnflag = q.l_returnflag AND lo.x = q.x
+      LEFT JOIN hi ON hi.l_returnflag = q.l_returnflag AND hi.x = q.x
+      ORDER BY q.l_orderkey, q.line_no, q.l_returnflag, y"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48, q49)
 }
