@@ -214,6 +214,24 @@ object HashFuncs {
     h
   }
 
+  /** Size of the intersection of two SORTED long arrays (merge scan) —
+    * the verification step of prefix-filtered set-similarity joins. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Fraction of positions where two long arrays agree (MinHash
     * signature agreement → estimated Jaccard): integer count divided by
     * the left length — exact in double, same value as the
@@ -473,6 +491,21 @@ object Expressions {
         c: Expression): RollingHash31 = copy(c)
   }
 
+  /** sorted_intersect_count(array<long>, array<long>) — merge-scan
+    * intersection size of two sorted arrays as one codegen loop. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.sortedIntersectCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): SortedIntersectCount = copy(left = l, right = r)
+  }
+
   /** long_eq_frac(array<long>, array<long>) — MinHash signature
     * agreement fraction as one codegen loop. */
   case class LongEqFrac(left: Expression, right: Expression)
@@ -537,6 +570,8 @@ object Expressions {
     column(LongEqFrac(expression(a), expression(b)))
   def rollingHash31(c: Column): Column =
     column(RollingHash31(expression(c)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
   def vecSqDist(a: Column, b: Column): Column =
     column(VecSqDist(toAD(expression(a)), toAD(expression(b))))
 

@@ -91,6 +91,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs (AllPairs / PPJoin prefix
+    * filtering, Bayardo et al. WWW'07): identical output to
+    * [[jaccardPairs]], different candidate generation. Any pair with
+    * J ≥ t must share a shingle within each document's PREFIX — its
+    * |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles — so only prefixes are
+    * indexed. On corpora with hot shingles (stopword 3-grams shared by
+    * half the corpus) this removes the Σ df² pair blow-up: hot shingles
+    * are frequent, therefore LAST in the rarity order, therefore almost
+    * never in a prefix. Candidates are verified with one
+    * sorted-merge-intersection kernel call over the docs' full sorted
+    * shingle arrays — no per-shingle co-occurrence shuffle at all.
+    *
+    * Scale: shuffles are (a) the global shingle-frequency count,
+    * (b) narrow prefix postings, (c) the candidate verify join carrying
+    * one sorted long array per doc. The exact inverted-index variant
+    * shuffles one row per co-occurring PAIR per shingle — quadratic in
+    * hot-shingle document frequency. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingleHashes(df, textCol, k)
+      .select(col(idCol).as("id"), col("sh_hs"))
+      .filter(size(col("sh_hs")) > 0)
+    val postings = shingled.select(col("id"), explode(col("sh_hs")).as("h"))
+    val freq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    // per doc: shingles ordered by (global df, h); prefix of the
+    // |d| − ceil(t·|d|) + 1 rarest ones
+    val ordered = postings.join(freq, "h")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), " +
+        "x -> x.h)").as("by_rarity"),
+        count(lit(1)).cast("long").as("n_sh"))
+      .withColumn("prefix", expr(
+        s"slice(by_rarity, 1, size(by_rarity) - " +
+          s"CAST(ceil($threshold * size(by_rarity)) AS INT) + 1)"))
+    val inv = ordered
+      .select(col("id"), col("n_sh"), explode(col("prefix")).as("h"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cands = expandPairs(inv)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify: one kernel merge-scan over the full sorted shingle sets
+    val docs = shingled
+      .select(col("id"), array_sort(col("sh_hs")).as("shs"),
+        size(col("sh_hs")).cast("long").as("n"))
+    cands
+      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_common", graft.functions.Expressions
+        .sortedIntersectCount(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
     * multiply) — the standard universal-hash trick: each shingle is
     * hashed ONCE, the numHashes family members are integer arithmetic.

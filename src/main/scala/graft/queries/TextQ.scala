@@ -124,6 +124,47 @@ object TextQ {
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
       ORDER BY id_a, id_b"""))
 
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin) at a HIGH
+    * threshold — the 100 TB shape for strict near-dup dedup: only each
+    * document's |d| - ceil(t|d|) + 1 rarest shingles are indexed, so
+    * stopword shingles never join; candidates verify via one
+    * sorted-merge-intersection kernel call. Output semantics identical
+    * to q32's inverted-index variant (equality spec-asserted), so the
+    * oracle is the same brute-force SQL at t = 0.6. */
+  val q50 = Q(
+    "q50_jaccard_prefix_filter",
+    (s, d) => {
+      import s.implicits._
+      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.6)
+        .select($"id_a", $"id_b", $"n_common", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM documents)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+      ORDER BY id_a, id_b"""))
+
   /** MinHash-LSH near-dup candidates, EXACT-checked: the oracle replays
     * the whole pipeline — poly_hash64 shingle hashes, the splitmix64
     * affine family (same constants via DuckOracle.mixPairs), signed mins,
@@ -271,5 +312,5 @@ object TextQ {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q42)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50)
 }

@@ -34,6 +34,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("prefix-filtered jaccard equals the inverted-index exact variant") {
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    for (t <- Seq(0.12, 0.3, 0.6)) {
+      val a = Dedup.jaccardPairs(real, "doc_id", "text", k = 3,
+          threshold = t)
+        .select($"id_a", $"id_b", $"n_common", round($"jaccard", 9))
+      val b = Dedup.jaccardPairsPrefix(real, "doc_id", "text", k = 3,
+          threshold = t)
+        .select($"id_a", $"id_b", $"n_common", round($"jaccard", 9))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"prefix-filtered output differs at threshold $t")
+    }
+    // and on the synthetic fixture with exact dups
+    val p = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", k = 3,
+        threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(p.contains((1L, 2L)) && p((1L, 2L)) == 1.0)
+  }
+
   test("minhash-LSH candidates cover high-jaccard pairs; estimates track") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 3,
       numHashes = 32, bands = 16)
