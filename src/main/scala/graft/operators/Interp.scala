@@ -42,16 +42,27 @@ object Interp {
     // knots (k=1) sort before queries at equal x; among equal-x knots the
     // LAST (largest fp — fp is monotone for sorted curves) wins the
     // running last-non-null, matching np.interp's binary search taking
-    // the last tied knot
-    val w = Window.partitionBy(gcols: _*)
+    // the last tied knot.
+    //
+    // BOTH brackets are running last-non-null frames: the upper bracket
+    // runs over the REVERSED ordering with the current row excluded —
+    // "first knot after me (asc)" == "last knot before me (desc)". A
+    // first(ignoreNulls) over a (1, unboundedFollowing) frame computes
+    // the same thing but Spark's UnboundedFollowing frame re-scans to
+    // the partition end for EVERY row — O(partition²), measured as a
+    // multi-minute hang on the 22M-row dye-bias apply (each of its 12
+    // sample×channel partitions holds ~2M rows).
+    val wAsc = Window.partitionBy(gcols: _*)
       .orderBy(col("_ip_x").asc, col("_ip_k").desc, col("_ip_fp").asc)
-    val below = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val above = w.rowsBetween(1, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(gcols: _*)
+      .orderBy(col("_ip_x").desc, col("_ip_k").asc, col("_ip_fp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val knotPoint = when(col("_ip_k") === 1,
       struct(col("_ip_x").as("x"), col("_ip_fp").as("f")))
     val merged = q.unionByName(k)
-      .withColumn("_ip_lo", last(knotPoint, ignoreNulls = true).over(below))
-      .withColumn("_ip_hi", first(knotPoint, ignoreNulls = true).over(above))
+      .withColumn("_ip_lo", last(knotPoint, ignoreNulls = true).over(wAsc))
+      .withColumn("_ip_hi", last(knotPoint, ignoreNulls = true).over(wDesc))
       .filter(col("_ip_k") === 0)
     val lo = col("_ip_lo"); val hi = col("_ip_hi")
     val blended = merged.withColumn(outCol,

@@ -114,6 +114,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), "rollup must keep map-side combine")
   }
 
+  test("interp/ecdf lookups plan NO unbounded-following frame (q48, q49)") {
+    // A frame with a bounded lower edge and an unbounded FOLLOWING upper
+    // edge re-scans to the partition end per ROW — O(partition²); on the
+    // 22M-row dye-bias apply this was a multi-minute hang. (Frames
+    // spanning the WHOLE partition are fine — computed once.) Both
+    // sort-merge lookups must express the upper bracket as a running
+    // frame over the reversed ordering.
+    val quadratic =
+      ("""specifiedwindowframe\(rowframe, (?!unboundedpreceding)""" +
+        """[^,]+, unboundedfollowing""").r
+    for (q <- Seq(graft.queries.ExtraQ.q48, graft.queries.ExtraQ.q49)) {
+      val p = plan(q).toLowerCase
+      assert(quadratic.findFirstIn(p).isEmpty,
+        s"${q.name} plans a quadratic unbounded-following frame")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project hot path") {
     // AQE finalizes the physical plan only after THIS df executes
     // (count() would spawn a separate query)
