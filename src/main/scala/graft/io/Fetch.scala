@@ -97,9 +97,9 @@ object Fetch {
               }
             } finally fos.close()
             out += f
-          } else in.skip(size)
+          } else skipFully(in, size, name)
           val pad = (512 - size % 512) % 512
-          in.skip(pad)
+          skipFully(in, pad, name)
         }
       }
     } finally in.close()
@@ -116,6 +116,26 @@ object Fetch {
   private def cstr(b: Array[Byte], off: Int, len: Int): String = {
     val end = (off until off + len).find(i => b(i) == 0).getOrElse(off + len)
     new String(b, off, end - off, "US-ASCII")
+  }
+
+  /** InputStream.skip may skip fewer bytes than asked (Buffered/GZIP
+    * streams legitimately short-skip); a partial skip silently misaligns
+    * every subsequent 512-byte tar header. Loop until the full count is
+    * consumed, reading-and-discarding when skip makes no progress.
+    */
+  private def skipFully(in: InputStream, count: Long, entry: String): Unit = {
+    var left = count
+    val buf = new Array[Byte](8 * 1024)
+    while (left > 0) {
+      val n = in.skip(left)
+      if (n > 0) left -= n
+      else {
+        val r = in.read(buf, 0, math.min(left, buf.length).toInt)
+        if (r < 0) throw new java.io.EOFException(
+          s"tar stream ended inside entry: $entry")
+        left -= r
+      }
+    }
   }
 
   private def readFully(in: InputStream, buf: Array[Byte]): Int = {

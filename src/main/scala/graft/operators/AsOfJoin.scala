@@ -59,26 +59,32 @@ object AsOfJoin {
     // semantics, after them for strict.
     val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
 
+    // All carried columns travel in ONE struct so the forward-fill cannot
+    // mix fields from different right rows: a right row with a null payload
+    // column still produces a non-null struct, and last(ignoreNulls) picks
+    // the whole most-recent row atomically.
+    val payload = "__asof_payload"
     val carried = (rightTs +: rightCols).map(c => prefix + c)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as(ts), lit(rightSide).as(side),
-          col(rightTs).as(prefix + rightTs)) ++
-        rightCols.map(c => col(c).as(prefix + c)) ++
+          struct(col(rightTs).as(prefix + rightTs) +:
+            rightCols.map(c => col(c).as(prefix + c)): _*).as(payload)) ++
         Seq((if (rightTieBreak.isEmpty) lit(0)
              else struct(rightTieBreak.map(col): _*)).as(tie)): _*)
     val l = left.withColumn(ts, col(leftTs))
       .withColumn(side, lit(leftSide))
       .withColumn(tie, lit(null).cast(r.schema(tie).dataType))
+      .withColumn(payload, lit(null).cast(r.schema(payload).dataType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(side) === leftSide)
-      .drop(ts, side, tie)
+    val filled = unioned
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+    carried.foldLeft(filled.filter(col(side) === leftSide)) { (df, c) =>
+      df.withColumn(c, col(payload)(c))
+    }.drop(ts, side, tie, payload)
   }
 }

@@ -180,6 +180,9 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       dfCap: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
+        "integer division would silently drop trailing signature positions")
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
     val banded = sigs.select(col(idCol).as("id"), col("sig"),
@@ -217,6 +220,9 @@ object Dedup {
     * DuckDB oracle brute-forces). Inverted index per (band, chunk). */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only guarantee " +
+        "a shared exact chunk for pairs within Hamming distance 3")
     val hashes = simHash(df, idCol, textCol)
     val banded = hashes.select(col(idCol).as("id"), col("simhash"),
       posexplode(expr(

@@ -131,11 +131,15 @@ object DyeBiasNL {
       .pivot("channel", Seq("G", "R"))
       .agg(first(col("med")).as("med"), first(col("t20")).as("t20"))
     val dCol = (col("R_t20") / col("G_t20")) / (col("R_med") / col("G_med"))
+    // A sample with a whole channel absent leaves R_t20/R_med null, which
+    // would make the OR chain null (neither fitted nor masked); any null
+    // collapses to distorted so the sample is always emitted in the mask.
     val distortedDf = guardW
-      .withColumn("_distorted",
+      .withColumn("_distorted", coalesce(
         col("G_t20").isNull || col("G_med").isNull ||
+          col("R_t20").isNull || col("R_med").isNull ||
           col("G_t20") === 0 || col("G_med") === 0 ||
-          isnan(dCol) || dCol > 10)
+          isnan(dCol) || dCol > 10, lit(true)))
       .select(col("sample_label"), col("_distorted"))
 
     // ---- fit eligibility: both channels non-empty with positive max ----

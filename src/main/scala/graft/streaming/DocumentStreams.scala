@@ -53,6 +53,9 @@ object DocumentStreams {
   def nearDupFlags(stream: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only guarantee " +
+        "a shared exact chunk for pairs within Hamming distance 3")
     val banded = stream
       .withColumn("simhash", Expressions.simHash64(col(textCol)))
       .select(col(idCol), col("simhash"),

@@ -62,6 +62,21 @@ class AsOfJoinSpec extends SparkSpec {
       .forall(got.columns.contains))
   }
 
+  test("null payload in the newest right row is NOT backfilled from older rows") {
+    // right rows: (ts=10, x=1.0, y=7.0) then (ts=25, x=null, y=9.0).
+    // A left row at ts=30 must see the ts=25 row atomically:
+    // asof_x = null (not 1.0 leaked from ts=10), asof_y = 9.0.
+    val r2 = Seq(
+      ("a", 10L, Option(1.0), Option(7.0)),
+      ("a", 25L, Option.empty[Double], Option(9.0))
+    ).toDF("k", "rts", "x", "y")
+    val got = AsOfJoin.asOf(left.filter($"lid" === 3L), r2, Seq("k"),
+      "lts", "rts", Seq("x", "y")).collect().head
+    assert(got.getLong(got.fieldIndex("asof_rts")) === 25L)
+    assert(got.isNullAt(got.fieldIndex("asof_x")))
+    assert(got.getDouble(got.fieldIndex("asof_y")) === 9.0)
+  }
+
   test("rightTieBreak picks the highest tie-break row at equal ts") {
     val dupRight = Seq(
       ("a", 10L, 1L, 111.0), ("a", 10L, 2L, 222.0)
