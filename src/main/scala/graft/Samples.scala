@@ -69,6 +69,17 @@ final case class Samples(
   def type1Red(applyMask: Boolean = true): DataFrame =
     type1(applyMask).filter(col("channel") === "R")
 
+  /** F5 — methylated column slice (samples.py:290-301 `meth`): every
+    * key/descriptor column plus only the methylated measurement cells
+    * (the long-schema counterpart of xs('M', level='methylation_state',
+    * axis=1)). Pure projection — prunes at the scan. */
+  def meth(applyMask: Boolean = true): DataFrame =
+    getSignalDf(applyMask).drop("unmeth_g", "unmeth_r")
+
+  /** F5 — unmethylated column slice (samples.py:306-320 `unmeth`). */
+  def unmeth(applyMask: Boolean = true): DataFrame =
+    getSignalDf(applyMask).drop("meth_g", "meth_r")
+
   def oob(applyMask: Boolean = true): DataFrame =
     Prep.oobCells(getSignalDf(applyMask))
 
@@ -135,6 +146,11 @@ final case class Samples(
     if (maskFailed) s2.withMask(failed) else s2
   }
 
+  /** A7 — the summary the reference prints after every
+    * infer_type1_channel (samples.py:1010-1011). */
+  def channelSwitchSummary(): DataFrame =
+    Prep.channelSwitchSummary(signal)
+
   def dyeBiasCorrection(): Samples =
     copy(signal = step(Prep.dyeBiasCorrection(signal, arrayType)))
 
@@ -195,6 +211,19 @@ final case class Samples(
 
   def detectionRate(threshold: Double = 0.05): DataFrame =
     QC.detectionRate(signal, threshold)
+
+  /** A12/L23 — analyze_replicates (visualizations.py:2069-2131): betas
+    * std per probe across the technical replicates grouped by
+    * `sampleIdCol` of the sheet, labeled by probe design channel. */
+  def analyzeReplicates(sampleIdCol: String,
+      applyMask: Boolean = true): DataFrame = {
+    val sheetDf = sheet.getOrElse(throw new IllegalStateException(
+      "analyzeReplicates needs a sample sheet"))
+    QC.replicateStatsByChannel(
+      QC.replicateStats(getBetas(applyMask), sheetDf, sampleIdCol,
+        sampleLabelCol = "sample_id"),
+      signal)
+  }
 
   def save(dir: String): Unit =
     Store.save(dir, signal, masks, betas = None, sheet = sheet)

@@ -55,6 +55,17 @@ object AsOfJoin {
     val ts = "__asof_ts"
     val side = "__asof_side"
     val tie = "__asof_tie"
+    // Internal scratch columns and the prefixed output columns would
+    // silently overwrite (and then drop) same-named input columns.
+    val internal = Seq(ts, side, tie, "__asof_payload")
+    val clashes = (left.columns ++ right.columns).filter(internal.contains)
+    require(clashes.isEmpty,
+      s"input columns collide with AsOfJoin internals: ${clashes.mkString(", ")}")
+    val outClashes = (rightTs +: rightCols).map(prefix + _)
+      .filter(left.columns.contains)
+    require(outClashes.isEmpty,
+      s"left columns collide with prefixed output columns " +
+        s"${outClashes.mkString(", ")}; pass a different prefix")
     // Right rows must sort before left rows at equal ts for inclusive
     // semantics, after them for strict.
     val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)

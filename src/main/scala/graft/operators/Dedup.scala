@@ -151,6 +151,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Which candidate-generation strategy [[jaccardDedup]] picks:
+    * "prefix" (AllPairs/PPJoin), "inverted-capped", or
+    * "inverted-uncapped". Exposed for tests and plan audits. */
+  private[graft] def jaccardRoute(threshold: Double,
+      dfCap: Option[Int]): String =
+    if (threshold >= PrefixRouteThreshold) "prefix"
+    else if (dfCap.isDefined) "inverted-capped"
+    else "inverted-uncapped"
+
+  /** Below this threshold the prefix filter keeps too little of each
+    * document out of the index (prefix length |d|·(1−t)+1 approaches
+    * |d|) and loses its advantage; above it, prefix filtering removes
+    * the hot-shingle df² blow-up entirely. */
+  val PrefixRouteThreshold = 0.5
+
+  /** THE Jaccard near-dup front door — threshold-routed between the two
+    * exact candidate-generation strategies (identical output, different
+    * scale behavior):
+    *
+    *   - `threshold ≥ 0.5` → [[jaccardPairsPrefix]]: prefix filtering
+    *     indexes only each document's rarest shingles, so hot stopword
+    *     shingles never expand into pairs. The plan that survives 100 TB
+    *     at dedup-grade thresholds. `dfCap` is ignored (not needed —
+    *     candidate counts are bounded by the prefix, not by df²).
+    *   - `threshold < 0.5` → [[jaccardPairs]] (inverted index): the
+    *     prefix would cover nearly the whole document and buy nothing.
+    *     Pair expansion is quadratic in hot-shingle document frequency,
+    *     so a `dfCap` is REQUIRED at corpus scale; calling without one
+    *     logs a warning and runs exact (acceptable for small frames and
+    *     oracle checks only). Capping drops shingles shared by more than
+    *     `dfCap` docs — pairs whose ONLY common shingles are that hot
+    *     may be missed (the standard production trade; document counts
+    *     are unaffected).
+    */
+  def jaccardDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      dfCap: Option[Int] = None): DataFrame =
+    jaccardRoute(threshold, dfCap) match {
+      case "prefix" =>
+        jaccardPairsPrefix(df, idCol, textCol, k, threshold)
+      case "inverted-uncapped" =>
+        log.warn(
+          s"jaccardDedup(threshold=$threshold) without dfCap: exact " +
+            "inverted-index expansion is quadratic in hot-shingle " +
+            "document frequency; pass dfCap for corpus-scale runs")
+        jaccardPairs(df, idCol, textCol, k, threshold, None)
+      case _ =>
+        jaccardPairs(df, idCol, textCol, k, threshold, dfCap)
+    }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
+
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
     * multiply) — the standard universal-hash trick: each shingle is
     * hashed ONCE, the numHashes family members are integer arithmetic.
@@ -176,7 +229,13 @@ object Dedup {
     * on the slice itself needs no band-hash and cannot collide. Pairs
     * come from the inverted index (one shuffle); est_jaccard = fraction
     * of matching signature positions. `dfCap` caps bucket size (docs per
-    * band value); None = exact LSH semantics. */
+    * band value); None = exact LSH semantics.
+    *
+    * DOMAIN (tightened in r3): `numHashes` must be a multiple of
+    * `bands`. Earlier versions accepted any combination and silently
+    * dropped the trailing `numHashes % bands` signature positions from
+    * banding — callers relying on that got incomplete candidate sets;
+    * they now fail fast instead. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       dfCap: Option[Int] = None): DataFrame = {
@@ -217,7 +276,13 @@ object Dedup {
     * banded on four 16-bit chunks (pigeonhole: any pair within distance 3
     * shares at least one exact chunk, so for maxDist ≤ 3 the candidates
     * are EXACTLY the pairs with hamming ≤ maxDist — which is what the
-    * DuckDB oracle brute-forces). Inverted index per (band, chunk). */
+    * DuckDB oracle brute-forces). Inverted index per (band, chunk).
+    *
+    * DOMAIN (tightened in r3): `maxDist` must be ≤ 3. Earlier versions
+    * accepted larger distances and silently returned only the subset of
+    * pairs sharing an exact 16-bit chunk (incomplete above 3); such
+    * calls now fail fast — use more/narrower bands if you genuinely
+    * need a larger Hamming radius. */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,

@@ -145,6 +145,28 @@ object Prep {
     (updated, failedMask)
   }
 
+  /** A7 — channel-switch summary (samples.py:1010-1011): per (manifest
+    * channel, inferred channel), the number of type-I probes, with the
+    * channel inferred exactly as [[inferType1Channel]] infers it
+    * (cross-sample max of the four cells, ties → R, all-NA probes
+    * excluded). The reference prints this after every inference run.
+    * One groupBy per probe + one tiny groupBy-count — map-side partials,
+    * a single shuffle on probe_id. */
+  def channelSwitchSummary(signal: DataFrame): DataFrame =
+    signal.filter(col("inf_type") === "I" &&
+      !(col("meth_g").isNull && col("unmeth_g").isNull &&
+        col("meth_r").isNull && col("unmeth_r").isNull))
+      .groupBy("probe_id")
+      .agg(
+        max(greatest(col("meth_g"), col("unmeth_g"))).as("max_g"),
+        max(greatest(col("meth_r"), col("unmeth_r"))).as("max_r"),
+        max(col("channel")).as("manifest_channel"))
+      .withColumn("inferred_channel",
+        when(coalesce(col("max_r"), lit(Float.MinValue)) >=
+          coalesce(col("max_g"), lit(Float.MinValue)), "R").otherwise("G"))
+      .groupBy("manifest_channel", "inferred_channel")
+      .agg(count(lit(1)).as("n_probes"))
+
   // ---------- L12/L13: dye-bias scaling ----------
 
   private def scaleChannels(signal: DataFrame,

@@ -96,6 +96,41 @@ object QC {
           .as("pct_hyper"),
         count(lit(1)).as("n"))
 
+  /** A12/L23 — replicate-consistency stats (visualizations.py:2069-2131
+    * `analyze_replicates`): per probe and replicate group (samples that
+    * share `sampleIdCol` in the sheet), the sample standard deviation of
+    * beta across the group's technical replicates (pandas std ddof=1 →
+    * stddev_samp). Output: (probe_id, replicate, beta_std, n_replicates).
+    * The sheet is a broadcast dimension; the betas table shuffles once
+    * on (probe_id, replicate) with map-side partial aggregation. */
+  def replicateStats(betas: DataFrame, sheet: DataFrame,
+      sampleIdCol: String,
+      sampleLabelCol: String = "sample_label"): DataFrame =
+    betas.join(broadcast(sheet.select(
+        col(sampleLabelCol).as("sample_label"),
+        col(sampleIdCol).as("replicate"))), Seq("sample_label"))
+      .groupBy("probe_id", "replicate")
+      .agg(stddev_samp(col("beta")).as("beta_std"),
+        count(col("beta")).as("n_replicates"))
+
+  /** A12/L23 — the long violin-feed table the reference plots
+    * (visualizations.py:2116-2119): each per-probe replicate std labeled
+    * by its probe's design 'type I G' / 'type I R' / 'type II ' string,
+    * derived from the signal frame's (inf_type, channel). */
+  def replicateStatsByChannel(stats: DataFrame,
+      signal: DataFrame): DataFrame = {
+    val labels = signal
+      .select(col("probe_id"), col("inf_type"), col("channel"))
+      .dropDuplicates("probe_id")
+      .withColumn("channel_label",
+        concat(lit("type "), col("inf_type"), lit(" "),
+          coalesce(col("channel"), lit(""))))
+      .select("probe_id", "channel_label")
+    stats.join(broadcast(labels), Seq("probe_id"), "left")
+      .select(col("replicate"), col("channel_label"), col("probe_id"),
+        col("beta_std"))
+  }
+
   /** L22-feed — per-sample beta histogram (KDE-feeding table,
     * visualizations.py:222): width_bucket counts over [0,1]. */
   def betaHistogram(betas: DataFrame, nBins: Int = 100): DataFrame =

@@ -214,5 +214,97 @@ object ExtraQ {
       LEFT JOIN hi ON hi.l_returnflag = q.l_returnflag AND hi.x = q.x
       ORDER BY q.l_orderkey, q.line_no, q.l_returnflag, y"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48, q49)
+  /** A7 — the channel-switch summary (Prep.channelSwitchSummary,
+    * reference samples.py:1010-1011) run over a type-I-shaped signal
+    * built from lineitem: probe = partkey, sample = suppkey, manifest
+    * channel from partkey parity, four measurement cells from
+    * integer-valued line columns (exact in FLOAT on both engines, so
+    * the cross-sample max comparison cannot drift). */
+  val q51 = Q(
+    "q51_channel_switch_summary",
+    (s, d) => {
+      import s.implicits._
+      val sig = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        lit("I").as("inf_type"),
+        $"l_quantity".cast("float").as("meth_g"),
+        (($"l_orderkey" * 3 + $"l_linenumber") % 47).cast("float")
+          .as("unmeth_g"),
+        (($"l_orderkey" * 7 + $"l_linenumber") % 53).cast("float")
+          .as("meth_r"),
+        ($"l_tax" * 100).cast("float").as("unmeth_r"))
+      graft.prep.Prep.channelSwitchSummary(sig)
+        .orderBy($"manifest_channel", $"inferred_channel")
+    },
+    Some("""
+      WITH sig AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CAST(l_quantity AS FLOAT) AS meth_g,
+               CAST((l_orderkey * 3 + l_linenumber) % 47 AS FLOAT)
+                 AS unmeth_g,
+               CAST((l_orderkey * 7 + l_linenumber) % 53 AS FLOAT)
+                 AS meth_r,
+               CAST(l_tax * 100 AS FLOAT) AS unmeth_r
+        FROM lineitem
+      ), per_probe AS (
+        SELECT probe_id,
+               max(greatest(meth_g, unmeth_g)) AS max_g,
+               max(greatest(meth_r, unmeth_r)) AS max_r,
+               max(channel) AS manifest_channel
+        FROM sig GROUP BY probe_id
+      )
+      SELECT manifest_channel,
+             CASE WHEN max_r >= max_g THEN 'R' ELSE 'G' END
+               AS inferred_channel,
+             count(*) AS n_probes
+      FROM per_probe
+      GROUP BY manifest_channel, inferred_channel
+      ORDER BY manifest_channel, inferred_channel"""))
+
+  /** A12/L23 — replicate std-dev (QC.replicateStats, reference
+    * visualizations.py:2106-2112) over a betas table from lineitem and
+    * a replicate sheet from supplier (replicate group = nationkey mod
+    * 5). stddev_samp is rounded at 6 — values are O(10), so
+    * accumulation-order drift sits ~1e-12, far inside the grain. */
+  val q52 = Q(
+    "q52_replicate_std",
+    (s, d) => {
+      import s.implicits._
+      val betas = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        ($"l_extendedprice" / 1000.0).as("beta"))
+      val sheet = t(s, d, "supplier").select(
+        $"s_suppkey".cast("string").as("sample_id"),
+        concat(lit("grp_"), ($"s_nationkey" % 5).cast("string"))
+          .as("replicate_group"))
+      graft.qc.QC.replicateStats(betas, sheet, "replicate_group",
+          sampleLabelCol = "sample_id")
+        .select($"probe_id", $"replicate",
+          round($"beta_std", 6).as("beta_std"), $"n_replicates")
+        .orderBy($"probe_id", $"replicate")
+    },
+    Some("""
+      WITH betas AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               l_extendedprice / 1000.0 AS beta
+        FROM lineitem
+      ), sheet AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS sample_label,
+               'grp_' || CAST(s_nationkey % 5 AS VARCHAR) AS replicate
+        FROM supplier
+      )
+      SELECT b.probe_id, s.replicate,
+             round(stddev_samp(b.beta), 6) AS beta_std,
+             count(b.beta) AS n_replicates
+      FROM betas b JOIN sheet s USING (sample_label)
+      GROUP BY b.probe_id, s.replicate
+      ORDER BY probe_id, replicate"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48, q49, q51, q52)
 }

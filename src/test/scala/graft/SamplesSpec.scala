@@ -33,6 +33,18 @@ class SamplesSpec extends SparkSpec {
     assert(samples.getProbes(Seq("cg1")).count() == 1)
   }
 
+  test("meth/unmeth named selectors slice the measurement columns (F5)") {
+    val m = samples.meth(applyMask = false)
+    assert(m.columns.contains("meth_g") && m.columns.contains("meth_r"))
+    assert(!m.columns.contains("unmeth_g") && !m.columns.contains("unmeth_r"))
+    val u = samples.unmeth(applyMask = false)
+    assert(u.columns.contains("unmeth_g") && u.columns.contains("unmeth_r"))
+    assert(!u.columns.contains("meth_g") && !u.columns.contains("meth_r"))
+    // rows are preserved — it's a column slice, not a filter
+    assert(m.count() == samples.signal.count())
+    assert(u.count() == samples.signal.count())
+  }
+
   test("mask chaining nulls cells without dropping rows") {
     val masked = samples.maskControlProbes()
     val df = masked.getSignalDf(applyMask = true)

@@ -54,6 +54,32 @@ class DedupSpec extends SparkSpec {
     assert(p.contains((1L, 2L)) && p((1L, 2L)) == 1.0)
   }
 
+  test("jaccardDedup front door routes by threshold and matches the " +
+      "variant it routes to") {
+    // routing decisions
+    assert(Dedup.jaccardRoute(0.5, None) == "prefix")
+    assert(Dedup.jaccardRoute(0.8, Some(64)) == "prefix")
+    assert(Dedup.jaccardRoute(0.3, Some(64)) == "inverted-capped")
+    assert(Dedup.jaccardRoute(0.3, None) == "inverted-uncapped")
+    // high threshold: identical to the prefix variant
+    val hi = Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
+      threshold = 0.6)
+    val hiRef = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", k = 3,
+      threshold = 0.6)
+    assert(hi.except(hiRef).isEmpty && hiRef.except(hi).isEmpty)
+    // low threshold with a cap: identical to the capped inverted index
+    val lo = Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
+      threshold = 0.2, dfCap = Some(16))
+    val loRef = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.2, dfCap = Some(16))
+    assert(lo.except(loRef).isEmpty && loRef.except(lo).isEmpty)
+    // low threshold without a cap still runs (exact, warned)
+    assert(Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
+      threshold = 0.2).count() ==
+      Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.2).count())
+  }
+
   test("minhash-LSH candidates cover high-jaccard pairs; estimates track") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 3,
       numHashes = 32, bands = 16)

@@ -73,6 +73,26 @@ class PrepSpec extends SparkSpec {
     assert(g0 == "G")
   }
 
+  test("channel-switch summary counts probes per (manifest, inferred)") {
+    // fixture: 150 G probes with G-dominant signal, 150 R probes with
+    // R-dominant signal, plus one mislabeled G probe whose R dominates
+    val flipped = Seq(("s1", "cg_flip2", "I", "G", "cg", "",
+      Some(150f), Some(5000f), Some(160f), Some(4500f), None: Option[Float]))
+      .toDF("sample_label", "probe_id", "inf_type", "channel", "probe_type",
+        "mask_info", "meth_g", "meth_r", "unmeth_g", "unmeth_r", "p_value")
+    val m = Prep.channelSwitchSummary(sig.unionByName(flipped))
+      .collect()
+      .map(r => (r.getAs[String]("manifest_channel"),
+        r.getAs[String]("inferred_channel")) -> r.getAs[Long]("n_probes"))
+      .toMap
+    assert(m((("G"), ("G"))) == 150L)
+    assert(m((("R"), ("R"))) == 150L)
+    assert(m((("G"), ("R"))) == 1L) // the mislabeled probe
+    assert(!m.contains(("R", "G")))
+    // type II probes are excluded entirely
+    assert(m.values.sum == 301L)
+  }
+
   test("linear dye bias equalizes channel medians toward the reference") {
     val before = Prep.ibCells(sig.filter($"inf_type" === "I"))
       .groupBy("channel").agg(expr("percentile(value, 0.5)").as("med"))

@@ -46,6 +46,36 @@ class QcMlSpec extends SparkSpec {
     assert(hist.agg(sum("n")).head().getLong(0) == 200)
   }
 
+  test("replicate std-dev per probe/group matches the closed form") {
+    val sheet = Seq(("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"))
+      .toDF("sample_id", "rep_group")
+    val stats = QC.replicateStats(betas, sheet, "rep_group",
+      sampleLabelCol = "sample_id")
+    // golden: two replicates per group → std = |v1 - v2| / sqrt(2)
+    val vals = betas.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Float]("beta").toDouble).toMap
+    val got = stats.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Double]("beta_std"), r.getAs[Long]("n_replicates"))).toMap
+    assert(got.size == 100) // 50 probes × 2 groups
+    for (i <- 0 until 50; g <- Seq("A", "B")) {
+      val (s1, s2) = if (g == "A") ("a1", "a2") else ("b1", "b2")
+      val expected =
+        math.abs(vals((s1, s"cg$i")) - vals((s2, s"cg$i"))) / math.sqrt(2)
+      val (std, n) = got((s"cg$i", g))
+      assert(n == 2L && math.abs(std - expected) < 1e-9,
+        s"cg$i/$g: got $std expected $expected")
+    }
+    // channel labeling joins the probe design string on
+    val sig = (0 until 50).map(i =>
+      (s"cg$i", if (i % 2 == 0) "I" else "II",
+        if (i % 2 == 0) "G" else null))
+      .toDF("probe_id", "inf_type", "channel")
+    val labeled = QC.replicateStatsByChannel(stats, sig)
+    val byLabel = labeled.groupBy("channel_label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel("type I G") == 50L && byLabel("type II ") == 50L)
+  }
+
   test("merge samples by group: averages per probe, sheet type dispatch") {
     val groups = Seq(("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"))
       .toDF("sample_label", "group_label")
