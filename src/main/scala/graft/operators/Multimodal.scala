@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * partition, no per-row driver involvement, arbitrary native libs
   * callable inside).
   *
-  * The actual codec step is STUBBED with a deterministic fake (media
-  * codecs aren't in this container): `FakeCodec` derives pixel/sample
-  * data from xxhash-style mixing of the bytes, so every pipeline stage —
-  * schemas, partitioning, batch iteration, metadata propagation, feature
-  * shapes — is real and testable, and a production codec drops in by
+  * IMAGE decode is REAL: [[ImageCodec]] reads PNG/JPEG/BMP/GIF through
+  * `javax.imageio` (ships in the JDK — zero extra dependencies) and
+  * emits row-major grayscale in [0,1]. Payloads that aren't a decodable
+  * image — and the audio/video modalities, whose codecs are not in this
+  * container — fall back to `FakeCodec`, a deterministic stub that
+  * derives pixel/sample data from xxhash-style mixing of the bytes, so
+  * every pipeline stage (schemas, partitioning, batch iteration,
+  * metadata propagation, feature shapes) stays real and testable with
+  * synthetic payloads, and a production audio/video codec drops in by
   * replacing one function.
   */
 object Multimodal {
@@ -37,9 +41,64 @@ object Multimodal {
   final case class VideoFrame(media_id: Long, frame_idx: Int,
       content: Array[Byte])
 
-  /** STUB codec — deterministic splitmix64 mixing of content bytes.
-    * Replace `decodeImage` with a real codec (e.g. TwelveMonkeys/JAI) in
-    * production; everything downstream is codec-agnostic. */
+  /** REAL image codec over `javax.imageio` (JDK built-in readers: PNG,
+    * JPEG, BMP, GIF, WBMP). Grayscale conversion uses the ITU-R BT.601
+    * luma weights; already-gray images round-trip exactly (the weights
+    * sum to 1). Returns None when the bytes aren't a decodable image —
+    * callers fall back to [[FakeCodec]] so synthetic fixtures still flow
+    * through the identical pipeline. Decoding is per-row CPU work inside
+    * `mapPartitions`; no state is shared, so executor parallelism is
+    * untouched. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    def decodeImage(content: Array[Byte]): Option[DecodedImage] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Float](w * h)
+          // Gray images: read raster samples directly — getRGB would
+          // push linear gray through the sRGB transfer curve (gamma)
+          // and corrupt the values.
+          val gray = img.getColorModel.getColorSpace.getType ==
+            java.awt.color.ColorSpace.TYPE_GRAY
+          val grayMax =
+            if (gray) ((1 << img.getColorModel.getComponentSize(0)) - 1)
+              .toFloat
+            else 0f
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                if (gray) raster.getSample(x, y, 0) / grayMax
+                else {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+                }
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(0L, w, h, px))
+        }
+      } catch {
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** STUB codec for the modalities without a container codec (audio,
+    * video) and for non-decodable image payloads in tests — deterministic
+    * splitmix64 mixing of content bytes. Everything downstream is
+    * codec-agnostic. */
   object FakeCodec {
     private def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
@@ -64,16 +123,24 @@ object Multimodal {
     }
   }
 
+  /** Decode one image payload: real `javax.imageio` decode when the
+    * bytes are a decodable image (dimensions come from the image itself),
+    * deterministic fake otherwise (dimensions from the declared
+    * metadata). */
+  private def decodeOne(m: MediaRow): DecodedImage =
+    ImageCodec.decodeImage(m.content) match {
+      case Some(d) => DecodedImage(m.media_id, d.width, d.height, d.pixels)
+      case None => DecodedImage(m.media_id, m.width, m.height,
+        FakeCodec.decodeImage(m.content, m.width, m.height))
+    }
+
   /** Decode images partition-wise (batch iterator in, batch iterator
     * out — the mapInPandas shape). */
   def decodeImages(spark: SparkSession,
       media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import spark.implicits._
     media.filter(_.media_type == "image").mapPartitions { it =>
-      it.map { m =>
-        DecodedImage(m.media_id, m.width, m.height,
-          FakeCodec.decodeImage(m.content, m.width, m.height))
-      }
+      it.map(decodeOne)
     }
   }
 
@@ -104,7 +171,7 @@ object Multimodal {
       it.map { m =>
         val emb = m.media_type match {
           case "image" =>
-            val px = FakeCodec.decodeImage(m.content, m.width, m.height)
+            val px = decodeOne(m).pixels
             // mean-pool onto a dim-length grid
             Array.tabulate(dim) { d =>
               val lo = d.toLong * px.length / dim

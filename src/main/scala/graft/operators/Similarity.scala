@@ -120,6 +120,84 @@ object Similarity {
       .withColumn("centroid", expr("transform(pm, x -> x.m)"))
       .drop("pm")
 
+  /** Nearest-centroid assignment as a ROW-LOCAL expression: squared-L2
+    * to each of the k driver-collected centroids (one `vec_sqdist`
+    * codegen kernel call per centroid), argmin via `least()` over
+    * (dist, cluster) structs — ties break to the lowest cluster id.
+    * Zero shuffle, zero join: the centroid set (k × dim doubles,
+    * KB-sized) is baked into the plan exactly the way the prep chain
+    * broadcasts its scalar parameters. Suited to coarse-quantizer k
+    * (≲ a few hundred); for larger codebooks nest two levels of
+    * quantization instead of widening one expression. */
+  def withNearestCentroid(df: DataFrame,
+      cents: Seq[(Long, Array[Double])], vecCol: String = "embedding",
+      outCol: String = "ivf_cluster"): DataFrame = {
+    require(cents.nonEmpty, "centroid set must not be empty")
+    val v = asDouble(col(vecCol))
+    val scored = cents.map { case (cid, c) =>
+      struct(
+        graft.functions.Expressions.vecSqDist(v, typedlit(c.toSeq))
+          .as("d"),
+        lit(cid).as("c"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else least(scored: _*)
+    df.withColumn(outCol, best.getField("c"))
+  }
+
+  /** Collect a (cluster, centroid) frame to the driver. KB-sized by
+    * design (k × dim doubles) — the same boundary every scalar prep
+    * parameter crosses. */
+  private def collectCentroids(
+      cents: DataFrame): Seq[(Long, Array[Double])] =
+    cents.select(col(cents.columns.head).cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** Distributed Lloyd's k-means — the self-contained IVF index build.
+    * Initial centroids are the per-`initClusterCol` means (pass a
+    * metadata label, or a deterministic hash bucket like
+    * `pmod(xxhash64(id), k)` when no label exists). Each iteration is
+    * ONE corpus scan: the row-local [[withNearestCentroid]] assignment
+    * (no shuffle) feeding a per-(cluster, dimension) mean whose shuffle
+    * moves only k × dim partially-aggregated rows. Centroids round-trip
+    * through the driver between iterations (KB-sized). Empty clusters
+    * keep their previous centroid. Deterministic end to end — no random
+    * init, ties to the lowest cluster id — so engines can replay it
+    * (the q38 oracle re-derives two full iterations in SQL).
+    *
+    * Returns (corpusWithClusterCol, centroids collected) after `iters`
+    * reassign-update rounds: the cluster column is the assignment
+    * against the FINAL returned centroids' predecessors — i.e. the
+    * standard Lloyd output where the returned means are the means OF
+    * the returned assignment. */
+  def kMeans(corpus: DataFrame, initClusterCol: String, iters: Int,
+      vecCol: String = "embedding", outCol: String = "ivf_cluster")
+      : (DataFrame, Seq[(Long, Array[Double])]) = {
+    require(iters >= 1, "iters must be >= 1")
+    var cents = collectCentroids(
+      centroids(corpus, initClusterCol, vecCol))
+    var assigned = corpus
+    var i = 0
+    while (i < iters) {
+      assigned = withNearestCentroid(corpus, cents, vecCol, outCol)
+      val updated = collectCentroids(centroids(assigned, outCol, vecCol))
+      // empty clusters (no member rows) keep their previous centroid
+      val byId = updated.toMap
+      cents = cents.map { case (cid, c) => cid -> byId.getOrElse(cid, c) }
+      i += 1
+    }
+    (assigned, cents)
+  }
+
+  /** IVF index build: k-means over `initClusterCol` seeds, corpus comes
+    * back with the trained `ivf_cluster` column [[ivfTopK]] consumes. */
+  def buildIvfIndex(corpus: DataFrame, initClusterCol: String,
+      iters: Int = 2, vecCol: String = "embedding",
+      outCol: String = "ivf_cluster"): DataFrame =
+    kMeans(corpus, initClusterCol, iters, vecCol, outCol)._1
+
   /** IVF-style pruned search: assign each query to its nProbe nearest
     * centroids, scan only corpus rows in those clusters. Exactness is
     * traded for a ~(nProbe/nClusters) scan fraction — the standard ANN

@@ -58,20 +58,26 @@ object SimilarityQ {
       GROUP BY label, i
       ORDER BY label, pos"""))
 
-  /** IVF-pruned ANN top-k using `label` as the coarse partition. The
-    * whole pipeline is deterministic (mean centroids, cosine probes,
-    * rank by raw cosine with vec_id tiebreak), so the oracle replays it:
-    * per-dimension centroid means, top-nProbe labels per query, pruned
-    * scan, top-k. Output cosines rounded to 6 on both sides; ranking
-    * uses the raw values in both engines. */
+  /** IVF-pruned ANN top-k over a TRAINED index: two distributed Lloyd's
+    * k-means iterations seeded from the per-label means
+    * (Similarity.buildIvfIndex), then the pruned probe/scan. The whole
+    * pipeline is deterministic (mean centroids, squared-L2 argmin with
+    * lowest-cluster tie-break, cosine probes, rank by raw cosine with
+    * vec_id tiebreak), so the oracle replays it end to end: both
+    * reassign-update rounds are unrolled as SQL CTEs with the squared
+    * distance written as the same sequential per-dimension sum the
+    * vec_sqdist kernel computes. Output cosines rounded to 6 on both
+    * sides; ranking uses the raw values in both engines. */
   val q38 = Q(
     "q38_ann_ivf",
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
+      val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
+      val q = indexed.filter($"vec_id".isin(0, 1, 2))
         .select($"vec_id".as("query_id"), $"embedding")
-      Similarity.ivfTopK(emb, q, k = 10, clusterCol = "label", nProbe = 3)
+      Similarity.ivfTopK(indexed, q, k = 10,
+          clusterCol = "ivf_cluster", nProbe = 3)
         .select($"query_id", $"vec_id", round($"cos", 6).as("cos_sim"),
           $"rank")
         .orderBy($"query_id", $"rank")
@@ -83,18 +89,41 @@ object SimilarityQ {
       ), q AS (
         SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id IN (0, 1, 2)
       ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-      cent AS (
-        SELECT label, i, avg(e[i]) AS m
-        FROM emb CROSS JOIN dims GROUP BY label, i
-      ), centv AS (
-        SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY label
-      ), probes AS (
-        SELECT query_id, label FROM (
-          SELECT q.query_id, c.label,
+      c0 AS (
+        SELECT CAST(label AS BIGINT) AS c, i, avg(e[i]) AS m
+        FROM emb CROSS JOIN dims GROUP BY 1, 2
+      ), c0v AS (SELECT c, list(m ORDER BY i) AS cv FROM c0 GROUP BY c),
+      a1 AS (
+        SELECT vec_id, c FROM (
+          SELECT emb.vec_id, c0v.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                     dd -> (e[dd] - cv[dd]) * (e[dd] - cv[dd]))), c0v.c)
+                   AS rn
+          FROM emb CROSS JOIN c0v) WHERE rn = 1
+      ), c1 AS (
+        SELECT a1.c, i, avg(e[i]) AS m
+        FROM a1 JOIN emb USING (vec_id) CROSS JOIN dims GROUP BY 1, 2
+      ), c1v AS (SELECT c, list(m ORDER BY i) AS cv FROM c1 GROUP BY c),
+      a2 AS (
+        SELECT vec_id, c FROM (
+          SELECT emb.vec_id, c1v.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                     dd -> (e[dd] - cv[dd]) * (e[dd] - cv[dd]))), c1v.c)
+                   AS rn
+          FROM emb CROSS JOIN c1v) WHERE rn = 1
+      ), c2 AS (
+        SELECT a2.c, i, avg(e[i]) AS m
+        FROM a2 JOIN emb USING (vec_id) CROSS JOIN dims GROUP BY 1, 2
+      ), c2v AS (SELECT c, list(m ORDER BY i) AS cv FROM c2 GROUP BY c),
+      probes AS (
+        SELECT query_id, c FROM (
+          SELECT q.query_id, c2v.c,
                  row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
-                            c.label) AS pr
-          FROM q CROSS JOIN centv c)
+                   ORDER BY list_cosine_similarity(c2v.cv, q.qv) DESC,
+                            c2v.c) AS pr
+          FROM q CROSS JOIN c2v)
         WHERE pr <= 3
       ), ranked AS (
         SELECT p.query_id, e.vec_id,
@@ -103,7 +132,8 @@ object SimilarityQ {
                  ORDER BY list_cosine_similarity(e.e, q.qv) DESC,
                           e.vec_id) AS rank
         FROM probes p
-        JOIN emb e ON e.label = p.label
+        JOIN a2 ON a2.c = p.c
+        JOIN emb e ON e.vec_id = a2.vec_id
         JOIN q ON q.query_id = p.query_id)
       SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
              CAST(rank AS BIGINT) AS rank

@@ -28,6 +28,48 @@ class MultimodalSpec extends SparkSpec {
     assert(imgs(1L).pixels.toSeq != imgs(3L).pixels.toSeq)
   }
 
+  /** A real 8-bit grayscale PNG with a known gradient, encoded through
+    * the JDK's own writer. */
+  def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, (y * w + x) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG bytes decode to the actual pixels via javax.imageio") {
+    val png = realPng(16, 12)
+    // declared metadata dims are WRONG on purpose: the real decode must
+    // take dimensions from the image itself, not the metadata
+    val rows = Seq(MediaRow(7, "image", png, 999, 999, 0, 0)).toDS()
+    val img = decodeImages(spark, rows).collect().head
+    assert(img.width == 16 && img.height == 12)
+    assert(img.pixels.length == 192)
+    // gray pixel v decodes to luma v/255 (BT.601 weights sum to 1)
+    for (i <- 0 until 192) {
+      val expected = ((i % 256).toFloat) / 255f
+      assert(math.abs(img.pixels(i) - expected) < 1e-3,
+        s"pixel $i: got ${img.pixels(i)} expected $expected")
+    }
+    // and features flow from the REAL pixels through the same path
+    val feat = extractFeatures(spark, rows, dim = 8).collect().head
+    val meanPx = img.pixels.sum / img.pixels.length
+    val meanEmb = feat.embedding.sum / feat.embedding.length
+    assert(math.abs(meanPx - meanEmb) < 1e-3)
+  }
+
+  test("non-decodable bytes fall back to the deterministic fake codec") {
+    val junk = Seq(MediaRow(8, "image", bytes(8, 100), 10, 10, 0, 0)).toDS()
+    val img = decodeImages(spark, junk).collect().head
+    assert(img.width == 10 && img.height == 10) // metadata dims
+    assert(img.pixels.toSeq ==
+      FakeCodec.decodeImage(bytes(8, 100), 10, 10).toSeq)
+  }
+
   test("resize keeps schema, changes shape") {
     val small = resize(spark, decodeImages(spark, media), 5, 4).collect()
     assert(small.forall(i => i.width == 5 && i.height == 4 &&

@@ -91,6 +91,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("k-means recovers the true partition from a noisy seeded init") {
+    // three tight clusters at axis-aligned centers; every 5th point's
+    // init label is wrong — two Lloyd iterations must fix them all
+    val centers = Map(0L -> Array(10.0, 0.0, 0.0), 1L -> Array(0.0, 10.0, 0.0),
+      2L -> Array(0.0, 0.0, 10.0))
+    val pts = (0 until 90).map { i =>
+      val truth = (i % 3).toLong
+      val c = centers(truth)
+      val jitter = Array(((i * 7) % 5) * 0.1, ((i * 11) % 5) * 0.1,
+        ((i * 13) % 5) * 0.1)
+      val noisyInit = if (i % 5 == 0) (truth + 1) % 3 else truth
+      (i.toLong, noisyInit,
+        Array.tabulate(3)(d => (c(d) + jitter(d)).toFloat))
+    }.toDF("vec_id", "init", "embedding")
+    val (assigned, cents) = Similarity.kMeans(pts, "init", iters = 2,
+      outCol = "cluster")
+    // every point lands with its true center's cluster
+    val got = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterOfTruth = (0L to 2L).map { t =>
+      t -> got.collect { case (id, cl) if id % 3 == t => cl }.toSet
+    }.toMap
+    assert(clusterOfTruth.values.forall(_.size == 1),
+      s"a true cluster was split: $clusterOfTruth")
+    assert(clusterOfTruth.values.flatten.toSet.size == 3)
+    // returned centroids are the means of the returned assignment
+    val recomputed = Similarity.centroids(assigned, "cluster")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray).toMap
+    for ((cid, c) <- cents) {
+      val rc = recomputed(cid)
+      assert(c.zip(rc).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    }
+    // and each centroid sits near its true center
+    for ((_, c) <- cents)
+      assert(centers.values.exists(t =>
+        t.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum < 1.0))
+  }
+
+  test("buildIvfIndex feeds ivfTopK: full-probe search equals brute force") {
+    val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
+    val q = indexed.filter($"vec_id".isin(0, 7))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val n = indexed.select("ivf_cluster").distinct().count().toInt
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"))
+        -> r.getAs[Long]("vec_id")).toMap
+    val ivf = Similarity.ivfTopK(indexed, q, 10, "ivf_cluster", nProbe = n)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"))
+        -> r.getAs[Long]("vec_id")).toMap
+    assert(bf == ivf)
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
