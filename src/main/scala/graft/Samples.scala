@@ -129,7 +129,11 @@ final case class Samples(
 
   def maskSnpProbes(): Samples = withMask(Masks.maskSnpProbes(signal))
 
-  def maskNonCgProbes(): Samples = withMask(Masks.maskNonCgProbes(signal))
+  /** Mirrors samples.py:820-831: controls are masked separately under
+    * their own name (so normalization can still reach them), then the
+    * non-cg non-ctl probes under 'non_cg_probes'. */
+  def maskNonCgProbes(): Samples =
+    maskControlProbes().withMask(Masks.maskNonCgProbes(signal))
 
   def maskXYProbes(manifest: DataFrame): Samples =
     withMask(Masks.maskXYProbes(manifest))

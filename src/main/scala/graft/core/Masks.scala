@@ -126,8 +126,12 @@ object Masks {
       .select(lit("snp_probes").as("mask_name"),
         lit(null).cast("string").as("sample_label"), col("probe_id"))
 
+  /** Non-CpG mask EXCLUDES controls (samples.py:827-831: the reference
+    * masks them separately under 'Control' so normalization can still
+    * reach them — callers mirror that by adding [[maskControlProbes]]
+    * alongside, as `Samples.maskNonCgProbes` does). */
   def maskNonCgProbes(signal: DataFrame): DataFrame =
-    signal.filter(col("probe_type") =!= "cg")
+    signal.filter(!col("probe_type").isin("cg", "ctl"))
       .select("probe_id").distinct()
       .select(lit("non_cg_probes").as("mask_name"),
         lit(null).cast("string").as("sample_label"), col("probe_id"))
