@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * hash splits (train/val/test that never move when the corpus grows),
+  * per-group stratified down-sampling, and per-group quota capping.
+  *
+  * All assignment decisions derive from splitmix64 of a stable row id —
+  * pure codegen'd column arithmetic, zero shuffle, and engine-portable
+  * (the DuckDB oracles replay the mixer in UHUGEINT arithmetic), which
+  * is what makes the splits REPRODUCIBLE: re-running on a grown corpus
+  * keeps every existing row's split, where `rand()`-based sampling
+  * reshuffles everything. That stability is the operative requirement
+  * for held-out sets at 100 TB.
+  */
+object Curation {
+
+  /** splitmix64 finalizer as a column composition (wrap-around 64-bit
+    * multiplies — sessions run ANSI off; see graft.Q.sessionConfigs). */
+  def splitmix(x: Column): Column = {
+    val seeded = x + lit(0x9e3779b97f4a7c15L)
+    val z1 = (seeded.bitwiseXOR(shiftrightunsigned(seeded, 30))) *
+      lit(0xbf58476d1ce4e5b9L)
+    val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) *
+      lit(0x94d049bb133111ebL)
+    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+  }
+
+  /** Buckets per split universe: assignments quantize to 1/10000. */
+  val Buckets = 10000
+
+  /** Non-negative bucket in [0, Buckets): low 53 bits of the mix (so the
+    * value is positive in SIGNED arithmetic too — the oracle's unsigned
+    * modulo then agrees bit-for-bit) modulo the bucket count. */
+  def hashBucket(id: Column): Column =
+    pmod(splitmix(id).bitwiseAND(lit((1L << 53) - 1)), lit(Buckets.toLong))
+
+  /** Deterministic split assignment: `splits` are (label, weight) pairs
+    * (weights sum to ≤ 1; quantized to 1/10000). A row's label depends
+    * ONLY on its id — growing or re-partitioning the corpus never moves
+    * an existing row between splits. Zero shuffle. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split weights sum to $total > 1")
+    val b = hashBucket(col(idCol))
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail
+    val assigned = splits.zip(cuts).foldLeft(
+      lit(null).cast("string")) { case (acc, ((label, _), cut)) =>
+      when(acc.isNotNull, acc).otherwise(when(b < cut, label))
+    }
+    df.withColumn(outCol, assigned)
+  }
+
+  /** Stratified deterministic down-sampling: keep a row iff its hash
+    * bucket falls under its group's rate (groups absent from `rates`
+    * keep everything). The per-group keep set is again a pure function
+    * of row ids — stable under corpus growth. Zero shuffle. */
+  def sampleByGroup(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(lit(Buckets.toLong)) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, math.round(r * Buckets)).otherwise(acc)
+    }
+    df.filter(b < cut)
+  }
+
+  /** Per-group quota cap: keep at most `quota` rows per group, by
+    * ascending `priority` (ties broken by `idCol` — a total order, so
+    * the kept set is deterministic). Uses the bounded-heap TopKAgg: the
+    * map side retains ≤ quota rows per (partition, group), so a hot
+    * group ships quota·partitions rows instead of ALL its rows to one
+    * task — the reason this survives a 100 TB group where a
+    * `row_number` window cannot. Returns (groupCol, idCol, rank). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int, priority: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(priority.as("p"), col(idCol).as("id")),
+        struct(col(idCol).as("id")), quota).as("kept"))
+      .select(col(groupCol), posexplode(col("kept")).as(Seq("r", "row")))
+      .select(col(groupCol), col("row.id").as(idCol),
+        (col("r") + 1).cast("long").as("rank"))
+}

@@ -85,4 +85,66 @@ object TextAnalysis {
     * lambda dispatch per CHARACTER of the corpus. */
   def rollingHash(text: Column): Column =
     graft.functions.Expressions.rollingHash31(text)
+
+  /** Per-(doc, term) term frequencies over whitespace tokens — the base
+    * posting table for TF-IDF/BM25. One explode + one (doc, term)
+    * groupBy: a single shuffle of narrow (id, term) rows. */
+  def termFrequencies(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF per (doc, term): idf = ln((N+1)/(df+1)) + 1 (the smoothed
+    * sklearn formulation — never zero, no division hazard on unseen
+    * terms). Shape: the tf posting shuffle, a tiny per-term df
+    * aggregation, and a term-keyed join back. The df/idf side is
+    * vocabulary-sized; at corpus scale that can exceed broadcast range,
+    * so it is left as a shuffle join on `term` — tf is already narrow
+    * and AQE will broadcast it when it does fit. The corpus size N rides
+    * in via a broadcast single-row cross join (no driver action). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1))
+          + 1.0)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+        col("idf"), col("tfidf"))
+  }
+
+  /** BM25 relevance of every document to a query term set (Robertson/
+    * Sparck Jones idf, k1/b defaults from the literature). The posting
+    * table is FILTERED to the query terms before any join — at 100 TB
+    * the scored frame is |docs containing a query term|, not the corpus.
+    * Output: (idCol, score) for docs matching ≥ 1 query term. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val tf = termFrequencies(df, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val docLen = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val stats = df.select(count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avg_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(dfreq, "term")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs") - col("doc_freq") + 0.5) /
+          (col("doc_freq") + 0.5) + 1.0))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avg_dl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Q
+import graft.Q.t
+import graft.operators.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over the `documents` table: TF-IDF / BM25
+  * scoring, deterministic hash splits, stratified sampling, and
+  * per-group quota caps — the dataset-construction half of a
+  * training-data pipeline, each exact-oracle-checked (the splitmix64
+  * mixer is replayed in DuckDB UHUGEINT arithmetic via
+  * [[DuckOracle.mix]]).
+  */
+object CurationQ {
+
+  private val Gamma = "11400714819323198485::UHUGEINT" // 0x9e3779b97f4a7c15
+
+  /** splitmix64-with-gamma bucket replay: Curation.hashBucket in SQL.
+    * Low-53-bit extraction is an unsigned modulo by 2^53 (identical to
+    * the signed bitwiseAND mask on the Spark side, since the masked
+    * value is non-negative in both representations). */
+  private def bucketSql(id: String): String =
+    s"""CAST(((${DuckOracle.mix(
+      s"(CAST($id AS UHUGEINT) + $Gamma) % 18446744073709551616::UHUGEINT")})
+        % 9007199254740992::UHUGEINT) % 10000::UHUGEINT AS BIGINT)"""
+
+  /** TF-IDF postings (TextAnalysis.tfIdf): smoothed sklearn idf
+    * ln((N+1)/(df+1)) + 1. Counts are integers on both sides; the one
+    * float (tf·idf) is rounded at 6 — ln of identical integer ratios
+    * differs at worst in the last bit across libms, orders below the
+    * grain. Output filtered to tf ≥ 4 to keep the frame presentable. */
+  val q53 = Q(
+    "q53_tfidf",
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.tfIdf(t(s, d, "documents"), "doc_id", "text")
+        .filter($"tf" >= 4)
+        .select($"doc_id", $"term", $"tf", $"doc_freq",
+          round($"tfidf", 6).as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE length(term) > 0
+        GROUP BY doc_id, term
+      ), dfreq AS (
+        SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+      ), n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             round(tf.tf * (ln((n.n_docs + 1)::DOUBLE
+               / (dfreq.doc_freq + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE tf.tf >= 4
+      ORDER BY doc_id, term"""))
+
+  /** Deterministic train/val/test hash split (Curation.hashSplit):
+    * bucket = low-53-bits(splitmix64(id + γ)) mod 10000, integer
+    * arithmetic end to end — the oracle replays the mixer exactly, so
+    * the per-(split, source) counts hash-match. */
+  val q54 = Q(
+    "q54_hash_split",
+    (s, d) => {
+      import s.implicits._
+      Curation.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"split", $"source")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT source, ${bucketSql("doc_id")} AS bucket FROM documents
+      )
+      SELECT CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split,
+             source, count(*) AS n_docs
+      FROM b
+      GROUP BY split, source
+      ORDER BY split, source"""))
+
+  /** Per-source quota cap (Curation.capPerGroup over the bounded-heap
+    * TopKAgg — no per-group window): keep 20 docs per source by the
+    * deterministic splitmix priority; the oracle ranks the same signed
+    * mix with row_number. Integer keys end to end. */
+  val q55 = Q(
+    "q55_quota_cap",
+    (s, d) => {
+      import s.implicits._
+      Curation.capPerGroup(t(s, d, "documents"), "source", "doc_id",
+          quota = 20, priority = Curation.splitmix($"doc_id"))
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT source, doc_id,
+               ${DuckOracle.toSigned(DuckOracle.mix(
+      s"(CAST(doc_id AS UHUGEINT) + $Gamma) % 18446744073709551616::UHUGEINT"))}
+                 AS p
+        FROM documents
+      ), ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY p, doc_id) AS rank
+        FROM pr)
+      SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 20
+      ORDER BY source, rank"""))
+
+  /** BM25 relevance to a fixed query term set (TextAnalysis.bm25,
+    * k1=1.2, b=0.75): postings filtered to the query terms BEFORE any
+    * join. avg doc length is the one cross-engine float aggregate;
+    * scores are O(1) and rounded at 6. */
+  val q56 = Q(
+    "q56_bm25",
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "scan", "merge"))
+        .select($"doc_id", round($"score", 6).as("score"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks
+        WHERE length(term) > 0 AND term IN ('hash', 'scan', 'merge')
+        GROUP BY doc_id, term
+      ), dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+      ), stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avg_dl
+        FROM documents
+      ), dfreq AS (
+        SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+      )
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - dfreq.doc_freq + 0.5)
+                  / (dfreq.doc_freq + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avg_dl))
+             ), 6) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, stable under corpus growth, ~weighted") {
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(5000).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Curation.hashSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.hashSplit(big, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growing the corpus never moves an existing row's split
+    assert(a.forall { case (id, s) => b(id) == s })
+    // every row is assigned (weights sum to 1)
+    assert(b.values.forall(Set("train", "val", "test")))
+    // proportions track the weights (±4% at n=5000)
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 5000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.04, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.04)
+    assert(math.abs(frac("test") - 0.1) < 0.04)
+    // invalid weights rejected
+    assertThrows[IllegalArgumentException](
+      Curation.hashSplit(small, "id", Seq(("a", 0.9), ("b", 0.2))))
+  }
+
+  test("sampleByGroup: per-group rates, deterministic keep set") {
+    val df = spark.range(4000)
+      .select($"id", (when($"id" % 2 === 0, "a").otherwise("b")).as("g"))
+    val kept = Curation.sampleByGroup(df, "id", "g",
+      Map("a" -> 0.25, "b" -> 1.0))
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("b") == 2000L) // rate 1.0 keeps everything
+    assert(math.abs(byG("a") - 500L) < 80, byG.toString) // ~25% of 2000
+    // re-running yields the identical keep set
+    val again = Curation.sampleByGroup(df, "id", "g",
+      Map("a" -> 0.25, "b" -> 1.0))
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
+  test("capPerGroup equals the row_number window reference") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val pr = Curation.splitmix($"doc_id")
+    val got = Curation.capPerGroup(docs, "source", "doc_id", 5, pr)
+      .select($"source", $"doc_id", $"rank")
+    val ref = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"source").orderBy(pr, $"doc_id"))
+        .cast("long"))
+      .filter($"rank" <= 5)
+      .select($"source", $"doc_id", $"rank")
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    // quota respected
+    val m = got.groupBy("source").count().collect().map(_.getLong(1))
+    assert(m.forall(_ <= 5))
+  }
+
+  test("tfIdf matches a hand computation on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b a c"),   // tf(a)=2 tf(b)=1 tf(c)=1
+      (2L, "a b"),       // tf(a)=1 tf(b)=1
+      (3L, "d d d")      // tf(d)=3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("doc_freq"),
+          r.getAs[Double]("tfidf"))).toMap
+    def idf(df: Long): Double = math.log(4.0 / (df + 1)) + 1 // N=3
+    assert(out((1L, "a")) == ((2L, 2L, 2 * idf(2))))
+    assert(out((2L, "a")) == ((1L, 2L, 1 * idf(2))))
+    assert(out((3L, "d")) == ((3L, 1L, 3 * idf(1))))
+    assert(out((1L, "c"))._3 == idf(1))
+  }
+
+  test("bm25: docs with more query-term mass score higher; non-matching " +
+      "docs are absent") {
+    val docs = Seq(
+      (1L, "hash hash hash join scan"),
+      (2L, "hash join"),
+      (3L, "sort spill window"),
+      (4L, "scan")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("hash", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(!scores.contains(3L)) // no query term
+    assert(scores(1L) > scores(2L)) // more hits, extra term
+    assert(scores.values.forall(_ > 0))
+  }
+}
