@@ -4,9 +4,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. Each query first runs once at sf0.001 (untimed):
   * whole-stage codegen + JIT compile once per query shape, so the timed
-  * run measures steady-state engine throughput, which is what a long-lived
-  * cluster actually pays — not single-shot janino/JIT latency. */
+  * runs measure steady-state engine throughput, which is what a long-lived
+  * cluster actually pays — not single-shot janino/JIT latency.
+  *
+  * Each query is then timed REPS times at the target SF and the reported
+  * per-query number is the MEDIAN (a `queries_min` map carries the mins).
+  * Single-shot timings in this sandbox carry ±1 s ambient noise per query,
+  * which has repeatedly produced phantom 2-3× "regressions" between rounds;
+  * medians over interleaved repetitions make round-to-round deltas
+  * attributable to plan changes instead of scheduler weather. */
 object Bench {
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -22,15 +31,28 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Interleave repetitions (rep-major, query-minor): a transient system
+    // hiccup then lands on different queries in different reps, so it is
+    // voted out by the median instead of doubling one query's number.
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    (1 to Reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = ordered.map { case (name, _) => name -> median(samples(name)) }
+    val mins = ordered.map { case (name, _) => name -> samples(name).min }
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object Cnv {
 
+  /** Upper bound on CBS permutation worker threads for the WHOLE
+    * executor JVM (shared by every concurrent chromosome task). */
+  val PermPoolSize: Int =
+    math.max(1, math.min(8, Runtime.getRuntime.availableProcessors))
+
+  /** JVM-wide bounded pool for CBS permutation batches. Daemon threads;
+    * lazily created on the first significant split, lives for the JVM.
+    * Pool workers never submit back into the pool, so queueing under
+    * contention is safe (no nested-wait deadlock). */
+  private lazy val permPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      PermPoolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-cbs-perm")
+        t.setDaemon(true)
+        t
+      })
+
   /** L5 — CNV log2 ratios. `targetIntensity`/`normIntensity`:
     * [probe_id, sample_label, total_ib] long tables (from
     * Prep.totalIbIntensity). Target samples are averaged (group CNV);
@@ -316,50 +334,56 @@ object Cnv {
     val PermScan = 512
     def permStrideOf(n: Int): Int = if (n <= PermScan) 1 else n / PermScan + 1
 
-    // Permutations run on a small shared pool: chromosomes already
-    // parallelize across tasks, but the WALL CLOCK is set by the one
-    // chromosome with real signal — its significant splits must run all
-    // `shuffles` permutations while other cores sit idle. Each
-    // permutation draws from its own splitmix-seeded RNG (deterministic
-    // and order-independent, so parallel execution cannot change the
-    // verdict); an AtomicInteger propagates the early-stop across
-    // threads. Pool size is a bounded compromise against oversubscribing
-    // executors that still have live chromosome tasks.
+    // Permutations run on the JVM-wide shared pool [[Cnv.permPool]]:
+    // chromosomes already parallelize across tasks, but the WALL CLOCK
+    // is set by the one chromosome with real signal — its significant
+    // splits must run all `shuffles` permutations while other cores sit
+    // idle. Each permutation draws from its own splitmix-seeded RNG
+    // (deterministic and order-independent, so parallel execution
+    // cannot change the verdict); an AtomicInteger propagates the
+    // early-stop across batches. The SHARED pool bounds extra threads
+    // at PermPoolSize for the whole executor JVM — per-split thread
+    // spawns would oversubscribe cores by up to 8× under 32 concurrent
+    // chromosome tasks.
     def significant(v: Array[Double], splitSeed: Long): Boolean = {
       val stride = permStrideOf(v.length)
       val tObs = maxT(v, stride)._1
       if (tObs == 0.0) return false
       val maxHits = (pThreshold * shuffles).toInt
       val hits = new java.util.concurrent.atomic.AtomicInteger(0)
-      val nThreads = math.min(8, Runtime.getRuntime.availableProcessors)
-      val batch = (shuffles + nThreads - 1) / nThreads
-      val threads = (0 until nThreads).map { t =>
-        val th = new Thread(() => {
-          val copy = v.clone()
-          var i = t * batch
-          val end = math.min(shuffles, (t + 1) * batch)
-          while (i < end && hits.get() <= maxHits) {
-            // re-seed AND reset per permutation: each draw is a pure
-            // function of (splitSeed, i), so the verdict cannot depend
-            // on thread count or interleaving
-            System.arraycopy(v, 0, copy, 0, v.length)
-            val rng = new scala.util.Random(
-              graft.functions.HashFuncs.splitmix(splitSeed + i))
-            var j = copy.length - 1
-            while (j > 0) { // Fisher-Yates, per-permutation seed
-              val k = rng.nextInt(j + 1)
-              val tmp = copy(j); copy(j) = copy(k); copy(k) = tmp
-              j -= 1
-            }
-            if (maxT(copy, stride)._1 >= tObs) hits.incrementAndGet()
-            i += 1
+      def runBatch(from: Int, until: Int): Unit = {
+        val copy = v.clone()
+        var i = from
+        while (i < until && hits.get() <= maxHits) {
+          // re-seed AND reset per permutation: each draw is a pure
+          // function of (splitSeed, i), so the verdict cannot depend
+          // on batch count or interleaving
+          System.arraycopy(v, 0, copy, 0, v.length)
+          val rng = new scala.util.Random(
+            graft.functions.HashFuncs.splitmix(splitSeed + i))
+          var j = copy.length - 1
+          while (j > 0) { // Fisher-Yates, per-permutation seed
+            val k = rng.nextInt(j + 1)
+            val tmp = copy(j); copy(j) = copy(k); copy(k) = tmp
+            j -= 1
           }
-        })
-        th.setDaemon(true)
-        th.start()
-        th
+          if (maxT(copy, stride)._1 >= tObs) hits.incrementAndGet()
+          i += 1
+        }
       }
-      threads.foreach(_.join())
+      val nBatches = math.min(PermPoolSize, shuffles)
+      if (nBatches <= 1) runBatch(0, shuffles)
+      else {
+        val batch = (shuffles + nBatches - 1) / nBatches
+        val futures = (0 until nBatches).map { t =>
+          val from = t * batch
+          val until = math.min(shuffles, (t + 1) * batch)
+          permPool.submit(new Runnable {
+            def run(): Unit = runBatch(from, until)
+          })
+        }
+        futures.foreach(_.get())
+      }
       hits.get() > maxHits match {
         case true => false
         case false => hits.get().toDouble / shuffles <= pThreshold

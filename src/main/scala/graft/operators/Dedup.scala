@@ -152,13 +152,36 @@ object Dedup {
   }
 
   /** Which candidate-generation strategy [[jaccardDedup]] picks:
-    * "prefix" (AllPairs/PPJoin), "inverted-capped", or
-    * "inverted-uncapped". Exposed for tests and plan audits. */
+    * "prefix" (AllPairs/PPJoin), "inverted-capped" (caller-supplied
+    * cap), "inverted-autocap" (cap derived from the corpus df
+    * distribution — the safe default), or "inverted-uncapped" (explicit
+    * `exact = true` opt-in). Exposed for tests and plan audits. */
   private[graft] def jaccardRoute(threshold: Double,
-      dfCap: Option[Int]): String =
+      dfCap: Option[Int], exact: Boolean = false): String =
     if (threshold >= PrefixRouteThreshold) "prefix"
     else if (dfCap.isDefined) "inverted-capped"
-    else "inverted-uncapped"
+    else if (exact) "inverted-uncapped"
+    else "inverted-autocap"
+
+  /** Quantile of the shingle document-frequency distribution used by the
+    * auto-derived `dfCap`: p99.9 keeps 999/1000 shingles (all the
+    * discriminative ones) and drops only the hot head — stopword
+    * shingles shared by large fractions of the corpus, exactly the ones
+    * whose pair expansion is quadratic. */
+  val AutoCapQuantile = 0.999
+
+  /** Derive a dfCap from the corpus: the p99.9 shingle document
+    * frequency (min 2 — a cap below 2 would drop every co-occurrence).
+    * One count shuffle over the postings (same shape as the index build
+    * itself) + a scalar percentile to the driver. */
+  def derivedDfCap(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, quantile: Double = AutoCapQuantile): Int = {
+    val dfs = withShingleHashes(df, textCol, k)
+      .select(explode(col("sh_hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val p = dfs.agg(percentile(col("df"), lit(quantile))).head().getDouble(0)
+    math.max(2, math.ceil(p).toInt)
+  }
 
   /** Below this threshold the prefix filter keeps too little of each
     * document out of the index (prefix length |d|·(1−t)+1 approaches
@@ -178,25 +201,35 @@ object Dedup {
     *   - `threshold < 0.5` → [[jaccardPairs]] (inverted index): the
     *     prefix would cover nearly the whole document and buy nothing.
     *     Pair expansion is quadratic in hot-shingle document frequency,
-    *     so a `dfCap` is REQUIRED at corpus scale; calling without one
-    *     logs a warning and runs exact (acceptable for small frames and
-    *     oracle checks only). Capping drops shingles shared by more than
-    *     `dfCap` docs — pairs whose ONLY common shingles are that hot
-    *     may be missed (the standard production trade; document counts
-    *     are unaffected).
+    *     so the default derives a `dfCap` from the corpus itself
+    *     ([[derivedDfCap]]: the p99.9 shingle document frequency) —
+    *     the hot head that drives the df² blow-up is dropped, the
+    *     discriminative 99.9% of shingles are kept. Pass `dfCap`
+    *     explicitly to override, or `exact = true` to opt into the
+    *     uncapped exact expansion (warned — acceptable for small
+    *     frames and oracle checks only). Capping drops shingles shared
+    *     by more than the cap — pairs whose ONLY common shingles are
+    *     that hot may be missed (the standard production trade;
+    *     document counts are unaffected).
     */
   def jaccardDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      dfCap: Option[Int] = None): DataFrame =
-    jaccardRoute(threshold, dfCap) match {
+      dfCap: Option[Int] = None, exact: Boolean = false): DataFrame =
+    jaccardRoute(threshold, dfCap, exact) match {
       case "prefix" =>
         jaccardPairsPrefix(df, idCol, textCol, k, threshold)
       case "inverted-uncapped" =>
         log.warn(
-          s"jaccardDedup(threshold=$threshold) without dfCap: exact " +
+          s"jaccardDedup(threshold=$threshold, exact=true): uncapped " +
             "inverted-index expansion is quadratic in hot-shingle " +
-            "document frequency; pass dfCap for corpus-scale runs")
+            "document frequency; corpus-scale runs should rely on the " +
+            "derived dfCap default or pass dfCap explicitly")
         jaccardPairs(df, idCol, textCol, k, threshold, None)
+      case "inverted-autocap" =>
+        val cap = derivedDfCap(df, idCol, textCol, k)
+        log.info(s"jaccardDedup(threshold=$threshold): derived " +
+          s"dfCap=$cap from the p$AutoCapQuantile shingle df")
+        jaccardPairs(df, idCol, textCol, k, threshold, Some(cap))
       case _ =>
         jaccardPairs(df, idCol, textCol, k, threshold, dfCap)
     }

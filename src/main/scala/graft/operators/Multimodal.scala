@@ -91,7 +91,12 @@ object Multimodal {
           Some(DecodedImage(0L, w, h, px))
         }
       } catch {
-        case _: java.io.IOException => None
+        // ImageIO plugin readers and the per-pixel conversion can throw
+        // RuntimeExceptions (IllegalArgumentException, CMMException,
+        // ArrayIndexOutOfBounds) on truncated/malformed payloads — any
+        // such payload must degrade to the deterministic fallback, not
+        // fail the task (and with retries, the whole corpus job).
+        case scala.util.control.NonFatal(_) => None
       }
   }
 

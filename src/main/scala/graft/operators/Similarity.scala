@@ -162,10 +162,13 @@ object Similarity {
     * ONE corpus scan: the row-local [[withNearestCentroid]] assignment
     * (no shuffle) feeding a per-(cluster, dimension) mean whose shuffle
     * moves only k × dim partially-aggregated rows. Centroids round-trip
-    * through the driver between iterations (KB-sized). Empty clusters
-    * keep their previous centroid. Deterministic end to end — no random
-    * init, ties to the lowest cluster id — so engines can replay it
-    * (the q38 oracle re-derives two full iterations in SQL).
+    * through the driver between iterations (KB-sized). Clusters that
+    * become empty are DROPPED (not carried forward): a stale centroid
+    * no row voted for is not a mean of the data, and dropping is what a
+    * pure SQL replay of the iteration derives — group-by-means can only
+    * produce centroids of nonempty groups (the q38 oracle re-derives
+    * two full iterations that way). Deterministic end to end — no
+    * random init, ties to the lowest cluster id.
     *
     * Returns (corpusWithClusterCol, centroids collected) after `iters`
     * reassign-update rounds: the cluster column is the assignment
@@ -182,10 +185,9 @@ object Similarity {
     var i = 0
     while (i < iters) {
       assigned = withNearestCentroid(corpus, cents, vecCol, outCol)
-      val updated = collectCentroids(centroids(assigned, outCol, vecCol))
-      // empty clusters (no member rows) keep their previous centroid
-      val byId = updated.toMap
-      cents = cents.map { case (cid, c) => cid -> byId.getOrElse(cid, c) }
+      // clusters with no member rows drop out here: group-by-mean only
+      // yields centroids of nonempty groups, matching the SQL replay
+      cents = collectCentroids(centroids(assigned, outCol, vecCol))
       i += 1
     }
     (assigned, cents)

@@ -93,6 +93,36 @@ object Prep {
     * Returns (updated signal, failed-probe mask rows). */
   def inferType1Channel(signal: DataFrame, switchFailed: Boolean = false,
       maskFailed: Boolean = false): (DataFrame, DataFrame) = {
+    val flagged = flagType1Channels(signal, switchFailed)
+    val updated = signal
+      .join(broadcast(flagged.select("probe_id", "new_channel")),
+        Seq("probe_id"), "left")
+      .withColumn("channel",
+        when(col("inf_type") === "I" && col("new_channel").isNotNull,
+          col("new_channel")).otherwise(col("channel")))
+      .drop("new_channel")
+
+    val failedMask =
+      if (maskFailed)
+        flagged.filter(col("failed"))
+          .select(lit("failed_probes_inferTypeI").as("mask_name"),
+            lit(null).cast("string").as("sample_label"), col("probe_id"))
+      else flagged.filter(lit(false))
+        .select(lit("x").as("mask_name"),
+          lit(null).cast("string").as("sample_label"), col("probe_id"))
+    (updated, failedMask)
+  }
+
+  /** Per-type-I-probe channel-inference frame shared by
+    * [[inferType1Channel]] and [[channelSwitchSummary]]: columns
+    * `(probe_id, max_g, max_r, manifest_channel, any_na,
+    * inferred_channel, failed, new_channel)`. `new_channel` already
+    * honors the failed-probe reset (samples.py:986-988): a probe whose
+    * cross-sample max sits below the opposite-channel background P95, or
+    * with any NA cell, reverts to the manifest channel unless
+    * `switchFailed`. One shuffle on probe_id + one scalar P95. */
+  private def flagType1Channels(signal: DataFrame,
+      switchFailed: Boolean): DataFrame = {
     val t1 = signal.filter(col("inf_type") === "I" &&
       !(col("meth_g").isNull && col("unmeth_g").isNull &&
         col("meth_r").isNull && col("unmeth_r").isNull))
@@ -118,52 +148,28 @@ object Prep {
       .filter(col("v").isNotNull)
     val bgP95 = bg.agg(percentile(col("v"), lit(0.95))).head().getDouble(0)
 
-    val flagged = perProbe.withColumn("failed",
+    perProbe.withColumn("failed",
       (greatest(coalesce(col("max_g"), lit(Float.MinValue)),
         coalesce(col("max_r"), lit(Float.MinValue))) < bgP95) ||
         col("any_na") === 1)
       .withColumn("new_channel",
         when(col("failed") && !lit(switchFailed), col("manifest_channel"))
           .otherwise(col("inferred_channel")))
-
-    val updated = signal
-      .join(broadcast(flagged.select("probe_id", "new_channel")),
-        Seq("probe_id"), "left")
-      .withColumn("channel",
-        when(col("inf_type") === "I" && col("new_channel").isNotNull,
-          col("new_channel")).otherwise(col("channel")))
-      .drop("new_channel")
-
-    val failedMask =
-      if (maskFailed)
-        flagged.filter(col("failed"))
-          .select(lit("failed_probes_inferTypeI").as("mask_name"),
-            lit(null).cast("string").as("sample_label"), col("probe_id"))
-      else flagged.filter(lit(false))
-        .select(lit("x").as("mask_name"),
-          lit(null).cast("string").as("sample_label"), col("probe_id"))
-    (updated, failedMask)
   }
 
   /** A7 — channel-switch summary (samples.py:1010-1011): per (manifest
-    * channel, inferred channel), the number of type-I probes, with the
-    * channel inferred exactly as [[inferType1Channel]] infers it
-    * (cross-sample max of the four cells, ties → R, all-NA probes
-    * excluded). The reference prints this after every inference run.
-    * One groupBy per probe + one tiny groupBy-count — map-side partials,
-    * a single shuffle on probe_id. */
-  def channelSwitchSummary(signal: DataFrame): DataFrame =
-    signal.filter(col("inf_type") === "I" &&
-      !(col("meth_g").isNull && col("unmeth_g").isNull &&
-        col("meth_r").isNull && col("unmeth_r").isNull))
-      .groupBy("probe_id")
-      .agg(
-        max(greatest(col("meth_g"), col("unmeth_g"))).as("max_g"),
-        max(greatest(col("meth_r"), col("unmeth_r"))).as("max_r"),
-        max(col("channel")).as("manifest_channel"))
-      .withColumn("inferred_channel",
-        when(coalesce(col("max_r"), lit(Float.MinValue)) >=
-          coalesce(col("max_g"), lit(Float.MinValue)), "R").otherwise("G"))
+    * channel, inferred channel), the number of type-I probes. The
+    * reference prints this AFTER the failed-probe reset
+    * (samples.py:986-988): with the default `switchFailed = false`, a
+    * probe whose max sits below the background P95 (or with any NA cell)
+    * counts under its manifest channel, not its raw inferred one — so
+    * the summary here is derived from the same flagged frame
+    * [[inferType1Channel]] commits, not the raw argmax. */
+  def channelSwitchSummary(signal: DataFrame,
+      switchFailed: Boolean = false): DataFrame =
+    flagType1Channels(signal, switchFailed)
+      .select(col("manifest_channel"),
+        col("new_channel").as("inferred_channel"))
       .groupBy("manifest_channel", "inferred_channel")
       .agg(count(lit(1)).as("n_probes"))
 

@@ -219,7 +219,12 @@ object ExtraQ {
     * built from lineitem: probe = partkey, sample = suppkey, manifest
     * channel from partkey parity, four measurement cells from
     * integer-valued line columns (exact in FLOAT on both engines, so
-    * the cross-sample max comparison cannot drift). */
+    * the cross-sample max comparison cannot drift). The oracle replays
+    * the FULL reference formula including the failed-probe reset
+    * (samples.py:986-988): probes whose cross-sample max sits below the
+    * opposite-channel background P95 revert to the manifest channel
+    * (quantile_cont = Spark's exact interpolated percentile; maxima are
+    * integer-valued so the < comparison cannot sit on a ulp boundary). */
   val q51 = Q(
     "q51_channel_switch_summary",
     (s, d) => {
@@ -254,14 +259,37 @@ object ExtraQ {
         SELECT probe_id,
                max(greatest(meth_g, unmeth_g)) AS max_g,
                max(greatest(meth_r, unmeth_r)) AS max_r,
-               max(channel) AS manifest_channel
+               max(channel) AS manifest_channel,
+               max(CASE WHEN meth_g IS NULL OR unmeth_g IS NULL
+                          OR meth_r IS NULL OR unmeth_r IS NULL
+                        THEN 1 ELSE 0 END) AS any_na
         FROM sig GROUP BY probe_id
+      ), inferred AS (
+        SELECT *,
+               CASE WHEN coalesce(max_r, -3.4028235e38)
+                      >= coalesce(max_g, -3.4028235e38)
+                    THEN 'R' ELSE 'G' END AS inferred_channel
+        FROM per_probe
+      ), bg AS (
+        SELECT CASE WHEN i.inferred_channel = 'R'
+                    THEN greatest(s.meth_g, s.unmeth_g)
+                    ELSE greatest(s.meth_r, s.unmeth_r) END AS v
+        FROM sig s JOIN inferred i USING (probe_id)
+      ), p95 AS (
+        SELECT quantile_cont(v, 0.95) AS bg_p95 FROM bg
+        WHERE v IS NOT NULL
+      ), flagged AS (
+        SELECT i.manifest_channel,
+               CASE WHEN greatest(coalesce(max_g, -3.4028235e38),
+                                  coalesce(max_r, -3.4028235e38))
+                           < p.bg_p95
+                         OR any_na = 1
+                    THEN i.manifest_channel
+                    ELSE i.inferred_channel END AS inferred_channel
+        FROM inferred i CROSS JOIN p95 p
       )
-      SELECT manifest_channel,
-             CASE WHEN max_r >= max_g THEN 'R' ELSE 'G' END
-               AS inferred_channel,
-             count(*) AS n_probes
-      FROM per_probe
+      SELECT manifest_channel, inferred_channel, count(*) AS n_probes
+      FROM flagged
       GROUP BY manifest_channel, inferred_channel
       ORDER BY manifest_channel, inferred_channel"""))
 

@@ -60,7 +60,9 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardRoute(0.5, None) == "prefix")
     assert(Dedup.jaccardRoute(0.8, Some(64)) == "prefix")
     assert(Dedup.jaccardRoute(0.3, Some(64)) == "inverted-capped")
-    assert(Dedup.jaccardRoute(0.3, None) == "inverted-uncapped")
+    assert(Dedup.jaccardRoute(0.3, None) == "inverted-autocap")
+    assert(Dedup.jaccardRoute(0.3, None, exact = true) ==
+      "inverted-uncapped")
     // high threshold: identical to the prefix variant
     val hi = Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
       threshold = 0.6)
@@ -73,11 +75,51 @@ class DedupSpec extends SparkSpec {
     val loRef = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
       threshold = 0.2, dfCap = Some(16))
     assert(lo.except(loRef).isEmpty && loRef.except(lo).isEmpty)
-    // low threshold without a cap still runs (exact, warned)
+    // low threshold with explicit exact opt-in: uncapped inverted index
+    assert(Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
+      threshold = 0.2, exact = true).count() ==
+      Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.2).count())
+    // low threshold default: capped at the derived p99.9 df — on this
+    // corpus (no hot head) the cap keeps everything, so output is the
+    // exact set
     assert(Dedup.jaccardDedup(docs, "doc_id", "text", k = 3,
       threshold = 0.2).count() ==
       Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
         threshold = 0.2).count())
+  }
+
+  test("derived dfCap bounds hot-shingle pair expansion where uncapped " +
+      "blows up") {
+    // 200 docs all sharing one hot stopword run (the same 12-word
+    // prefix → 10 shingles with df=200) plus a 52-word unique tail
+    // (52 df=1 shingles per doc → 10,400 distinct, so the 10 hot
+    // shingles are < 0.1% of the population and the p99.9 df is 1).
+    // Uncapped, EVERY doc pair co-occurs under the hot shingles:
+    // 10 × 200·199/2 ≈ 199k expanded pair rows.
+    val hot = (1 to 200).map { i =>
+      (i.toLong,
+        "the of and to in that it is was for on with " +
+          (1 to 52).map(j => s"u${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cap = Dedup.derivedDfCap(hot, "doc_id", "text", k = 3)
+    assert(cap < 200, s"derived cap $cap should exclude the df=200 head")
+    // pair expansion under the cap is bounded: candidate groupBy input
+    // rows = Σ_capped df·(df−1)/2 — measure via the capped pairs frame
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", k = 3,
+      threshold = 0.05, dfCap = Some(cap)).count()
+    val uncapped = Dedup.jaccardPairs(hot, "doc_id", "text", k = 3,
+      threshold = 0.05).count()
+    // uncapped keeps all 19.9k cross pairs (every pair shares the hot
+    // run at jaccard = 10/114 ≥ 0.05); the cap removes the hot shingles
+    // so unrelated docs no longer co-occur at all
+    assert(uncapped == 200L * 199 / 2,
+      s"uncapped should retain every cross pair, got $uncapped")
+    assert(capped == 0,
+      s"capped expansion should drop hot-only pairs, got $capped")
+    // the front door picks the derived cap by default at low thresholds
+    assert(Dedup.jaccardDedup(hot, "doc_id", "text", k = 3,
+      threshold = 0.05).count() == capped)
   }
 
   test("minhash-LSH candidates cover high-jaccard pairs; estimates track") {
