@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[ImageCodec]] reads PNG/JPEG/BMP/GIF through
   * `javax.imageio` (ships in the JDK — zero extra dependencies) and
-  * emits row-major grayscale in [0,1]. Payloads that aren't a decodable
-  * image — and the audio/video modalities, whose codecs are not in this
-  * container — fall back to `FakeCodec`, a deterministic stub that
-  * derives pixel/sample data from xxhash-style mixing of the bytes, so
-  * every pipeline stage (schemas, partitioning, batch iteration,
-  * metadata propagation, feature shapes) stays real and testable with
-  * synthetic payloads, and a production audio/video codec drops in by
-  * replacing one function.
+  * emits row-major grayscale in [0,1]. AUDIO decode is REAL:
+  * [[AudioCodec]] reads WAV/AIFF/AU PCM through `javax.sound.sampled`
+  * (also JDK-native) and emits mono-mixed samples in [-1,1]. Payloads
+  * that aren't decodable — and the video modality, whose demuxer is not
+  * in this container — fall back to `FakeCodec`, a deterministic stub
+  * that derives pixel/sample data from xxhash-style mixing of the
+  * bytes, so every pipeline stage (schemas, partitioning, batch
+  * iteration, metadata propagation, feature shapes) stays real and
+  * testable with synthetic payloads, and a production video codec
+  * drops in by replacing one function.
   */
 object Multimodal {
 
@@ -34,6 +36,9 @@ object Multimodal {
 
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       pixels: Array[Float]) // row-major grayscale in [0,1]
+
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      n_channels: Int, samples: Array[Float]) // mono-mixed, in [-1,1]
 
   final case class MediaFeature(media_id: Long, media_type: String,
       embedding: Array[Float])
@@ -100,8 +105,72 @@ object Multimodal {
       }
   }
 
-  /** STUB codec for the modalities without a container codec (audio,
-    * video) and for non-decodable image payloads in tests — deterministic
+  /** REAL audio codec over `javax.sound.sampled` (JDK built-in WAV/AIFF/
+    * AU readers — zero extra dependencies). Supports PCM signed/unsigned,
+    * 8/16/24/32-bit, either endianness; multi-channel frames are mixed
+    * to mono by averaging (each channel normalized to [-1,1] first).
+    * Returns None when the bytes aren't a decodable audio container —
+    * callers fall back to [[FakeCodec]], mirroring the image seam. */
+  object AudioCodec {
+
+    def decodeAudio(content: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = in.getFormat
+          val enc = f.getEncoding
+          val signed =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = f.getSampleSizeInBits
+          val ch = f.getChannels
+          if ((!signed && !unsigned) || bits % 8 != 0 || bits > 32 ||
+            ch < 1) None
+          else {
+            val bytes = in.readAllBytes()
+            val bps = bits / 8
+            val frameBytes = bps * ch
+            val nFrames = bytes.length / frameBytes
+            val half = (1L << (bits - 1)).toFloat
+            val out = new Array[Float](nFrames)
+            var fr = 0
+            while (fr < nFrames) {
+              var sum = 0f
+              var c = 0
+              while (c < ch) {
+                val off = fr * frameBytes + c * bps
+                var raw = 0L
+                var b = 0
+                while (b < bps) {
+                  val idx = if (f.isBigEndian) off + b else off + bps - 1 - b
+                  raw = (raw << 8) | (bytes(idx) & 0xffL)
+                  b += 1
+                }
+                // sign-extend (signed) or re-center (unsigned)
+                val v =
+                  if (signed) (raw << (64 - bits)) >> (64 - bits)
+                  else raw - (1L << (bits - 1))
+                sum += v / half
+                c += 1
+              }
+              out(fr) = sum / ch
+              fr += 1
+            }
+            Some(DecodedAudio(0L, f.getSampleRate.toInt, ch, out))
+          }
+        } finally in.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio bytes; plugin
+        // readers can also throw RuntimeExceptions on malformed
+        // containers — all degrade to the deterministic fallback.
+        case scala.util.control.NonFatal(_) => None
+      }
+  }
+
+  /** STUB codec for the modalities without a container codec (video)
+    * and for non-decodable image/audio payloads in tests — deterministic
     * splitmix64 mixing of content bytes. Everything downstream is
     * codec-agnostic. */
   object FakeCodec {
@@ -126,6 +195,14 @@ object Multimodal {
       Array.tabulate(width * height)(i =>
         ((mix(seed + i) >>> 11).toDouble / (1L << 53)).toFloat)
     }
+
+    /** ??? in a real deployment — here: deterministic fake mono
+      * samples in [-1,1], one per content byte. */
+    def decodeAudio(content: Array[Byte], nSamples: Int): Array[Float] = {
+      val seed = contentHash(content)
+      Array.tabulate(nSamples)(i =>
+        (((mix(seed + i) >>> 11).toDouble / (1L << 53)) * 2 - 1).toFloat)
+    }
   }
 
   /** Decode one image payload: real `javax.imageio` decode when the
@@ -139,6 +216,18 @@ object Multimodal {
         FakeCodec.decodeImage(m.content, m.width, m.height))
     }
 
+  /** Decode one audio payload: real `javax.sound.sampled` decode when
+    * the bytes are a decodable container (rate/channels come from the
+    * container itself), deterministic fake otherwise (rate from the
+    * declared metadata, one sample per content byte). */
+  private def decodeOneAudio(m: MediaRow): DecodedAudio =
+    AudioCodec.decodeAudio(m.content) match {
+      case Some(d) =>
+        DecodedAudio(m.media_id, d.sample_rate, d.n_channels, d.samples)
+      case None => DecodedAudio(m.media_id, m.sample_rate, 1,
+        FakeCodec.decodeAudio(m.content, m.content.length))
+    }
+
   /** Decode images partition-wise (batch iterator in, batch iterator
     * out — the mapInPandas shape). */
   def decodeImages(spark: SparkSession,
@@ -146,6 +235,16 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.media_type == "image").mapPartitions { it =>
       it.map(decodeOne)
+    }
+  }
+
+  /** Decode audio partition-wise — same iterator-to-iterator shape as
+    * [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { it =>
+      it.map(decodeOneAudio)
     }
   }
 
@@ -166,25 +265,30 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: fixed-dim embedding per media row (stubbed as a
-    * coarse downsampled intensity grid for images, hash features
-    * otherwise) — the batch shape a real vision/audio encoder uses. */
+  /** Mean-pool a signal onto a dim-length grid — the shared pooling
+    * step for image pixels and audio samples. Empty input → zeros. */
+  private def meanPool(xs: Array[Float], dim: Int): Array[Float] =
+    if (xs.isEmpty) new Array[Float](dim)
+    else Array.tabulate(dim) { d =>
+      val lo = d.toLong * xs.length / dim
+      val hi = math.max(lo + 1, (d + 1).toLong * xs.length / dim)
+      var s = 0f; var i = lo
+      while (i < hi) { s += xs(i.toInt); i += 1 }
+      s / (hi - lo)
+    }
+
+  /** Feature extraction: fixed-dim embedding per media row (a coarse
+    * mean-pooled grid over decoded pixels for images and decoded
+    * samples for audio; hash features for video, whose demuxer is
+    * stubbed) — the batch shape a real vision/audio encoder uses. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
       dim: Int = 64): Dataset[MediaFeature] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         val emb = m.media_type match {
-          case "image" =>
-            val px = decodeOne(m).pixels
-            // mean-pool onto a dim-length grid
-            Array.tabulate(dim) { d =>
-              val lo = d.toLong * px.length / dim
-              val hi = math.max(lo + 1, (d + 1).toLong * px.length / dim)
-              var s = 0f; var i = lo
-              while (i < hi) { s += px(i.toInt); i += 1 }
-              s / (hi - lo)
-            }
+          case "image" => meanPool(decodeOne(m).pixels, dim)
+          case "audio" => meanPool(decodeOneAudio(m).samples, dim)
           case _ =>
             val seed = FakeCodec.contentHash(m.content)
             Array.tabulate(dim)(i =>

@@ -70,6 +70,67 @@ class MultimodalSpec extends SparkSpec {
       FakeCodec.decodeImage(bytes(8, 100), 10, 10).toSeq)
   }
 
+  /** A real 16-bit little-endian PCM WAV with known sample values,
+    * encoded through the JDK's own writer. */
+  def realWav(samples: Array[Short], rate: Float = 16000f,
+      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false) // signed, little-endian
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV bytes decode to the exact PCM samples via " +
+      "javax.sound.sampled") {
+    val pcm = Array[Short](0, 16384, -16384, 32767, -32768, 1, -1, 12345)
+    val wav = realWav(pcm, rate = 22050f)
+    // declared metadata rate is WRONG on purpose: the real decode must
+    // take the rate from the container, not the metadata
+    val rows = Seq(MediaRow(9, "audio", wav, 0, 0, 8000, 0)).toDS()
+    val a = decodeAudio(spark, rows).collect().head
+    assert(a.sample_rate == 22050 && a.n_channels == 1)
+    assert(a.samples.length == pcm.length)
+    for (i <- pcm.indices)
+      assert(a.samples(i) == pcm(i) / 32768f,
+        s"sample $i: got ${a.samples(i)} expected ${pcm(i) / 32768f}")
+    // and features flow from the REAL samples through the same path
+    val feat = extractFeatures(spark, rows, dim = 4).collect().head
+    val meanS = a.samples.sum / a.samples.length
+    val meanEmb = feat.embedding.sum / feat.embedding.length
+    assert(math.abs(meanS - meanEmb) < 1e-3)
+  }
+
+  test("stereo WAV mixes channels to mono by averaging") {
+    // interleaved L/R frames: L = 1000·k, R = -1000·k → mono mix 0
+    val inter = (1 to 4).flatMap(k =>
+      Seq((1000 * k).toShort, (-1000 * k).toShort)).toArray
+    val rows = Seq(MediaRow(10, "audio", realWav(inter, channels = 2),
+      0, 0, 0, 0)).toDS()
+    val a = decodeAudio(spark, rows).collect().head
+    assert(a.n_channels == 2 && a.samples.length == 4)
+    assert(a.samples.forall(_ == 0f))
+  }
+
+  test("non-decodable audio bytes fall back to the deterministic fake") {
+    val junk = Seq(MediaRow(11, "audio", bytes(11, 64), 0, 0, 4000, 0))
+      .toDS()
+    val a = decodeAudio(spark, junk).collect().head
+    assert(a.sample_rate == 4000) // metadata rate
+    assert(a.samples.toSeq ==
+      FakeCodec.decodeAudio(bytes(11, 64), 64).toSeq)
+    assert(a.samples.forall(s => s >= -1f && s <= 1f))
+  }
+
   test("resize keeps schema, changes shape") {
     val small = resize(spark, decodeImages(spark, media), 5, 4).collect()
     assert(small.forall(i => i.width == 5 && i.height == 4 &&
