@@ -36,6 +36,9 @@ object Q {
 
   /** Session configs every entry point (Verify/Bench/tests) applies. */
   val sessionConfigs: Map[String, String] = Map(
+    // the full deployment surface: SQL kernels + the overlap-join
+    // rewrite rule, injected the way a cluster would
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     // Coalesce post-shuffle partitions to the advisory size instead of

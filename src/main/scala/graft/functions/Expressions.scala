@@ -616,6 +616,8 @@ class GraftExtensions
 
   override def apply(
       e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // Optimizer rule: naive range-overlap joins → binned equi joins
+    e.injectOptimizerRule(sp => graft.plans.RewriteOverlapJoin(sp))
     e.injectFunction((FunctionIdentifier("erfc"),
       new ExpressionInfo(classOf[Expressions.Erfc].getName, "erfc"),
       (es: Seq[Expression]) => Expressions.Erfc(Expressions.toD(es.head))))

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DataType,
+  IntegerType, LongType, ShortType}
+
+/** Auto-rewrite of naive interval-overlap joins (SURVEY §4.3(3)).
+  *
+  * A user-written overlap join
+  * {{{
+  *   a.join(b, a("chrom") === b("chrom")
+  *     && a("start") < b("end") && a("end") > b("start"))
+  * }}}
+  * has no usable high-cardinality equi key: with the chrom equality
+  * Catalyst hash-joins on ~25 chromosome values (a skew/parallelism
+  * ceiling — one task per chromosome at best, the largest chromosome
+  * dominating), and without it the plan degenerates to a
+  * broadcast-nested-loop / cartesian product. Code that calls
+  * `Intervals.overlapJoin` gets the good binned plan; this rule gives
+  * the SAME plan to the naive spelling, so the declarative form is
+  * safe to write.
+  *
+  * Detection: an inner join whose condition contains (after conjunct
+  * split) a `lX < rY` and a `lZ > rW` pair with integral operands —
+  * the half-open overlap predicate `l.start < r.end && l.end >
+  * r.start` in any orientation. Extra conjuncts (the chrom equality,
+  * other residuals) are preserved untouched.
+  *
+  * Rewrite: both sides gain an exploded `bin` column covering
+  * `start div B .. (end-1) div B` (B = spark.graft.overlapJoin.binSize,
+  * default 100000), the join gains `bin_l = bin_r` — a real equi key
+  * that hash/sort-merge partitions evenly — plus the one-bin dedup
+  * predicate `bin_l = greatest(l_start, r_start) div B`: every truly
+  * overlapping pair shares the bin containing the overlap's first
+  * point and is emitted EXACTLY once, so no post-join dedup is needed
+  * and output multiplicity matches the naive join bit-for-bit (the
+  * original predicates all remain as residuals). A trailing Project
+  * restores the original schema.
+  *
+  * Guards:
+  *   - skipped when the join already has an integral-typed equi key
+  *     (either the caller pre-binned — `Intervals.overlapJoin` output —
+  *     or a high-cardinality id equality already makes the join
+  *     hash-joinable); rewriting there would stack pointless work.
+  *   - skipped on non-deterministic operands and non-integral bounds.
+  *   - `spark.graft.overlapJoin.rewrite=false` disables globally.
+  *
+  * Degenerate intervals (`end <= start`) bin to `{start div B}` via the
+  * `greatest` guard below, which keeps the rewrite faithful to the raw
+  * predicate semantics: a pair satisfying the residual predicates is
+  * emitted whether or not the "interval" is well-formed.
+  */
+case class RewriteOverlapJoin(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinL = "__graft_bin_l"
+  private val BinR = "__graft_bin_r"
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.overlapJoin.rewrite", "true")
+      .toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !left.output.exists(_.name == BinL) &&
+            !right.output.exists(_.name == BinR) =>
+        rewrite(j, left, right, cond).getOrElse(j)
+    }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def leftOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def rightOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+    // an existing integral equi key means the join is already
+    // hash-joinable on a real key (pre-binned or id-equality) — skip
+    val hasIntegralEquiKey = conjuncts.exists {
+      case EqualTo(a, b) =>
+        integral(a.dataType) &&
+          ((leftOnly(a) && rightOnly(b)) || (rightOnly(a) && leftOnly(b)))
+      case _ => false
+    }
+    if (hasIntegralEquiKey) return None
+
+    // lt: (lX, rY) meaning lX < rY; gt: (lZ, rW) meaning lZ > rW
+    var lt: Option[(Expression, Expression)] = None
+    var gt: Option[(Expression, Expression)] = None
+    conjuncts.foreach {
+      case LessThan(a, b) if leftOnly(a) && rightOnly(b) =>
+        if (lt.isEmpty) lt = Some((a, b))
+      case LessThan(a, b) if rightOnly(a) && leftOnly(b) =>
+        if (gt.isEmpty) gt = Some((b, a))
+      case GreaterThan(a, b) if leftOnly(a) && rightOnly(b) =>
+        if (gt.isEmpty) gt = Some((a, b))
+      case GreaterThan(a, b) if rightOnly(a) && leftOnly(b) =>
+        if (lt.isEmpty) lt = Some((b, a))
+      case _ => ()
+    }
+    (lt, gt) match {
+      case (Some((lStart, rEnd)), Some((lEnd, rStart))) =>
+        val ops = Seq(lStart, rEnd, lEnd, rStart)
+        if (!ops.forall(e => e.deterministic &&
+          integral(e.dataType))) return None
+
+        val binSize = conf
+          .getConfString("spark.graft.overlapJoin.binSize", "100000").toLong
+        val b = Literal(binSize)
+        def toLong(e: Expression): Expression =
+          if (e.dataType == LongType) e else Cast(e, LongType)
+        def sdiv(e: Expression): Expression = IntegralDivide(toLong(e), b)
+        def ediv(e: Expression): Expression =
+          IntegralDivide(Subtract(toLong(e), Literal(1L)), b)
+        // bins of [s, e): s div B .. (e-1) div B; greatest() keeps the
+        // sequence non-empty for degenerate rows instead of erroring
+        // Sequence is TimeZoneAwareExpression: it only counts as
+        // resolved with a timezone bound, even for pure long bounds
+        def bins(s: Expression, e: Expression): Generator =
+          Explode(Sequence(sdiv(s),
+            Greatest(Seq(sdiv(s), ediv(e))), Some(Literal(1L)),
+            Some(conf.sessionLocalTimeZone)))
+
+        val binL = AttributeReference(BinL, LongType, nullable = false)()
+        val binR = AttributeReference(BinR, LongType, nullable = false)()
+        val genLeft = Generate(bins(lStart, lEnd), Nil, outer = false,
+          None, Seq(binL), left)
+        val genRight = Generate(bins(rStart, rEnd), Nil, outer = false,
+          None, Seq(binR), right)
+        // one-bin dedup: keep only the bin holding the overlap's first
+        // point, greatest(l_start, r_start) — covered by both sides'
+        // exploded ranges whenever the residual predicates hold
+        val dedup = EqualTo(binL, IntegralDivide(
+          Greatest(Seq(toLong(lStart), toLong(rStart))), b))
+        val newCond = (conjuncts :+ EqualTo(binL, binR) :+ dedup)
+          .reduce(And)
+        val newJoin =
+          Join(genLeft, genRight, Inner, Some(newCond), j.hint)
+        Some(Project(j.output, newJoin))
+      case _ => None
+    }
+  }
+}

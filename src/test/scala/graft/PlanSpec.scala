@@ -56,6 +56,67 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("naive user-written overlap join is auto-rewritten to a binned " +
+      "equi join") {
+    import spark.implicits._
+    val a = Seq(("chr1", 100L, 250L, "a1"), ("chr1", 400L, 500L, "a2"),
+      ("chr2", 10L, 900000L, "a3"))
+      .toDF("chrom", "start", "end", "id_a")
+    val b = Seq(("chr1", 200L, 300L, "b1"), ("chr1", 600L, 700L, "b2"),
+      ("chr2", 450000L, 450100L, "b3"), ("chr2", 899999L, 900500L, "b4"))
+      .toDF("chrom", "s2", "e2", "id_b")
+    val naive = a.join(b, a("chrom") === b("chrom") &&
+      a("start") < b("e2") && a("end") > b("s2"))
+    val p = naive.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap join was not rewritten to an equi join\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+    assert(p.contains("Generate"), "binning explode missing")
+    // identical rows + schema vs the rule disabled (true nested loop),
+    // including the multi-bin interval (a3 spans 9 bins; b3/b4 overlap
+    // it once each — the one-bin dedup predicate must not duplicate)
+    val expected = Seq(("a1", "b1"), ("a3", "b3"), ("a3", "b4"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(naive.columns.toSeq ==
+      Seq("chrom", "start", "end", "id_a", "chrom", "s2", "e2", "id_b"))
+    assert(pairs(naive) == expected)
+    spark.conf.set("spark.graft.overlapJoin.rewrite", "false")
+    try {
+      // disabled: joins only on the low-cardinality chrom key (the
+      // skew-ceiling plan) — and without the chrom equality, a true
+      // nested loop; results must match the rewrite in both shapes
+      val raw = a.join(b, a("chrom") === b("chrom") &&
+        a("start") < b("e2") && a("end") > b("s2"))
+      assert(!raw.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(pairs(raw) == expected)
+      val pureRange = a.join(b,
+        a("start") < b("e2") && a("end") > b("s2"))
+      assert(pureRange.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.graft.overlapJoin.rewrite", "true")
+    // and with the rule on, even the chrom-less pure range join gets the
+    // binned equi plan
+    val pureRewritten = a.join(b,
+      a("start") < b("e2") && a("end") > b("s2"))
+    val pp = pureRewritten.queryExecution.executedPlan.toString
+    assert(!pp.contains("BroadcastNestedLoopJoin") &&
+      pp.contains("Generate"), pp.take(1200))
+    // a1/b1 + a3 overlaps all four b intervals ignoring chrom
+    assert(pureRewritten.count() == 5)
+  }
+
+  test("pre-binned joins (Intervals.overlapJoin) are NOT double-binned " +
+      "by the rewrite rule") {
+    val p = plan(IntervalQ.q27)
+    // exactly the explodes overlapJoin itself introduces (one per side);
+    // the rule's guard must not add a second layer
+    assert(!p.contains("__graft_bin_l"), p.take(1500))
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan(Relational.q01)
     assert(p.contains("HashAggregate") && p.contains("Exchange"))
