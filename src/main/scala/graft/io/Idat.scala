@@ -143,25 +143,24 @@ object Idat {
   }
 
   /** Distributed scan: (sample_label, channel, path) manifest → long IdatRow
-    * Dataset, decoding on executors via the binaryFile source. `channel`
-    * is "G"/"R" (Grn/Red file). */
+    * Dataset via the `idat` DataSource V2 ([[graft.sources.IdatDataSource]]):
+    * one input partition per file, section pushdown (only the
+    * ILLUMINA_ID/MEAN/STD_DEV/NUM_BEADS byte ranges are read — barcode,
+    * chip type and RUN_INFO never leave disk). `channel` is "G"/"R"
+    * (Grn/Red file). */
   def read(spark: SparkSession,
       files: Seq[(String, String, String)]): Dataset[IdatRow] = {
     import spark.implicits._
     val byPath: Map[String, (String, String)] =
       files.map { case (s, c, p) => normalize(p) -> ((s, c)) }.toMap
-    val paths = files.map(_._3)
-    spark.read.format("binaryFile").load(paths: _*)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
+    if (files.isEmpty) return spark.emptyDataset[IdatRow]
+    spark.read.format("idat").load(files.map(_._3): _*)
+      .select("path", "illumina_id", "mean", "std_dev", "n_beads")
+      .as[(String, Int, Float, Float, Short)]
+      .map { case (path, id, mean, std, nb) =>
         val (sample, channel) = byPath.getOrElse(normalize(path),
           throw new IllegalStateException(s"Unmatched $path"))
-        val d = decode(content)
-        Iterator.tabulate(d.nSnpsRead) { i =>
-          IdatRow(sample, channel, d.illuminaIds(i), d.means(i),
-            d.stdDevs(i), d.nBeads(i))
-        }
+        IdatRow(sample, channel, id, mean, std, nb)
       }
   }
 

@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import graft.io.Idat
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{FloatType, IntegerType, ShortType,
+  StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("idat")` — DataSource V2 for Illumina IDAT v3
+  * (SURVEY §4.3(4): the promotion from `binaryFile` + `mapPartitions`
+  * once file counts grow).
+  *
+  * Scale properties the binaryFile path could not give:
+  *   - **partition planning per file**: each IDAT file is one
+  *     InputPartition, so a 100k-pair ingest schedules like any other
+  *     file scan (locality hints, speculative retry per file) instead
+  *     of shipping whole files as byte-array rows through a shuffle-
+  *     prone binary column.
+  *   - **section pushdown**: the IDAT section-offset directory
+  *     (reference read_idat.py:302-322 reads it for exactly this
+  *     reason) lets the reader seek to just the sections the query
+  *     needs. Column pruning maps to sections: a
+  *     `select(illumina_id, mean)` reads the ID + MEAN byte ranges and
+  *     never touches STD_DEV/NUM_BEADS/RUN_INFO; a bare `count()`
+  *     reads 4 bytes (NUM_SNPS_READ). On object stores each section is
+  *     one range request instead of a whole-object GET.
+  *   - gzipped files have no random access: the reader detects the
+  *     gzip magic and falls back to whole-file decode
+  *     ([[Idat.decode]]), preserving behavior.
+  *
+  * Schema: one row per probe —
+  * `(path, barcode, chip_type, illumina_id, mean, std_dev, n_beads)`.
+  */
+class IdatDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "idat"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IdatTable.Schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new IdatTable(IdatTable.pathsFrom(properties))
+}
+
+object IdatTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("barcode", StringType, nullable = true),
+    StructField("chip_type", StringType, nullable = true),
+    StructField("illumina_id", IntegerType, nullable = false),
+    StructField("mean", FloatType, nullable = false),
+    StructField("std_dev", FloatType, nullable = false),
+    StructField("n_beads", ShortType, nullable = false)))
+
+  /** Paths from reader options: `.load(p1, p2, …)` arrives as a JSON
+    * array under "paths" plus optionally a single "path". */
+  def pathsFrom(properties: JMap[String, String]): Seq[String] = {
+    import org.json4s.{JArray, JString}
+    val multi = Option(properties.get("paths")).toSeq.flatMap { s =>
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case JArray(vs) => vs.collect { case JString(x) => x }
+        case _ => Nil
+      }
+    }
+    val single = Option(properties.get("path")).toSeq
+    (multi ++ single).distinct
+  }
+}
+
+class IdatTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"idat(${paths.take(3).mkString(",")}…)"
+  override def schema(): StructType = IdatTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new IdatScanBuilder(paths)
+}
+
+class IdatScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = IdatTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new IdatScan(paths, required)
+}
+
+/** Hadoop Configuration is not Serializable; the standard wrapper
+  * (write/readFields round-trip) ships it to executors. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+case class IdatInputPartition(path: String) extends InputPartition
+
+class IdatScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per file; globs and directories expand here on the
+    * driver (listing only — no file bytes are read at planning time). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty).toSeq
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.contains(".idat"))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.distinct.map(IdatInputPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IdatReaderFactory(required,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+class IdatReaderFactory(required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new IdatPartitionReader(
+      partition.asInstanceOf[IdatInputPartition].path, required,
+      conf.value)
+}
+
+/** Reads exactly the sections the pruned schema needs, via seeks into
+  * the section directory; whole-file decode only for gzipped inputs. */
+class IdatPartitionReader(pathStr: String, required: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private val fieldNames = required.fields.map(_.name)
+  private var n = 0
+  private var idx = -1
+  private var ids: Array[Int] = _
+  private var means: Array[Float] = _
+  private var stds: Array[Float] = _
+  private var beads: Array[Short] = _
+  private var barcode: UTF8String = _
+  private var chipType: UTF8String = _
+  private var pathUtf: UTF8String = _
+
+  locally {
+    pathUtf = UTF8String.fromString(pathStr)
+    val hp = new Path(pathStr)
+    val fs = hp.getFileSystem(conf)
+    val len = fs.getFileStatus(hp).getLen
+    val in = fs.open(hp)
+    try {
+      val head = new Array[Byte](2)
+      in.readFully(0, head)
+      if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        // gzip: no random access — whole-file decode
+        val raw = new Array[Byte](len.toInt)
+        in.readFully(0, raw)
+        val d = Idat.decode(raw)
+        n = d.nSnpsRead
+        ids = d.illuminaIds; means = d.means; stds = d.stdDevs
+        beads = d.nBeads.map(b => b)
+        barcode = UTF8String.fromString(d.barcode)
+        chipType = UTF8String.fromString(d.chipType)
+      } else {
+        val header = new Array[Byte](16)
+        in.readFully(0, header)
+        val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](4)
+        hb.get(magic)
+        require(new String(magic, "US-ASCII") == "IDAT",
+          s"$pathStr: not an IDAT file")
+        val version = hb.getLong
+        require(version == 3, s"$pathStr: IDAT version $version != 3")
+        val numFields = hb.getInt
+        val dir = new Array[Byte](numFields * 10)
+        in.readFully(16, dir)
+        val db = ByteBuffer.wrap(dir).order(ByteOrder.LITTLE_ENDIAN)
+        val offsets = (0 until numFields).map { _ =>
+          val code = db.getShort & 0xffff
+          code -> db.getLong
+        }.toMap
+        def sect(code: Int): Long = offsets.getOrElse(code,
+          throw new IllegalArgumentException(
+            s"$pathStr: missing IDAT section $code"))
+        def readAt(off: Long, size: Int): ByteBuffer = {
+          val a = new Array[Byte](size)
+          in.readFully(off, a)
+          ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+        }
+        n = readAt(sect(1000), 4).getInt
+        def need(col: String) = fieldNames.contains(col)
+        if (need("illumina_id")) {
+          val b = readAt(sect(102), n * 4)
+          ids = new Array[Int](n)
+          var i = 0; while (i < n) { ids(i) = b.getInt; i += 1 }
+        }
+        if (need("mean")) {
+          val b = readAt(sect(104), n * 2)
+          means = new Array[Float](n)
+          var i = 0
+          while (i < n) { means(i) = (b.getShort & 0xffff).toFloat; i += 1 }
+        }
+        if (need("std_dev")) {
+          val b = readAt(sect(103), n * 2)
+          stds = new Array[Float](n)
+          var i = 0
+          while (i < n) { stds(i) = (b.getShort & 0xffff).toFloat; i += 1 }
+        }
+        if (need("n_beads")) {
+          val b = readAt(sect(107), n)
+          beads = new Array[Short](n)
+          var i = 0
+          while (i < n) { beads(i) = (b.get & 0xff).toShort; i += 1 }
+        }
+        def readVarintString(off: Long): UTF8String = {
+          // varint length (7-bit groups) + UTF-8 bytes; strings are
+          // short — one bounded read covers prefix + payload
+          val size = math.min(4096L, len - off).toInt
+          val b = readAt(off, size)
+          var numBytes = b.get & 0xff
+          var numChars = numBytes % 128
+          var shift = 0
+          while (numBytes / 128 == 1) {
+            numBytes = b.get & 0xff
+            shift += 7
+            numChars += (numBytes % 128) << shift
+          }
+          val arr = new Array[Byte](numChars)
+          b.get(arr)
+          UTF8String.fromBytes(arr)
+        }
+        if (need("barcode")) barcode = readVarintString(sect(402))
+        if (need("chip_type")) chipType = readVarintString(sect(403))
+      }
+    } finally in.close()
+  }
+
+  override def next(): Boolean = { idx += 1; idx < n }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](fieldNames.length)
+    var f = 0
+    while (f < fieldNames.length) {
+      vals(f) = fieldNames(f) match {
+        case "path" => pathUtf
+        case "barcode" => barcode
+        case "chip_type" => chipType
+        case "illumina_id" => ids(idx)
+        case "mean" => means(idx)
+        case "std_dev" => stds(idx)
+        case "n_beads" => beads(idx)
+      }
+      f += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = ()
+}

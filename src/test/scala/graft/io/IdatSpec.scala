@@ -52,6 +52,47 @@ class IdatSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Idat.decode(badV))
   }
 
+  test("DSv2 source: full schema, section-pruned projections, count, " +
+      "and gzip fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("idatds").toFile
+    val f1 = new java.io.File(dir, "a_Grn.idat")
+    java.nio.file.Files.write(f1.toPath, makeIdat(ids, means, stds, beads))
+    // gzipped sibling exercises the whole-file fallback inside the
+    // same scan
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(makeIdat(ids.map(_ + 1), means, stds, beads,
+      barcode = "gzbc")); gz.close()
+    val f2 = new java.io.File(dir, "b_Grn.idat.gz")
+    java.nio.file.Files.write(f2.toPath, bos.toByteArray)
+
+    val df = spark.read.format("idat")
+      .load(f1.getAbsolutePath, f2.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("path", "barcode", "chip_type",
+      "illumina_id", "mean", "std_dev", "n_beads"))
+    val full = df.collect()
+    assert(full.length == 8)
+    val byBarcode = full.groupBy(_.getAs[String]("barcode"))
+    assert(byBarcode.keySet == Set("barcode123", "gzbc"))
+    assert(byBarcode("barcode123").map(_.getAs[Int]("illumina_id"))
+      .sorted.toSeq == ids.toSeq)
+    assert(byBarcode("gzbc").map(_.getAs[Int]("illumina_id"))
+      .sorted.toSeq == ids.map(_ + 1).toSeq)
+
+    // pruned projection: only ILLUMINA_ID + MEAN sections are read;
+    // the scan's read schema must shrink accordingly
+    val pruned = df.select("illumina_id", "mean")
+    val scanSchema = pruned.queryExecution.executedPlan.toString
+    assert(scanSchema.contains("illumina_id") &&
+      !scanSchema.contains("n_beads"), scanSchema.take(800))
+    val pm = pruned.collect().map(r => (r.getInt(0), r.getFloat(1))).toSet
+    ids.zip(means.map(_.toFloat)).foreach(p => assert(pm.contains(p)))
+    // count(): NUM_SNPS_READ-only path
+    assert(df.count() == 8)
+    // directory load: expands to the .idat files inside
+    assert(spark.read.format("idat").load(dir.getAbsolutePath).count() == 8)
+  }
+
   test("distributed read emits one row per probe per file") {
     val dir = java.nio.file.Files.createTempDirectory("idat").toFile
     val grn = new java.io.File(dir, "s1_Grn.idat")
