@@ -123,11 +123,16 @@ object SignalBuilder {
   }
 
   /** L17 — β → M-value: log2(β/(1−β)) with ε-clipping
-    * (samples.py:1200-1227, ε=1e-8). */
+    * (samples.py:1200-1227, ε=1e-8). NULL betas (masked probes) stay
+    * NULL — Spark's `greatest` SKIPS nulls, so without the explicit
+    * guard a null beta would silently clip to ε and emit −26.58
+    * instead of the reference's NaN propagation. */
   def betasToMValues(betas: DataFrame, eps: Double = 1e-8): DataFrame = {
     val b = least(greatest(col("beta").cast("double"), lit(eps)),
       lit(1.0 - eps))
-    betas.withColumn("m_value", log(2.0, b / (lit(1.0) - b)))
+    betas.withColumn("m_value",
+      when(col("beta").isNull, lit(null).cast("double"))
+        .otherwise(log(2.0, b / (lit(1.0) - b))))
       .drop("beta")
   }
 

@@ -126,6 +126,11 @@ object Prep {
     val t1 = signal.filter(col("inf_type") === "I" &&
       !(col("meth_g").isNull && col("unmeth_g").isNull &&
         col("meth_r").isNull && col("unmeth_r").isNull))
+    // localCheckpoint: the per-probe frame feeds THREE consumers (the
+    // background join, the P95 scalar action, and the caller's final
+    // plan) — without it the probe-granularity shuffle over the full
+    // signal recomputes per consumer. The checkpointed frame is
+    // one row per type-I probe (manifest-sized, MBs).
     val perProbe = t1.groupBy("probe_id")
       .agg(
         max(greatest(col("meth_g"), col("unmeth_g"))).as("max_g"),
@@ -138,6 +143,7 @@ object Prep {
       .withColumn("inferred_channel",
         when(coalesce(col("max_r"), lit(Float.MinValue)) >=
           coalesce(col("max_g"), lit(Float.MinValue)), "R").otherwise("G"))
+      .localCheckpoint()
 
     // background: opposite-channel signal of inferred probes, P95
     val bg = t1.join(broadcast(perProbe.select("probe_id", "inferred_channel")),

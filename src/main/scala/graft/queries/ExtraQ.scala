@@ -416,5 +416,95 @@ object ExtraQ {
       FROM cells
       ORDER BY probe_id, sample_label, beta"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57)
+  /** L17 end-to-end — the betas → M-value transform chained onto the
+    * q57 pipeline: m = log2(β/(1−β)) with ε = 1e-8 clipping
+    * (samples.py:1200-1227). β is FLOAT (exact bits match per q57);
+    * the only cross-engine drift is the double log2 (≤ a few ulp,
+    * ~1e-13 absolute at |m| ≤ 27), far inside the round-6 grain. */
+  val q58 = Q(
+    "q58_mvalues_endtoend",
+    (s, d) => {
+      import s.implicits._
+      def cell(base: org.apache.spark.sql.Column, m: Int) =
+        when($"l_orderkey" % 23 === 0 || $"l_orderkey" % m === 0,
+          lit(null).cast("float")).otherwise(base.cast("float"))
+      val sig = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_partkey" % 3 === 0, "II").otherwise("I").as("inf_type"),
+        when($"l_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        cell($"l_quantity", 11).as("meth_g"),
+        cell(($"l_orderkey" * 3 + $"l_linenumber") % 47, 13)
+          .as("unmeth_g"),
+        cell(($"l_orderkey" * 7 + $"l_linenumber") % 53, 17)
+          .as("meth_r"),
+        cell($"l_tax" * 100, 19).as("unmeth_r"))
+      val betas = graft.core.SignalBuilder.calculateBetas(sig)
+      graft.core.SignalBuilder.betasToMValues(betas)
+        .select($"sample_label", $"probe_id",
+          round($"m_value", 6).as("m_value"))
+        .orderBy($"probe_id", $"sample_label", $"m_value")
+    },
+    Some("""
+      WITH sig AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 3 = 0 THEN 'II' ELSE 'I' END
+                 AS inf_type,
+               CASE WHEN l_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 11 = 0
+                    THEN NULL ELSE CAST(l_quantity AS FLOAT) END
+                 AS meth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber) % 47
+                              AS FLOAT) END AS unmeth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 17 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 53
+                              AS FLOAT) END AS meth_r,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 19 = 0
+                    THEN NULL ELSE CAST(l_tax * 100 AS FLOAT) END
+                 AS unmeth_r
+        FROM lineitem
+      ), cells AS (
+        SELECT *,
+               CAST(CASE WHEN inf_type = 'II' THEN coalesce(meth_g, 0)
+                         WHEN channel = 'G' THEN coalesce(meth_g, 0)
+                         ELSE 0 END
+                  + CASE WHEN inf_type = 'II' THEN 0
+                         WHEN channel = 'R' THEN coalesce(meth_r, 0)
+                         ELSE 0 END AS FLOAT) AS m,
+               CAST(CASE WHEN inf_type = 'II' THEN 0
+                         WHEN channel = 'G' THEN coalesce(unmeth_g, 0)
+                         ELSE 0 END
+                  + CASE WHEN inf_type = 'II' THEN coalesce(unmeth_r, 0)
+                         WHEN channel = 'R' THEN coalesce(unmeth_r, 0)
+                         ELSE 0 END AS FLOAT) AS u
+        FROM sig
+      ), betas AS (
+        SELECT sample_label, probe_id,
+               CASE WHEN meth_g IS NULL AND meth_r IS NULL
+                         AND unmeth_g IS NULL AND unmeth_r IS NULL
+                    THEN NULL
+                    ELSE CAST(greatest(m, CAST(1 AS FLOAT))
+                              / greatest(m + u, CAST(2 AS FLOAT))
+                              AS FLOAT)
+               END AS beta
+        FROM cells
+      ), clipped AS (
+        SELECT sample_label, probe_id,
+               CASE WHEN beta IS NULL THEN NULL
+                    ELSE least(greatest(CAST(beta AS DOUBLE), 1e-8),
+                               1.0 - 1e-8) END AS b
+        FROM betas
+      )
+      SELECT sample_label, probe_id,
+             round(log2(b / (1.0 - b)), 6) AS m_value
+      FROM clipped
+      ORDER BY probe_id, sample_label, m_value"""))
+
+  val all: Seq[Q] =
+    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58)
 }
