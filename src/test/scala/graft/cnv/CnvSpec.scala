@@ -54,6 +54,29 @@ class CnvSpec extends SparkSpec {
     assert(segs.length == 3, segs.toString)
   }
 
+  test("permutation pool is shared and bounded, verdicts unchanged " +
+      "under concurrent splits") {
+    val values = Array.tabulate(120) { i =>
+      (if (i < 60) 0.0 else 1.0) + 0.01 * math.sin(i.toDouble)
+    }
+    // hammer cbs from many caller threads at once (the shape of 32
+    // concurrent chromosome tasks each hitting significant splits)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 16).toList.map(_ =>
+        Future(Cnv.cbs(values, shuffles = 500, pThreshold = 0.01,
+          seed = 42L)))), 2.minutes)
+    assert(results.distinct.size == 1) // seeded determinism under contention
+    // JVM-wide permutation threads stay within the bounded pool
+    val permThreads = Thread.getAllStackTraces.keySet.toArray(
+      Array.empty[Thread]).count(_.getName.startsWith("graft-cbs-perm"))
+    assert(permThreads <= Cnv.PermPoolSize,
+      s"$permThreads permutation threads exceed pool bound " +
+        s"${Cnv.PermPoolSize}")
+  }
+
   test("flat signal yields one segment") {
     val values = Array.tabulate(100)(i => 0.5 + 0.001 * (i % 3))
     val segs = Cnv.cbs(values, 200, 1e-4, 7L)
