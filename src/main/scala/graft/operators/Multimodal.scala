@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` (ships in the JDK — zero extra dependencies) and
   * emits row-major grayscale in [0,1]. AUDIO decode is REAL:
   * [[AudioCodec]] reads WAV/AIFF/AU PCM through `javax.sound.sampled`
-  * (also JDK-native) and emits mono-mixed samples in [-1,1]. Payloads
-  * that aren't decodable — and the video modality, whose demuxer is not
-  * in this container — fall back to `FakeCodec`, a deterministic stub
-  * that derives pixel/sample data from xxhash-style mixing of the
-  * bytes, so every pipeline stage (schemas, partitioning, batch
-  * iteration, metadata propagation, feature shapes) stays real and
-  * testable with synthetic payloads, and a production video codec
-  * drops in by replacing one function.
+  * (also JDK-native) and emits mono-mixed samples in [-1,1]. VIDEO
+  * frame demux is REAL for image-sequence containers the JDK can read
+  * (animated GIF): [[VideoCodec]] extracts actual frames and re-encodes
+  * them as standalone PNGs. Payloads that aren't decodable — e.g.
+  * MP4/MKV, whose codecs are not in this container — fall back to
+  * `FakeCodec` / stub chunking, a deterministic path that derives
+  * pixel/sample data from xxhash-style mixing of the bytes, so every
+  * pipeline stage (schemas, partitioning, batch iteration, metadata
+  * propagation, feature shapes) stays real and testable with synthetic
+  * payloads, and a production codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -299,19 +301,60 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: every `stride`-th chunk of the
-    * payload becomes a frame row (stub chunking; a real demuxer replaces
-    * the splitter). Generator shape: one input row → many frame rows. */
+  /** REAL multi-frame codec over `javax.imageio`'s sequence readers
+    * (animated GIF ships in the JDK; multi-page TIFF too on JDKs with
+    * the TIFF plugin). Returns the per-frame images, each re-encoded
+    * as standalone PNG bytes (deterministic for a given JDK), or None
+    * when the payload has no decodable image sequence. */
+  object VideoCodec {
+
+    def decodeFrames(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return None }
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { i =>
+            val img = reader.read(i)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            out.toByteArray
+          })
+        } finally { reader.dispose(); iis.close() }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame becomes a
+    * frame row. REAL demux when the payload is a decodable image
+    * sequence (animated GIF — frame count and pixels come from the
+    * container, emitted as standalone PNGs); otherwise the
+    * deterministic stub chunking of the payload by declared `n_frames`
+    * keeps the pipeline shape testable with synthetic bytes. Generator
+    * shape either way: one input row → many frame rows. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
       stride: Int = 2): Dataset[VideoFrame] = {
     import spark.implicits._
     media.filter(_.media_type == "video").flatMap { m =>
-      val frameSize = math.max(1, m.content.length / math.max(m.n_frames, 1))
-      (0 until m.n_frames by stride).map { f =>
-        val from = f * frameSize
-        val until = math.min(m.content.length, from + frameSize)
-        VideoFrame(m.media_id, f,
-          java.util.Arrays.copyOfRange(m.content, from, until))
+      VideoCodec.decodeFrames(m.content) match {
+        case Some(frames) =>
+          (0 until frames.length by stride).map(f =>
+            VideoFrame(m.media_id, f, frames(f)))
+        case None =>
+          val frameSize =
+            math.max(1, m.content.length / math.max(m.n_frames, 1))
+          (0 until m.n_frames by stride).map { f =>
+            val from = f * frameSize
+            val until = math.min(m.content.length, from + frameSize)
+            VideoFrame(m.media_id, f,
+              java.util.Arrays.copyOfRange(m.content, from, until))
+          }
       }
     }
   }

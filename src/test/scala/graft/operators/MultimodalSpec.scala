@@ -146,6 +146,49 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  /** An animated GIF with `n` constant-gray frames (value 10·i),
+    * written through the JDK's own sequence writer. */
+  def animatedGif(n: Int, w: Int = 8, h: Int = 6): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) g.setSample(x, y, 0, 10 * i)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("real animated-GIF payloads demux to actual frames as PNGs") {
+    val gif = animatedGif(5)
+    // declared n_frames is WRONG on purpose: real demux must take the
+    // frame count from the container
+    val rows = Seq(MediaRow(12, "video", gif, 8, 6, 0, 99)).toDS()
+    val frames = sampleFrames(spark, rows, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    for (f <- frames) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.content))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      // constant gray 10·idx survives GIF palette + PNG round trip
+      // (raster sample, NOT getRGB — getRGB would push linear gray
+      // through the sRGB transfer curve)
+      val lum = img.getRaster.getSample(3, 3, 0)
+      assert(lum == 10 * f.frame_idx,
+        s"frame ${f.frame_idx}: got gray $lum")
+    }
+  }
+
   test("frame sampling: one row per sampled frame, chunked payload") {
     val frames = sampleFrames(spark, media, stride = 2).collect()
     assert(frames.map(_.media_id).distinct.toSeq == Seq(5L))
