@@ -505,6 +505,136 @@ object ExtraQ {
       FROM clipped
       ORDER BY probe_id, sample_label, m_value"""))
 
+  /** L9 end-to-end — the pOOBAH slice (Prep.poobah, reference
+    * samples.py:1529-1607) over a full signal-shaped frame: out-of-band
+    * background extraction (type I G probes → R measurements and vice
+    * versa), the distributed sort-merge ECDF lookup per (sample,
+    * channel), the weak-background 0..999 empirical prior (one sample
+    * is all-zero so both its channels trip the `sum ≤ 100` switch), the
+    * min across channels, and the left join back onto the signal (row
+    * multiplicity preserved, NULL in-band maxima stay NULL). The oracle
+    * replays the ECDF as the same union + running-count window (a
+    * correlated subquery per query row would be quadratic); every
+    * arithmetic step is exact-rational in DOUBLE, so the FLOAT output
+    * is compared without rounding. */
+  val q59 = Q(
+    "q59_poobah_slice",
+    (s, d) => {
+      import s.implicits._
+      def cell(base: org.apache.spark.sql.Column, m: Int) =
+        when($"l_suppkey" % 10 === 7, lit(0f))
+          .otherwise(when(
+            $"l_orderkey" % 23 === 0 || $"l_orderkey" % m === 0,
+            lit(null).cast("float")).otherwise(base.cast("float")))
+      val sig = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_partkey" % 3 === 0, "II").otherwise("I").as("inf_type"),
+        when($"l_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        lit("cg").as("probe_type"),
+        lit("").as("mask_info"),
+        cell($"l_quantity", 11).as("meth_g"),
+        cell(($"l_orderkey" * 3 + $"l_linenumber") % 47, 13)
+          .as("unmeth_g"),
+        cell(($"l_orderkey" * 7 + $"l_linenumber") % 53, 17)
+          .as("meth_r"),
+        cell($"l_tax" * 100, 19).as("unmeth_r"),
+        lit(null).cast("float").as("p_value"))
+      val (withP, _) = graft.prep.Prep.poobah(s, sig,
+        graft.core.Masks.empty(s), useNegativeControls = false)
+      withP.select($"sample_label", $"probe_id", $"p_value")
+        .orderBy($"probe_id", $"sample_label", $"p_value")
+    },
+    Some("""
+      WITH sig AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 3 = 0 THEN 'II' ELSE 'I' END
+                 AS inf_type,
+               CASE WHEN l_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 11 = 0
+                    THEN NULL ELSE CAST(l_quantity AS FLOAT) END
+                 AS meth_g,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber) % 47
+                              AS FLOAT) END AS unmeth_g,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 17 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 53
+                              AS FLOAT) END AS meth_r,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 19 = 0
+                    THEN NULL ELSE CAST(l_tax * 100 AS FLOAT) END
+                 AS unmeth_r
+        FROM lineitem
+      ), bg AS (
+        SELECT sample_label, ch, v FROM (
+          SELECT sample_label, 'G' AS ch,
+                 unnest([meth_g, unmeth_g]) AS v
+          FROM sig WHERE inf_type = 'I' AND channel = 'R')
+        WHERE v IS NOT NULL
+        UNION ALL
+        SELECT sample_label, ch, v FROM (
+          SELECT sample_label, 'R' AS ch,
+                 unnest([meth_r, unmeth_r]) AS v
+          FROM sig WHERE inf_type = 'I' AND channel = 'G')
+        WHERE v IS NOT NULL
+      ), q AS (
+        SELECT sample_label, probe_id, 'G' AS ch,
+               greatest(meth_g, unmeth_g) AS v FROM sig
+        UNION ALL
+        SELECT sample_label, probe_id, 'R' AS ch,
+               greatest(meth_r, unmeth_r) AS v FROM sig
+      ), merged AS (
+        SELECT sample_label, ch, CAST(v AS DOUBLE) AS v, 1 AS is_bg,
+               NULL AS probe_id FROM bg
+        UNION ALL
+        SELECT sample_label, ch, CAST(v AS DOUBLE) AS v, 0 AS is_bg,
+               probe_id
+        FROM q WHERE v IS NOT NULL
+      ), win AS (
+        SELECT *,
+               sum(is_bg) OVER (PARTITION BY sample_label, ch
+                 ORDER BY v ASC, is_bg DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS le,
+               sum(is_bg) OVER (PARTITION BY sample_label, ch) AS n
+        FROM merged
+      ), looked AS (
+        SELECT sample_label, ch, probe_id, v,
+               CAST(le AS DOUBLE) / nullif(n, 0) AS F
+        FROM win WHERE is_bg = 0
+        UNION ALL
+        SELECT sample_label, ch, probe_id, NULL AS v, NULL AS F
+        FROM q WHERE v IS NULL
+      ), weak AS (
+        SELECT sample_label, ch,
+               sum(CAST(v AS DOUBLE)) <= 100 AS w
+        FROM bg GROUP BY sample_label, ch
+      ), p AS (
+        SELECT l.sample_label, l.probe_id,
+               CASE WHEN l.v IS NULL THEN NULL
+                    WHEN coalesce(w.w, FALSE)
+                    THEN 1.0 - least(greatest(floor(l.v) + 1, 0), 1000)
+                               / 1000.0
+                    ELSE 1.0 - l.F END AS p
+        FROM looked l LEFT JOIN weak w
+          ON w.sample_label = l.sample_label AND w.ch = l.ch
+      ), pv AS (
+        SELECT sample_label, probe_id,
+               CAST(min(p) AS FLOAT) AS p_value
+        FROM p GROUP BY sample_label, probe_id
+      )
+      SELECT s.sample_label, s.probe_id, pv.p_value
+      FROM sig s LEFT JOIN pv
+        ON pv.sample_label = s.sample_label AND pv.probe_id = s.probe_id
+      ORDER BY s.probe_id, s.sample_label, p_value"""))
+
   val all: Seq[Q] =
-    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58)
+    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59)
 }
