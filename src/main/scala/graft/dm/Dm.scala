@@ -300,7 +300,7 @@ object Dm {
     * BH-adjusted p-values per contrast, and mean estimates. */
   def computeDmr(betas: DataFrame, dmp: DataFrame, ranges: DataFrame,
       contrasts: Seq[String], distCutoff: Option[Double] = None,
-      segPerLocus: Double = 0.5): DataFrame = {
+      segPerLocus: Double = 0.5, blockSize: Long = 10000000L): DataFrame = {
     // probe × sample → probe rows with per-sample betas array (genome axis)
     val nonEmpty = ranges.filter(col("end") > col("start"))
     val betaVecs = betas.groupBy("probe_id")
@@ -313,49 +313,115 @@ object Dm {
         (contrasts.map(c => col(s"${c}_p_value")) ++
           contrasts.map(c => col(s"${c}_estimate"))): _*), Seq("probe_id"))
 
-    // genome-ordered windows PARTITIONED BY CHROMOSOME: the reference
-    // sorts globally (dm.py:567-568), but chromosome boundaries always
-    // cut segments (last_probe_in_chromosome is a change point), so the
-    // computation is per-chromosome independent — partitioning removes
-    // the single-partition global-window bottleneck at genome scale.
-    // Segment ids get a chromosome prefix for global uniqueness.
+    // genome-ordered windows PARTITIONED BY (CHROMOSOME, 10 Mb BLOCK):
+    // the reference sorts globally (dm.py:567-568), but chromosome
+    // boundaries always cut segments (last_probe_in_chromosome is a
+    // change point), so the computation is chromosome-independent — and
+    // a per-chromosome window would still serialize each chromosome
+    // into ONE task, making the wall clock track the largest chromosome
+    // superlinearly at 10× scale (measured 2.56× on a chr1-heavy
+    // census). Blocks parallelize the genome axis evenly; everything
+    // that crosses a block boundary is per-BLOCK information (one row
+    // per ~blockSize of genome — a KB-scale frame):
+    //   - each block's FIRST vec stitches the previous block's lead;
+    //   - each block's LAST change_point stitches the next block's lag;
+    //   - per-block flag totals become running-offset prefixes.
+    // Those tiny frames are windowed per chromosome (trivially small)
+    // and broadcast back, so segment ids are IDENTICAL to the
+    // single-window-per-chromosome plan — blocks are internal blocking,
+    // never segment boundaries.
     val samplesOrdered = betas.select("sample_label").distinct()
       .collect().map(_.getString(0)).sorted
     val vec = array(samplesOrdered.map(s =>
       element_at(col("bmap"), s)): _*)
-    val wg = Window.partitionBy(col("chromosome"))
-      .orderBy(col("start"), col("end"), col("probe_id"))
-    val sorted = cpg.withColumn("vec", vec)
-      .withColumn("next_chrom", lead(col("chromosome"), 1).over(wg))
-      .withColumn("next_vec", lead(col("vec"), 1).over(wg))
-      .withColumn("last_in_chrom", col("next_chrom").isNull)
-      .withColumn("dist", when(col("next_vec").isNotNull,
-        graft.functions.Expressions.vecSqDist(col("vec"), col("next_vec"))))
+    val ord = Seq(col("start"), col("end"), col("probe_id"))
+    val keyStruct = struct(ord: _*)
+    val wb = Window.partitionBy(col("chromosome"), col("_blk"))
+      .orderBy(ord: _*)
+    val wChromBlocks = Window.partitionBy(col("chromosome"))
+      .orderBy(col("_blk"))
+    // cache point: `blocked` (the full betas-pivot prefix) feeds the
+    // bounds aggregate, the staged window, and — through it — every
+    // downstream action; caching HERE computes the expensive prefix
+    // exactly once. The block windows themselves recompute per action
+    // (an even, parallel exchange+sort), which measures cheaper than
+    // materializing the windowed frame. Unpersisted after the final
+    // aggregate below.
+    val blocked = cpg.withColumn("vec", vec)
+      .withColumn("_blk", expr(s"start div $blockSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bounds = blocked.groupBy(col("chromosome"), col("_blk"))
+      .agg(min(keyStruct).as("_min_ord"), max(keyStruct).as("_max_ord"),
+        min_by(col("vec"), keyStruct).as("_first_vec"))
+      .withColumn("_next_first_vec",
+        lead(col("_first_vec"), 1).over(wChromBlocks))
+
+    val staged = blocked
+      .join(broadcast(bounds.select(col("chromosome"), col("_blk"),
+        col("_min_ord"), col("_max_ord"), col("_next_first_vec"))),
+        Seq("chromosome", "_blk"))
+      .withColumn("_is_last", keyStruct === col("_max_ord"))
+      .withColumn("_is_first", keyStruct === col("_min_ord"))
+      .withColumn("_lead_vec", lead(col("vec"), 1).over(wb))
+      .withColumn("_next_vec", when(col("_is_last"),
+        col("_next_first_vec")).otherwise(col("_lead_vec")))
+      .withColumn("last_in_chrom", col("_next_vec").isNull)
+      .withColumn("dist", when(col("_next_vec").isNotNull,
+        graft.functions.Expressions.vecSqDist(col("vec"), col("_next_vec"))))
+      .drop("vec", "bmap", "any_beta", "_lead_vec", "_next_vec",
+        "_next_first_vec", "_min_ord", "_max_ord")
+      // second cache point: the block-windowed frame has four readers
+      // (cutoff percentile, boundary change-points, offset totals, the
+      // final pass); cached, the 9.4M-row exchange+sort runs once
+      // instead of once per reader
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cutoff = distCutoff.getOrElse {
-      sorted.filter(col("dist").isNotNull && !col("last_in_chrom"))
+      staged.filter(col("dist").isNotNull && !col("last_in_chrom"))
         .agg(percentile(col("dist"), lit(1.0 - segPerLocus)))
         .head().getDouble(0)
     }
 
     // W3: change points → running segment ids (shift semantics: a change
     // point closes its segment; the NEXT row starts a new one)
-    val flagged = sorted.withColumn("change_point",
+    val flagged = staged.withColumn("change_point",
       col("last_in_chrom") || col("dist") > cutoff)
+    // boundary lag: previous block's last change_point (tiny frame,
+    // chromosome-windowed at block granularity)
+    val prevCp = flagged.filter(col("_is_last"))
+      .select(col("chromosome"), col("_blk"),
+        col("change_point").as("_last_cp"))
+      .withColumn("_prev_cp", lag(col("_last_cp"), 1).over(wChromBlocks))
+      .select(col("chromosome"), col("_blk"), col("_prev_cp"))
     // dense unique index per chromosome string (tiny dimension) so the
     // per-chromosome running ids cannot collide across partitions
     val chromIdx = cpg.select("chromosome").distinct()
       .withColumn("chrom_idx",
         row_number().over(Window.partitionBy(lit(1))
           .orderBy(col("chromosome"))).cast("long"))
-    val wRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seg = flagged
+    val wbRun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prev_change: the in-block lag; at a block's first row, the
+    // previous block's stitched change_point; at a chromosome's first
+    // block, the reference's `true` default (a chromosome start always
+    // opens a segment)
+    val withLp = flagged
+      .join(broadcast(prevCp), Seq("chromosome", "_blk"), "left")
+      .withColumn("prev_change", coalesce(
+        lag(col("change_point"), 1).over(wb), col("_prev_cp"), lit(true)))
+      .withColumn("_lp",
+        sum(when(col("prev_change"), 1L).otherwise(0L)).over(wbRun))
+    // per-block totals → cumulative offsets per chromosome (tiny frame)
+    val offsets = withLp.groupBy(col("chromosome"), col("_blk"))
+      .agg(max(col("_lp")).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wChromBlocks
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chromosome"), col("_blk"), col("_off"))
+    val seg = withLp
+      .join(broadcast(offsets), Seq("chromosome", "_blk"))
       .join(broadcast(chromIdx), Seq("chromosome"))
-      .withColumn("prev_change",
-        lag(col("change_point"), 1, true).over(wg))
       .withColumn("segment_id",
-        col("chrom_idx") * 1000000000L +
-          sum(when(col("prev_change"), 1L).otherwise(0L)).over(wRun))
+        col("chrom_idx") * 1000000000L + col("_off") + col("_lp"))
 
     // per-segment aggregation incl Stouffer + BH (A13/A14)
     val aggs =
@@ -367,6 +433,7 @@ object Dm {
     // same lineage-truncation rationale as runOls's fold
     val dmr = seg.groupBy("segment_id").agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
+    blocked.unpersist(); staged.unpersist()
     contrasts.foldLeft(dmr) { (df, c) =>
       adjustBH(df, s"${c}_p_value", s"${c}_p_value_adjusted")
     }

@@ -108,4 +108,44 @@ class DmSpec extends SparkSpec {
     val expected = 1.0 - graft.functions.StatFuncs.normCdf(2 * z)
     assert(math.abs(seg1.getAs[Double]("g_p_value") - expected) < 1e-9)
   }
+
+  test("DMR block windows: output invariant to blockSize (boundary " +
+      "stitching exact)") {
+    // two chromosomes × 40 probes with several beta jumps, spanning
+    // many blocks at blockSize=3000 (≈ 3 probes/block), one block at
+    // blockSize=10^9. Identical output proves the first-vec lead
+    // stitch, the last-change-point lag stitch, and the running-offset
+    // prefixes reproduce the single-window-per-chromosome semantics
+    // exactly — including segments that straddle block boundaries.
+    val probes = for {
+      c <- Seq("1", "2"); i <- 1 to 40
+    } yield (s"cg${c}_$i", c, i * 1000L, i * 1000L + 2L)
+    val ranges = probes.toDF("probe_id", "chromosome", "start", "end")
+    val betas = (for {
+      (pid, c, st, _) <- probes
+      s <- Seq("a1", "b1")
+    } yield {
+      val jump = (st / 7000L) % 3 // plateaus of ~7 probes
+      (s, pid, 0.1f * jump + (if (s == "b1") 0.01f else 0f) +
+        (if (c == "2") 0.05f else 0f))
+    }).toDF("sample_label", "probe_id", "beta")
+    val dmp = probes.map { case (pid, _, st, _) =>
+      (pid, 0.001 + (st % 13).toDouble / 100.0, 0.05) }
+      .toDF("probe_id", "g_p_value", "g_estimate")
+    def run(bs: Long) =
+      Dm.computeDmr(betas, dmp, ranges, Seq("g"),
+          distCutoff = Some(0.005), blockSize = bs)
+        .select("segment_id", "chromosome", "start", "end", "n_probes",
+          "g_p_value", "g_p_value_adjusted")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          math.round(r.getDouble(5) * 1e12),
+          math.round(r.getDouble(6) * 1e12)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val many = run(3000L)
+    val one = run(1000000000L)
+    assert(many.size > 10, s"fixture should split into many segments")
+    assert(many == one)
+  }
 }
