@@ -352,17 +352,16 @@ object Dm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bounds = blocked.groupBy(col("chromosome"), col("_blk"))
-      .agg(min(keyStruct).as("_min_ord"), max(keyStruct).as("_max_ord"),
+      .agg(max(keyStruct).as("_max_ord"),
         min_by(col("vec"), keyStruct).as("_first_vec"))
       .withColumn("_next_first_vec",
         lead(col("_first_vec"), 1).over(wChromBlocks))
 
     val staged = blocked
       .join(broadcast(bounds.select(col("chromosome"), col("_blk"),
-        col("_min_ord"), col("_max_ord"), col("_next_first_vec"))),
+        col("_max_ord"), col("_next_first_vec"))),
         Seq("chromosome", "_blk"))
       .withColumn("_is_last", keyStruct === col("_max_ord"))
-      .withColumn("_is_first", keyStruct === col("_min_ord"))
       .withColumn("_lead_vec", lead(col("vec"), 1).over(wb))
       .withColumn("_next_vec", when(col("_is_last"),
         col("_next_first_vec")).otherwise(col("_lead_vec")))
@@ -370,7 +369,7 @@ object Dm {
       .withColumn("dist", when(col("_next_vec").isNotNull,
         graft.functions.Expressions.vecSqDist(col("vec"), col("_next_vec"))))
       .drop("vec", "bmap", "any_beta", "_lead_vec", "_next_vec",
-        "_next_first_vec", "_min_ord", "_max_ord")
+        "_next_first_vec", "_max_ord")
       // second cache point: the block-windowed frame has four readers
       // (cutoff percentile, boundary change-points, offset totals, the
       // final pass); cached, the 9.4M-row exchange+sort runs once
@@ -396,7 +395,7 @@ object Dm {
       .select(col("chromosome"), col("_blk"), col("_prev_cp"))
     // dense unique index per chromosome string (tiny dimension) so the
     // per-chromosome running ids cannot collide across partitions
-    val chromIdx = cpg.select("chromosome").distinct()
+    val chromIdx = blocked.select("chromosome").distinct()
       .withColumn("chrom_idx",
         row_number().over(Window.partitionBy(lit(1))
           .orderBy(col("chromosome"))).cast("long"))

@@ -171,16 +171,19 @@ object Dedup {
   val AutoCapQuantile = 0.999
 
   /** Derive a dfCap from the corpus: the p99.9 shingle document
-    * frequency (min 2 — a cap below 2 would drop every co-occurrence).
-    * One count shuffle over the postings (same shape as the index build
-    * itself) + a scalar percentile to the driver. */
-  def derivedDfCap(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, quantile: Double = AutoCapQuantile): Int = {
+    * frequency (min 2 — a cap below 2 would drop every co-occurrence;
+    * also the value for an empty or all-short-document corpus, where
+    * the percentile is NULL and no pairs exist anyway). One count
+    * shuffle over the postings (same shape as the index build itself)
+    * + a scalar percentile to the driver. */
+  def derivedDfCap(df: DataFrame, textCol: String, k: Int = 3,
+      quantile: Double = AutoCapQuantile): Int = {
     val dfs = withShingleHashes(df, textCol, k)
       .select(explode(col("sh_hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val p = dfs.agg(percentile(col("df"), lit(quantile))).head().getDouble(0)
-    math.max(2, math.ceil(p).toInt)
+    val row = dfs.agg(percentile(col("df"), lit(quantile))).head()
+    if (row.isNullAt(0)) 2
+    else math.max(2, math.ceil(row.getDouble(0)).toInt)
   }
 
   /** Below this threshold the prefix filter keeps too little of each
@@ -226,7 +229,7 @@ object Dedup {
             "derived dfCap default or pass dfCap explicitly")
         jaccardPairs(df, idCol, textCol, k, threshold, None)
       case "inverted-autocap" =>
-        val cap = derivedDfCap(df, idCol, textCol, k)
+        val cap = derivedDfCap(df, textCol, k)
         log.info(s"jaccardDedup(threshold=$threshold): derived " +
           s"dfCap=$cap from the p$AutoCapQuantile shingle df")
         jaccardPairs(df, idCol, textCol, k, threshold, Some(cap))

@@ -43,10 +43,17 @@ import org.apache.spark.sql.types.{ByteType, DataType,
   * restores the original schema.
   *
   * Guards:
+  *   - requires a NON-integral equality conjunct (the chromosome /
+  *     partition key): that equality anchors the genomic-overlap shape.
+  *     Two opposing inequalities alone are too weak a signal — they
+  *     match unrelated predicate pairs whose bin ranges are unbounded.
   *   - skipped when the join already has an integral-typed equi key
   *     (either the caller pre-binned — `Intervals.overlapJoin` output —
   *     or a high-cardinality id equality already makes the join
   *     hash-joinable); rewriting there would stack pointless work.
+  *     (A high-cardinality STRING equality cannot be distinguished from
+  *     a chromosome key statically; such joins pay the bin explode
+  *     without needing it — disable via the conf if that shape occurs.)
   *   - skipped on non-deterministic operands and non-integral bounds.
   *   - `spark.graft.overlapJoin.rewrite=false` disables globally.
   *
@@ -86,13 +93,24 @@ case class RewriteOverlapJoin(session: SparkSession)
 
     // an existing integral equi key means the join is already
     // hash-joinable on a real key (pre-binned or id-equality) — skip
-    val hasIntegralEquiKey = conjuncts.exists {
-      case EqualTo(a, b) =>
-        integral(a.dataType) &&
-          ((leftOnly(a) && rightOnly(b)) || (rightOnly(a) && leftOnly(b)))
-      case _ => false
+    var hasIntegralEquiKey = false
+    // a non-integral equality (the chromosome/partition key) must be
+    // present: it anchors the genomic-overlap SHAPE this rule targets.
+    // Without it, two opposing integral inequalities are far more
+    // likely an unrelated predicate pair (thresholds on different
+    // columns, sentinel bounds) whose exploded bin range is unbounded —
+    // rewriting those trades a slow-but-correct nested loop for a
+    // potentially catastrophic explode.
+    var hasPartitionEquiKey = false
+    conjuncts.foreach {
+      case EqualTo(a, b)
+          if (leftOnly(a) && rightOnly(b)) ||
+            (rightOnly(a) && leftOnly(b)) =>
+        if (integral(a.dataType)) hasIntegralEquiKey = true
+        else hasPartitionEquiKey = true
+      case _ => ()
     }
-    if (hasIntegralEquiKey) return None
+    if (hasIntegralEquiKey || !hasPartitionEquiKey) return None
 
     // lt: (lX, rY) meaning lX < rY; gt: (lZ, rW) meaning lZ > rW
     var lt: Option[(Expression, Expression)] = None

@@ -133,6 +133,11 @@ class IdatScan(paths: Seq[String], required: StructType)
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty).toSeq
+      // a path matching nothing is an ERROR, as it is for every file
+      // source — silently planning zero partitions for it would let an
+      // ingest proceed with samples missing (the binaryFile path this
+      // source replaced threw here too)
+      require(matches.nonEmpty, s"Path does not exist: $p")
       matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq

@@ -102,7 +102,7 @@ class DedupSpec extends SparkSpec {
         "the of and to in that it is was for on with " +
           (1 to 52).map(j => s"u${i}x$j").mkString(" "))
     }.toDF("doc_id", "text")
-    val cap = Dedup.derivedDfCap(hot, "doc_id", "text", k = 3)
+    val cap = Dedup.derivedDfCap(hot, "text", k = 3)
     assert(cap < 200, s"derived cap $cap should exclude the df=200 head")
     // pair expansion under the cap is bounded: candidate groupBy input
     // rows = Σ_capped df·(df−1)/2 — measure via the capped pairs frame
