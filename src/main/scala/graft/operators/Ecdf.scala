@@ -22,10 +22,18 @@ object Ecdf {
   /** Attach `outCol` = F(valueCol) to `queries` (any schema containing
     * groupCols + valueCol). Null values and groups absent from
     * `background` yield null. `background` must expose groupCols +
-    * valueCol. */
+    * valueCol.
+    *
+    * `bgSumCol`: optionally ALSO attach the group's total background
+    * mass (sum of background values) to every query row. The sort-merge
+    * already windows the union per group, so this is one more
+    * whole-partition frame over the same exchange — callers that need
+    * the group sum (pOOBAH's weak-background prior switch) get it for
+    * free instead of re-aggregating the background subtree, which on a
+    * derived background can mean recomputing its whole lineage. */
   def ecdfLookup(queries: DataFrame, background: DataFrame,
       groupCols: Seq[String], valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, bgSumCol: Option[String] = None): DataFrame = {
     val gcols = groupCols.map(col)
     val payload = struct(queries.columns.map(col): _*)
     val q = queries.filter(col(valueCol).isNotNull)
@@ -38,16 +46,23 @@ object Ecdf {
           .as("_ec_row"): _*)
     val w = Window.partitionBy(gcols: _*)
       .orderBy(col("_ec_v").asc, col("_ec_bg").desc)
-    val merged = q.unionByName(b)
+    val wAll = Window.partitionBy(gcols: _*)
+    val withF = q.unionByName(b)
       .withColumn("_ec_le", sum(col("_ec_bg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_ec_n", sum(col("_ec_bg"))
-        .over(Window.partitionBy(gcols: _*)))
+      .withColumn("_ec_n", sum(col("_ec_bg")).over(wAll))
+    val withSum = bgSumCol.map(c => withF.withColumn(c,
+        sum(when(col("_ec_bg") === 1, col("_ec_v"))).over(wAll)))
+      .getOrElse(withF)
+    val extra = bgSumCol.map(col(_)).toSeq
+    val merged = withSum
       .filter(col("_ec_bg") === 0)
-      .select(col("_ec_row.*"),
+      .select(col("_ec_row.*") +:
         (col("_ec_le").cast("double") / nullif(col("_ec_n"), lit(0)))
-          .as(outCol))
+          .as(outCol) +: extra: _*)
     merged.unionByName(
-      qNull.withColumn(outCol, lit(null).cast("double")))
+      bgSumCol.foldLeft(
+        qNull.withColumn(outCol, lit(null).cast("double")))(
+        (df, c) => df.withColumn(c, lit(null).cast("double"))))
   }
 }

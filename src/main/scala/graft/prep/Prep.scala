@@ -22,36 +22,53 @@ object Prep {
 
   /** In-band cells: type I G → (G, meth_g/unmeth_g), type I R →
     * (R, meth_r/unmeth_r), type II/ctl → G cell = meth_g, R cell =
-    * unmeth_r. Output [sample_label, probe_id, channel, value]. */
+    * unmeth_r. Output [sample_label, probe_id, channel, value].
+    * ONE scan: each row explodes to its two (channel, value) structs
+    * picked by row-local conditionals — the 3-branch union spelling
+    * scanned the signal lineage three times, which multiplies whole
+    * pipelines when the signal is itself a derived frame. */
   def ibCells(signal: DataFrame): DataFrame = {
-    val t1g = signal.filter(col("inf_type") === "I" && col("channel") === "G")
-      .select(col("sample_label"), col("probe_id"), lit("G").as("channel"),
-        explode(array(col("meth_g"), col("unmeth_g"))).as("value"))
-    val t1r = signal.filter(col("inf_type") === "I" && col("channel") === "R")
-      .select(col("sample_label"), col("probe_id"), lit("R").as("channel"),
-        explode(array(col("meth_r"), col("unmeth_r"))).as("value"))
-    val t2 = signal.filter(col("inf_type") =!= "I")
+    val t1 = col("inf_type") === "I"
+    val cell1 = struct(
+      when(t1, col("channel")).otherwise(lit("G")).as("channel"),
+      when(!t1, col("meth_g"))
+        .when(col("channel") === "G", col("meth_g"))
+        .otherwise(col("meth_r")).as("value"))
+    val cell2 = struct(
+      when(t1, col("channel")).otherwise(lit("R")).as("channel"),
+      when(!t1, col("unmeth_r"))
+        .when(col("channel") === "G", col("unmeth_g"))
+        .otherwise(col("unmeth_r")).as("value"))
+    signal
+      // type-I rows with a channel outside {G, R} were silently outside
+      // every branch of the old 3-way union — preserve that
+      .filter(!t1 || col("channel").isin("G", "R"))
       .select(col("sample_label"), col("probe_id"),
-        explode(array(
-          struct(lit("G").as("channel"), col("meth_g").as("value")),
-          struct(lit("R").as("channel"), col("unmeth_r").as("value"))))
-          .as("cv"))
+        explode(array(cell1, cell2)).as("cv"))
       .select(col("sample_label"), col("probe_id"),
         col("cv.channel").as("channel"), col("cv.value").as("value"))
-    t1g.unionByName(t1r).unionByName(t2).filter(col("value").isNotNull)
+      .filter(col("value").isNotNull)
   }
 
   /** Out-of-band cells (F2, samples.py:158-206): type I G probes → R
     * measurements, type I R probes → G measurements. `channel` in the
-    * output is the measurement channel (not the probe channel). */
+    * output is the measurement channel (not the probe channel).
+    * ONE scan (same rationale as [[ibCells]]). */
   def oobCells(signal: DataFrame): DataFrame = {
-    val g = signal.filter(col("inf_type") === "I" && col("channel") === "R")
-      .select(col("sample_label"), col("probe_id"), lit("G").as("channel"),
-        explode(array(col("meth_g"), col("unmeth_g"))).as("value"))
-    val r = signal.filter(col("inf_type") === "I" && col("channel") === "G")
-      .select(col("sample_label"), col("probe_id"), lit("R").as("channel"),
-        explode(array(col("meth_r"), col("unmeth_r"))).as("value"))
-    g.unionByName(r).filter(col("value").isNotNull)
+    val oobChannel = when(col("channel") === "R", "G").otherwise("R")
+    val isR = col("channel") === "R" // probe channel R → G measurements
+    signal.filter(col("inf_type") === "I" &&
+      col("channel").isin("G", "R"))
+      .select(col("sample_label"), col("probe_id"),
+        explode(array(
+          struct(oobChannel.as("channel"),
+            when(isR, col("meth_g")).otherwise(col("meth_r")).as("value")),
+          struct(oobChannel.as("channel"),
+            when(isR, col("unmeth_g")).otherwise(col("unmeth_r"))
+              .as("value")))).as("cv"))
+      .select(col("sample_label"), col("probe_id"),
+        col("cv.channel").as("channel"), col("cv.value").as("value"))
+      .filter(col("value").isNotNull)
   }
 
   /** Negative-control cells (samples.py:935+: controls matching
@@ -399,20 +416,17 @@ object Prep {
         lit("G"), greatest(col("meth_g"), col("unmeth_g")),
         lit("R"), greatest(col("meth_r"), col("unmeth_r"))))
         .as(Seq("channel", "v")))
+    // F and the group's background mass come out of the SAME sort-merge
+    // pass (Ecdf bgSumCol): a separate weak-background aggregation would
+    // recompute the whole masked/oob lineage a second time
     val looked = graft.operators.Ecdf.ecdfLookup(
       queries, bg.select(col("sample_label"), col("channel"),
-        col("value").as("v")),
-      Seq("sample_label", "channel"), "v", "F")
-    // weak-background groups (sum ≤ 100) switch to the 0..999 prior —
-    // a numParts-sized broadcast flag frame, not a data broadcast
-    val weak = bg.groupBy("sample_label", "channel")
-      .agg(sum(col("value").cast("double")).as("_bg_sum"))
-      .select(col("sample_label"), col("channel"),
-        (col("_bg_sum") <= 100).as("_weak"))
+        col("value").cast("double").as("v")),
+      Seq("sample_label", "channel"), "v", "F", bgSumCol = Some("_bg_sum"))
+    // weak-background groups (sum ≤ 100) switch to the 0..999 prior
     val perChannel = looked
-      .join(broadcast(weak), Seq("sample_label", "channel"), "left")
       .withColumn("p", when(col("v").isNull, lit(null).cast("double"))
-        .when(coalesce(col("_weak"), lit(false)),
+        .when(coalesce(col("_bg_sum") <= 100, lit(false)),
           lit(1.0) - least(greatest(floor(col("v")) + 1, lit(0.0)),
             lit(1000.0)) / 1000.0)
         .otherwise(lit(1.0) - col("F")))
