@@ -119,6 +119,47 @@ object HashFuncs {
     ArrayData.toArrayData(out)
   }
 
+  /** gram_repetition(str, n) → [top_frac, dup_frac, n_grams]: Gopher-
+    * style repetition-quality signals (Rae et al. 2021, App. A —
+    * "fraction of characters in the most common n-gram" family, word
+    * granularity) in ONE row-local pass. Words = split on single
+    * spaces, EMPTIES KEPT — exactly SQL `string_split(text, ' ')`, so
+    * an engine-independent oracle can replay it on plain strings with
+    * no hash re-derivation. top_frac = occurrences of the most common
+    * word n-gram / total n-grams; dup_frac = total occurrences of
+    * n-grams appearing more than once / total. Fewer than n words →
+    * [0, 0, 0]. */
+  def gramRepetition(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val total = words.length - n + 1
+    if (total <= 0) return ArrayData.toArrayData(Array(0.0, 0.0, 0.0))
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      counts.put(g, Integer.valueOf(counts.getOrDefault(g, 0) + 1))
+      i += 1
+    }
+    var top = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    ArrayData.toArrayData(Array(top.toDouble / total,
+      dup.toDouble / total, total.toDouble))
+  }
+
   /** 64-bit SimHash: bit j set when more than half of the token
     * occurrences have bit j set in their poly_hash64 (majority vote). */
   def simHash64(s: UTF8String): Long = {
@@ -396,6 +437,20 @@ object Expressions {
         c: Expression): WordShingleHashes = copy(child = c)
   }
 
+  /** gram_repetition(str, n) — Gopher-style repetition signals
+    * [top_frac, dup_frac, n_grams] in one pass (HashFuncs doc). */
+  case class GramRepetition(child: Expression, n: Int)
+      extends StringKernel {
+    override def dataType: DataType = ArrayType(DoubleType, false)
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.gramRepetition(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.gramRepetition($c, $n)")
+    override protected def withNewChildInternal(
+        c: Expression): GramRepetition = copy(child = c)
+  }
+
   /** simhash64(str) — whole-document 64-bit SimHash in one pass. */
   case class SimHash64(child: Expression) extends StringKernel {
     override def dataType: DataType = LongType
@@ -551,6 +606,8 @@ object Expressions {
   def wordShingleHashes(c: Column, k: Int): Column =
     column(WordShingleHashes(expression(c), k))
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
+  def gramRepetition(c: Column, n: Int): Column =
+    column(GramRepetition(expression(c), n))
   def minHashSig(c: Column, k: Int, numHashes: Int): Column =
     column(MinHashSig(expression(c), k, numHashes))
   def srpSketch64(c: Column, dim: Int): Column =
@@ -591,6 +648,12 @@ object Expressions {
       es => TokenHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gram_repetition",
+      es => GramRepetition(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"gram_repetition(str, n): n must be an integer literal, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(toAD(es(0)), toAD(es(1))), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
@@ -640,6 +703,11 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.SimHash64].getName,
         "simhash64"),
       (es: Seq[Expression]) => Expressions.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("gram_repetition"),
+      new ExpressionInfo(classOf[Expressions.GramRepetition].getName,
+        "gram_repetition"),
+      (es: Seq[Expression]) =>
+        Expressions.GramRepetition(es.head, litInt(es(1)))))
     e.injectFunction((FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[Expressions.WordShingleHashes].getName,
         "word_shingle_hashes"),

@@ -147,4 +147,22 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("term_score")).as("score"))
   }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, App. A:
+    * the "fraction of characters/words in the most common n-gram"
+    * filter family — documents dominated by one repeated phrase are
+    * boilerplate): per document, the occurrence fraction of the most
+    * common word n-gram (`top_gram_frac`), the total occurrence
+    * fraction of n-grams appearing more than once (`dup_gram_frac`),
+    * and the n-gram count. ONE row-local codegen kernel pass per row
+    * (`Expressions.gramRepetition`) — no explode, no token shuffle,
+    * linear to 100 TB. */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      n: Int = 2): DataFrame =
+    df.withColumn("_rep",
+        graft.functions.Expressions.gramRepetition(col(textCol), n))
+      .withColumn("top_gram_frac", element_at(col("_rep"), 1))
+      .withColumn("dup_gram_frac", element_at(col("_rep"), 2))
+      .withColumn("n_grams", element_at(col("_rep"), 3).cast("long"))
+      .drop("_rep")
 }

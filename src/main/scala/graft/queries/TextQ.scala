@@ -312,5 +312,50 @@ object TextQ {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50)
+  /** Gopher-style repetition quality signals
+    * (TextAnalysis.repetitionStats): top/duplicate word-bigram
+    * occurrence fractions per document from the one-pass row-local
+    * kernel, replayed by the oracle on PLAIN STRINGS (list lambdas over
+    * string_split — no hash re-derivation needed, the kernel counts
+    * exact grams). Fractions are small-int ratios — exact doubles on
+    * both engines, no rounding. */
+  val q60 = Q(
+    "q60_repetition",
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.repetitionStats(t(s, d, "documents"))
+        .select($"doc_id", $"top_gram_frac", $"dup_gram_frac", $"n_grams")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 1 AS total,
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1]) AS grams
+        FROM documents
+      ), c AS (
+        SELECT doc_id, total, gram, count(*) AS cnt
+        FROM (SELECT doc_id, total, unnest(grams) AS gram FROM g) u
+        GROUP BY doc_id, total, gram
+      ), agg AS (
+        SELECT doc_id, total, max(cnt) AS top_cnt,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+        FROM c GROUP BY doc_id, total
+      )
+      SELECT d.doc_id,
+             CASE WHEN coalesce(a.total, 0) <= 0 THEN 0.0
+                  ELSE CAST(a.top_cnt AS DOUBLE) / a.total END
+               AS top_gram_frac,
+             CASE WHEN coalesce(a.total, 0) <= 0 THEN 0.0
+                  ELSE CAST(a.dup_cnt AS DOUBLE) / a.total END
+               AS dup_gram_frac,
+             CAST(CASE WHEN a.total IS NULL OR a.total < 0 THEN 0
+                       ELSE a.total END AS BIGINT) AS n_grams
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60)
 }

@@ -94,4 +94,31 @@ class CurationSpec extends SparkSpec {
     assert(scores(1L) > scores(2L)) // more hits, extra term
     assert(scores.values.forall(_ > 0))
   }
+
+  test("repetition stats: hand-computed bigram fractions; short docs " +
+      "degrade to zeros") {
+    val docs = Seq(
+      // "a b a b a": bigrams [a b, b a, a b, b a] → top 2/4, dup 4/4
+      (1L, "a b a b a"),
+      // all-distinct bigrams: top 1/3, dup 0
+      (2L, "w x y z"),
+      // one word → no bigrams
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("top_gram_frac"),
+          r.getAs[Double]("dup_gram_frac"),
+          r.getAs[Long]("n_grams")))).toMap
+    assert(out(1L) == ((0.5, 1.0, 4L)))
+    assert(out(2L) == ((1.0 / 3, 0.0, 3L)))
+    assert(out(3L) == ((0.0, 0.0, 0L)))
+    assert(out(4L) == ((0.0, 0.0, 0L)))
+    // trigram variant on the repeated doc: [a b a, b a b, a b a] →
+    // top 2/3, dup 2/3
+    val tri = TextAnalysis.repetitionStats(docs.filter($"doc_id" === 1),
+        n = 3).collect().head
+    assert(tri.getAs[Double]("top_gram_frac") == 2.0 / 3)
+    assert(tri.getAs[Double]("dup_gram_frac") == 2.0 / 3)
+  }
 }
