@@ -240,6 +240,34 @@ object Dedup {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 
+  /** Decontamination — the standard pre-training hygiene pass: flag
+    * corpus documents that share at least `minShared` distinct word
+    * k-grams with ANY document of a benchmark/test set (long k, e.g.
+    * 8-13 in published pipelines, so only verbatim spans match).
+    *
+    * Scale shape: the test set is small by definition, so its distinct
+    * shingle-hash set broadcasts; the corpus explodes its row-local
+    * shingle hashes (already distinct per document), hash-joins against
+    * the broadcast, and aggregates matches per document — ONE corpus
+    * shuffle (the per-doc match count), never a corpus×corpus join.
+    * Returns [idCol, n_shared, contaminated] with one row per corpus
+    * document (zero-match documents included, n_shared = 0). */
+  def decontaminate(corpus: DataFrame, testSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    val testH = withShingleHashes(testSet, textCol, k)
+      .select(explode(col("sh_hs")).as("h")).distinct()
+    val matches = withShingleHashes(corpus, textCol, k)
+      .select(col(idCol), explode(col("sh_hs")).as("h"))
+      .join(broadcast(testH), Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
     * multiply) — the standard universal-hash trick: each shingle is
     * hashed ONCE, the numHashes family members are integer arithmetic.

@@ -356,6 +356,53 @@ object TextQ {
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Decontamination (Dedup.decontaminate): corpus docs sharing ≥ 1
+    * distinct 5-gram with the "held-out" slice (doc_id % 97 = 0).
+    * Spark counts distinct shared HASHES (wordShingleHashes is
+    * set-valued per doc), the oracle counts distinct shared STRING
+    * grams — equal absent a 64-bit collision inside a document's
+    * shingle set (~10^-15 at this scale). */
+  val q61 = Q(
+    "q61_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", k = 5)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      ), test AS (
+        SELECT text FROM documents WHERE doc_id % 97 = 0
+      ), test_sh AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+            AS gram
+          FROM test) u
+      ), corpus_sh AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+            AS gram
+          FROM corpus) u
+      ), m AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus_sh c JOIN test_sh t USING (gram)
+        GROUP BY c.doc_id
+      )
+      SELECT corpus.doc_id,
+             coalesce(m.n_shared, 0) AS n_shared,
+             coalesce(m.n_shared, 0) >= 1 AS contaminated
+      FROM corpus LEFT JOIN m USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61)
 }

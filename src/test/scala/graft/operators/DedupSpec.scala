@@ -122,6 +122,26 @@ class DedupSpec extends SparkSpec {
       threshold = 0.05).count() == capped)
   }
 
+  test("decontaminate flags verbatim-overlap docs, counts shared grams") {
+    val corpus = Seq(
+      // shares the test doc's full 6-word span → 6-4 = wait: k=4 grams
+      (1L, "alpha beta gamma delta epsilon zeta unique tail here"),
+      (2L, "totally different content with no overlap at all"),
+      (3L, "ends with alpha beta gamma delta")) // one shared 4-gram
+      .toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, test, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    // test doc has 3 distinct 4-grams; doc 1 contains all 3
+    assert(out(1L) == ((3L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true))) // "alpha beta gamma delta"
+  }
+
   test("minhash-LSH candidates cover high-jaccard pairs; estimates track") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 3,
       numHashes = 32, bands = 16)
