@@ -15,10 +15,14 @@ class PartitionInvarianceSpec extends SparkSpec {
   // rank (q19), exact percentiles (q20), corr/stddev (q21), MinHash LSH
   // postings (q33), centroid means (q37), ntile offsets (q40),
   // SRP-band near-dup (q44), rollup Expand (q45), sort-merge ECDF (q48)
+  // (r5 additions: q59 sort-merge ECDF + bg-sum window + weak prior;
+  // q60 row-local gram kernel through an orderBy; q61 broadcast
+  // decontamination counts)
   private val names = Set("q01_pricing_summary", "q19_bh_adjust",
     "q20_quantiles_iqr", "q21_corr_stddev", "q33_minhash_lsh",
     "q37_embedding_centroids", "q40_ntile_deciles",
-    "q44_embedding_neardup", "q45_rollup", "q48_ecdf_lookup")
+    "q44_embedding_neardup", "q45_rollup", "q48_ecdf_lookup",
+    "q59_poobah_slice", "q60_repetition", "q61_decontaminate")
 
   test("query results are identical at 3 and 8 shuffle partitions") {
     val dir = sf("sf0.001")
