@@ -47,7 +47,15 @@ object Ecdf {
     val w = Window.partitionBy(gcols: _*)
       .orderBy(col("_ec_v").asc, col("_ec_bg").desc)
     val wAll = Window.partitionBy(gcols: _*)
-    val withF = q.unionByName(b)
+    // Pin the window exchange's parallelism: this stage is CPU-bound
+    // (sort + three window frames per row) but byte-SMALL, so AQE's
+    // byte-based partition coalescing (advisory 64 MB) squeezes it onto
+    // a handful of tasks and serializes the sort — measured 7 s of an
+    // 11 s pOOBAH run at sf0.1. An explicit keyed repartition carries
+    // the same hash distribution the window needs (so no extra
+    // exchange) and AQE leaves user-specified partition counts alone.
+    val n = queries.sparkSession.sessionState.conf.numShufflePartitions
+    val withF = q.unionByName(b).repartition(n, gcols: _*)
       .withColumn("_ec_le", sum(col("_ec_bg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_ec_n", sum(col("_ec_bg")).over(wAll))

@@ -400,18 +400,40 @@ object Prep {
     * sorted background to the driver and broadcast a lookup map into a
     * UDF — ~3 GB of driver state per 1000 samples; this one has none.)
     * The 0..999 prior needs no data at all: its ECDF is the closed form
-    * clamp(floor(v)+1, 0, 1000)/1000. */
+    * clamp(floor(v)+1, 0, 1000)/1000.
+    *
+    * Cache points (mirrors [[graft.dm.Dm.computeDmr]]): the signal frame
+    * has THREE readers here — the masked→oob background, the query
+    * extraction, and the final left join — so it is persisted for the
+    * duration of this call; on a derived signal each reader would
+    * otherwise recompute the whole upstream lineage. The RESULT frame is
+    * materialized, persisted (it feeds both returned values), and the
+    * signal cache is dropped before returning — this method therefore
+    * runs one eager Spark job. Call `.unpersist()` on the returned
+    * frame when the pipeline no longer needs it. */
   def poobah(spark: SparkSession, signal: DataFrame, masks: DataFrame,
       useNegativeControls: Boolean = true, threshold: Double = 0.05)
       : (DataFrame, DataFrame) = {
-    val masked = Masks.applyMask(signal,
-      Masks.addMask(masks, Masks.maskNonUniqueProbes(signal)))
+    // Hash-repartition before caching: the signal often arrives from a
+    // handful of parquet row groups (3-way parallelism on a 32-core
+    // box), and every downstream stage here inherits the cached
+    // partitioning. Keyed repartition (not round-robin: that adds a
+    // per-partition full-row sort for retry determinism) spreads the
+    // cache across the cluster once, and the eager count below fills it
+    // BEFORE the five readers' stages launch concurrently — otherwise
+    // each reader recomputes the same uncached partitions in parallel.
+    val nPart = signal.sparkSession.sessionState.conf.numShufflePartitions
+    val sigP = signal.repartition(nPart, col("sample_label"), col("probe_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigP.count()
+    val masked = Masks.applyMask(sigP,
+      Masks.addMask(masks, Masks.maskNonUniqueProbes(sigP)))
     val bg0 = oobCells(masked)
     val bg = if (useNegativeControls)
       bg0.unionByName(negControlCells(masked)) else bg0
 
     // per-channel query values: the max in-band signal per probe
-    val queries = signal.select(col("sample_label"), col("probe_id"),
+    val queries = sigP.select(col("sample_label"), col("probe_id"),
       explode(map(
         lit("G"), greatest(col("meth_g"), col("unmeth_g")),
         lit("R"), greatest(col("meth_r"), col("unmeth_r"))))
@@ -432,8 +454,11 @@ object Prep {
         .otherwise(lit(1.0) - col("F")))
     val pv = perChannel.groupBy("sample_label", "probe_id")
       .agg(min(col("p")).cast("float").as("p_value"))
-    val withP = signal.drop("p_value")
+    val withP = sigP.drop("p_value")
       .join(pv, Seq("sample_label", "probe_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withP.count() // materialize: signal lineage + ECDF run exactly once
+    sigP.unpersist(blocking = false)
     (withP, Masks.maskPoobah(withP, threshold))
   }
 }
