@@ -240,6 +240,113 @@ object Dedup {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 
+  /** Connected components over an undirected near-dup pair list — the
+    * last stage of every published fuzzy-dedup pipeline (the pair
+    * generators above stop at pairs; real pipelines group pairs into
+    * components and keep one canonical document per component).
+    *
+    * Input: any frame with two id columns (one row per undirected pair).
+    * Output: one row per id that appears in a pair, `[id, component]`,
+    * where `component` is the smallest id in that connected component
+    * (ids are compared with their column type's natural ordering).
+    *
+    * Algorithm: distributed min-label propagation with a
+    * pointer-doubling shortcut — no driver-side union-find, no
+    * collected edge list. Each round:
+    *   1. every node takes the min of its own label and its neighbors'
+    *      labels (one hash join edges × labels + groupBy min);
+    *   2. labels shortcut through themselves, comp(v) := comp(comp(v))
+    *      (one self-join) — path halving, which is what turns the
+    *      O(diameter) naive propagation into O(log diameter) rounds.
+    * Per round the shuffled data is O(|V| + |E|) narrow id rows. Each
+    * round's label frame is an EAGER localCheckpoint: in an iterative
+    * DataFrame algorithm the logical plan otherwise doubles per round
+    * through the self-join (analysis + plan-string emission alone OOM
+    * after ~6 rounds); checkpointing truncates it to a leaf. The
+    * executor-local storage means an executor loss fails the job and
+    * the op reruns — the standard iterative-CC trade (GraphFrames
+    * ships the same default). Near-dup components in practice are tiny
+    * (dup clusters of 2-10 docs), so this typically converges in 2-3
+    * rounds; a pathological 2^64-node path graph would still converge
+    * within the `maxRounds` guard. */
+  def components(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxRounds: Int = 64): DataFrame = {
+    val half = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = half
+      .unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true) // reused every round; truncates pair lineage
+    var labels = edges.select(col("u").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"components: not converged after $maxRounds rounds — " +
+            "with path halving this needs a component diameter over " +
+            s"2^$maxRounds; the pair input is likely being recomputed " +
+            "non-deterministically")
+      // 1. neighbor-min propagation
+      val msgs = edges
+        .join(labels.select(col("id").as("u"), col("component")), Seq("u"))
+        .select(col("v").as("id"), col("component"))
+      val prop = labels.unionByName(msgs)
+        .groupBy("id").agg(min(col("component")).as("component"))
+      // 2. pointer doubling: component := component(component)
+      val parents = prop
+        .select(col("id").as("_pd_id"), col("component").as("_pd_comp"))
+      val next = prop
+        .join(parents, prop("component") === parents("_pd_id"), "left")
+        .select(col("id"),
+          coalesce(col("_pd_comp"), col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("component").as("_prev")),
+          Seq("id"))
+        .filter(col("component") =!= col("_prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Canonical-document selection over near-dup components: every corpus
+    * document gets its `component` (its own id when it appears in no
+    * pair), the component's `canonical_id`, and an `is_canonical` flag —
+    * callers keep `is_canonical` and drop the rest of the cluster.
+    *
+    * The canonical document is the component's max-`qualityCol` member
+    * (ties → smallest id), or simply the smallest id when no quality
+    * column is given. `qualityCol` must be numeric (it is negated to get
+    * descending order inside the min_by struct ordering).
+    *
+    * Scale shape: components() as above, then one broadcast-free
+    * aggregate + join keyed on `component` — both land on the same hash
+    * partitioning, and component count ~ corpus count, so nothing here
+    * assumes a collectable side. */
+  def canonicalize(corpus: DataFrame, pairs: DataFrame, idCol: String,
+      idACol: String = "id_a", idBCol: String = "id_b",
+      qualityCol: Option[String] = None): DataFrame = {
+    val comps = components(pairs, idACol, idBCol)
+      .select(col("id").as(idCol), col("component"))
+    val withComp = corpus.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val winner = qualityCol match {
+      case Some(q) =>
+        min_by(col(idCol), struct((-col(q)).as("_neg_q"), col(idCol)))
+      case None => min(col(idCol))
+    }
+    val winners = withComp.groupBy("component")
+      .agg(winner.as("canonical_id"))
+    withComp.join(winners, Seq("component"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** Decontamination — the standard pre-training hygiene pass: flag
     * corpus documents that share at least `minShared` distinct word
     * k-grams with ANY document of a benchmark/test set (long k, e.g.

@@ -124,6 +124,74 @@ object TextQ {
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
       ORDER BY id_a, id_b"""))
 
+  /** Near-dup clustering end-to-end: the q32 Jaccard pairs grouped into
+    * connected components (distributed min-label propagation with
+    * pointer doubling — Dedup.components) and one canonical doc kept
+    * per component (max n_chars, ties → min doc_id). The oracle replays
+    * the pair derivation, then the transitive closure as a recursive
+    * CTE (feasible at oracle scale; the Spark side is the O(log
+    * diameter)-round plan that scales), then the same winner rule via
+    * a window rank. */
+  val q62 = Q(
+    "q62_components_canonicalize",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.12)
+      Dedup.canonicalize(docs, pairs, "doc_id",
+        qualityCol = Some("n_chars"))
+        .select($"doc_id", $"component", $"canonical_id", $"is_canonical")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM documents)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ), pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+      ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+      ), reach AS (
+        SELECT u AS src, u AS dst FROM edges
+        UNION
+        SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+      ), comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+      ), docs AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      ), winners AS (
+        SELECT component, doc_id AS canonical_id FROM (
+          SELECT component, doc_id,
+                 row_number() OVER (PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM docs) WHERE rn = 1
+      )
+      SELECT d.doc_id, d.component, w.canonical_id,
+             d.doc_id = w.canonical_id AS is_canonical
+      FROM docs d JOIN winners w ON w.component = d.component
+      ORDER BY d.doc_id"""))
+
   /** Prefix-filtered exact Jaccard (AllPairs/PPJoin) at a HIGH
     * threshold — the 100 TB shape for strict near-dup dedup: only each
     * document's |d| - ceil(t|d|) + 1 rarest shingles are indexed, so
@@ -404,5 +472,5 @@ object TextQ {
       ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62)
 }

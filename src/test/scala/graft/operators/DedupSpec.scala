@@ -169,4 +169,56 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
     assert(s1 == s2)
   }
+
+  test("components: a chain a-b, b-c, c-d collapses to one component") {
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("components: separate clusters, long path, reversed pair order") {
+    // one 3-cluster given in arbitrary orientation, one 2-cluster, and a
+    // 64-node path (diameter 63 — needs the pointer-doubling shortcut to
+    // converge inside the round guard at maxRounds = 10)
+    val path = (100L until 163L).map(i => (i + 1, i))
+    val pairs = (Seq((7L, 9L), (9L, 8L), (20L, 21L)) ++ path)
+      .toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs, maxRounds = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps(7L) == 7L && comps(8L) == 7L && comps(9L) == 7L)
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    assert((100L to 163L).forall(comps(_) == 100L))
+  }
+
+  test("canonicalize: quality winner per component, singletons kept") {
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // one component
+      (4L, "d", 99L)) // never paired
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(corpus, pairs, "doc_id",
+      qualityCol = Some("quality")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("canonical_id"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    // max quality 30 is tied between 2 and 3 -> min id 2 wins
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true))) // own singleton component
+    // without a quality column the min id wins instead
+    val minOut = Dedup.canonicalize(corpus, pairs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_canonical")).toMap
+    assert(minOut == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("components on string ids") {
+    val pairs = Seq(("x", "m"), ("m", "q")).toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("component"))
+      .toMap
+    assert(comps == Map("x" -> "m", "m" -> "m", "q" -> "m"))
+  }
 }
