@@ -635,6 +635,274 @@ object ExtraQ {
         ON pv.sample_label = s.sample_label AND pv.probe_id = s.probe_id
       ORDER BY s.probe_id, s.sample_label, p_value"""))
 
+  /** L10 end-to-end — NOOB background correction (Prep
+    * .noobBackgroundCorrection, reference samples.py:1429-1502 +
+    * stats.py:64-142) over the same signal-shaped frame as q59: OOB
+    * background + in-band foreground cell extraction, zeros → 1, the
+    * median + 10·IQR background cap with the ≥ 100-values eligibility
+    * rule, per-(sample, channel) Huber M-estimates (median/MAD init,
+    * clip-mean iteration to |Δmu| < tol·sigma), alpha = max(fgMu − bgMu,
+    * 10), and the norm-exp convolution posterior mean (inverse-Mills
+    * correction via the erfcx-scaled log-sf) + offset 15 applied to all
+    * four signal columns. The all-zero sample exercises the no-fit
+    * path twice over: its background collapses to cap = 1 (empty after
+    * the < cap filter) and its foreground MAD is 0 — both sides leave
+    * its cells uncorrected.
+    *
+    * The oracle replays the Huber loop as a RECURSIVE CTE with the
+    * exact stopping rule (DuckDB allows joins + aggregation in the
+    * recursive term) and the erfc/erfcx kernels as the same Cody
+    * rational approximations, transcribed polynomial-for-polynomial
+    * (DuckDB has no erf family built in). Order statistics (median,
+    * quantile_cont) are bit-exact across engines; the iterative means
+    * and libm calls can drift O(1e-13), so cells are compared at
+    * round(·, 2) — far below any real fit/convolution error, far above
+    * engine drift. */
+  val q63 = Q(
+    "q63_noob_endtoend",
+    (s, d) => {
+      import s.implicits._
+      def cell(base: org.apache.spark.sql.Column, m: Int) =
+        when($"l_suppkey" % 10 === 7, lit(0f))
+          .otherwise(when(
+            $"l_orderkey" % 23 === 0 || $"l_orderkey" % m === 0,
+            lit(null).cast("float")).otherwise(base.cast("float")))
+      val sig = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_partkey" % 3 === 0, "II").otherwise("I").as("inf_type"),
+        when($"l_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        lit("cg").as("probe_type"),
+        lit("").as("mask_info"),
+        cell($"l_quantity", 11).as("meth_g"),
+        cell(($"l_orderkey" * 3 + $"l_linenumber") % 47, 13)
+          .as("unmeth_g"),
+        cell(($"l_orderkey" * 7 + $"l_linenumber") % 53, 17)
+          .as("meth_r"),
+        cell($"l_tax" * 100, 19).as("unmeth_r"),
+        lit(null).cast("float").as("p_value"))
+      val corrected = graft.prep.Prep.noobBackgroundCorrection(s, sig,
+        graft.core.Masks.empty(s), useNegativeControls = false)
+      corrected.select($"sample_label", $"probe_id",
+        round($"meth_g".cast("double"), 2).as("meth_g"),
+        round($"unmeth_g".cast("double"), 2).as("unmeth_g"),
+        round($"meth_r".cast("double"), 2).as("meth_r"),
+        round($"unmeth_r".cast("double"), 2).as("unmeth_r"))
+        .orderBy($"probe_id", $"sample_label", $"meth_g", $"unmeth_g",
+          $"meth_r", $"unmeth_r")
+    },
+    Some("""
+      WITH RECURSIVE sig AS (
+        -- (l_orderkey, l_linenumber) pairs DUPLICATE in the synthetic
+        -- lineitem; the regroup key must be unique per input row, and the
+        -- full generator tuple is (verified at sf0.001/0.01/0.1).
+        SELECT l_orderkey || '|' || l_linenumber || '|' || l_suppkey
+                 || '|' || l_partkey || '|' || l_quantity || '|' || l_tax
+                 AS rid,
+               CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 3 = 0 THEN 'II' ELSE 'I' END
+                 AS inf_type,
+               CASE WHEN l_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 11 = 0
+                    THEN NULL ELSE CAST(l_quantity AS FLOAT) END
+                 AS meth_g,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber) % 47
+                              AS FLOAT) END AS unmeth_g,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 17 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 53
+                              AS FLOAT) END AS meth_r,
+               CASE WHEN l_suppkey % 10 = 7 THEN CAST(0 AS FLOAT)
+                    WHEN l_orderkey % 23 = 0 OR l_orderkey % 19 = 0
+                    THEN NULL ELSE CAST(l_tax * 100 AS FLOAT) END
+                 AS unmeth_r
+        FROM lineitem
+      ), bg AS (
+        SELECT sample_label, 'G' AS ch, meth_g AS v FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND meth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'G', unmeth_g FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND unmeth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', meth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND meth_r IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', unmeth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND unmeth_r IS NOT NULL
+      ), fg AS (
+        SELECT sample_label, 'G' AS ch, meth_g AS v FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND meth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'G', unmeth_g FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND unmeth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', meth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND meth_r IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', unmeth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND unmeth_r IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'G', meth_g FROM sig
+          WHERE inf_type = 'II' AND meth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', unmeth_r FROM sig
+          WHERE inf_type = 'II' AND unmeth_r IS NOT NULL
+      ), bg1 AS (
+        SELECT sample_label, ch,
+               CASE WHEN v = 0 THEN 1.0 ELSE CAST(v AS DOUBLE) END AS v
+        FROM bg
+      ), fg1 AS (
+        SELECT sample_label, ch,
+               CASE WHEN v = 0 THEN 1.0 ELSE CAST(v AS DOUBLE) END AS v
+        FROM fg
+      ), cap AS (
+        SELECT sample_label, ch,
+               median(v) + (quantile_cont(v, 0.75)
+                 - quantile_cont(v, 0.25)) * 10 AS cap
+        FROM bg1 GROUP BY 1, 2 HAVING count(*) >= 100
+      ), hcells AS (
+        SELECT 'bg' AS src, b.sample_label, b.ch, b.v
+        FROM bg1 b JOIN cap c
+          ON c.sample_label = b.sample_label AND c.ch = b.ch
+        WHERE b.v < c.cap
+        UNION ALL
+        SELECT 'fg', sample_label, ch, v FROM fg1
+      ), h0 AS (
+        SELECT src, sample_label, ch, median(v) AS mu0
+        FROM hcells GROUP BY 1, 2, 3
+      ), hsig AS (
+        SELECT c.src, c.sample_label, c.ch, h.mu0,
+               median(abs(c.v - h.mu0)) / 0.6744897501960817 AS sigma
+        FROM hcells c JOIN h0 h ON h.src = c.src
+          AND h.sample_label = c.sample_label AND h.ch = c.ch
+        GROUP BY 1, 2, 3, 4
+      ), hub AS (
+        SELECT src, sample_label, ch, mu0 AS mu, sigma,
+               FALSE AS done, 0 AS it
+        FROM hsig WHERE sigma <> 0
+        UNION ALL
+        SELECT x.src, x.sample_label, x.ch, x.mu2 AS mu, x.sigma,
+               abs(x.mu - x.mu2) < 1e-6 * x.sigma AS done, x.it + 1 AS it
+        FROM (
+          SELECT s.src, s.sample_label, s.ch, s.mu, s.sigma, s.it,
+                 avg(least(greatest(c.v, s.mu - 1.5 * s.sigma),
+                           s.mu + 1.5 * s.sigma)) AS mu2
+          FROM hub s JOIN hcells c ON c.src = s.src
+            AND c.sample_label = s.sample_label AND c.ch = s.ch
+          WHERE NOT s.done AND s.it < 100
+          GROUP BY s.src, s.sample_label, s.ch, s.mu, s.sigma, s.it
+        ) x
+      ), hfinal AS (
+        SELECT src, sample_label, ch, mu, sigma FROM hub
+        QUALIFY row_number() OVER (PARTITION BY src, sample_label, ch
+          ORDER BY it DESC) = 1
+      ), fits AS (
+        SELECT b.sample_label, b.ch, b.mu, b.sigma,
+               greatest(f.mu - b.mu, 10.0) AS alpha
+        FROM (SELECT * FROM hfinal WHERE src = 'bg') b
+        JOIN (SELECT * FROM hfinal WHERE src = 'fg') f
+          ON f.sample_label = b.sample_label AND f.ch = b.ch
+      ), cells AS (
+        SELECT rid, sample_label, probe_id, 'meth_g' AS cell,
+               'G' AS ch, meth_g AS x FROM sig
+        UNION ALL
+        SELECT rid, sample_label, probe_id, 'unmeth_g', 'G', unmeth_g
+        FROM sig
+        UNION ALL
+        SELECT rid, sample_label, probe_id, 'meth_r', 'R', meth_r
+        FROM sig
+        UNION ALL
+        SELECT rid, sample_label, probe_id, 'unmeth_r', 'R', unmeth_r
+        FROM sig
+      ), conv0 AS (
+        SELECT c.rid, c.sample_label, c.probe_id, c.cell, c.x,
+               f.mu, f.sigma, f.alpha,
+               CAST(c.x AS DOUBLE) - f.mu - f.sigma * f.sigma / f.alpha
+                 AS shifted
+        FROM cells c LEFT JOIN fits f
+          ON f.sample_label = c.sample_label AND f.ch = c.ch
+      ), conv1 AS (
+        SELECT *, shifted / sigma AS sv,
+               abs(shifted / sigma) / sqrt(2) AS u
+        FROM conv0
+      ), conv2 AS (
+        SELECT *, u * u AS z2,
+          u * ((((1.85777706184603153e-1 * (u*u) + 3.16112374387056560e+0)
+                  * (u*u) + 1.13864154151050156e+2)
+                  * (u*u) + 3.77485237685302021e+2)
+                  * (u*u) + 3.20937758913846947e+3)
+            / (((((u*u) + 2.36012909523441209e+1)
+                  * (u*u) + 2.44024637934444173e+2)
+                  * (u*u) + 1.28261652607737228e+3)
+                  * (u*u) + 2.84423683343917062e+3) AS erf_small,
+          ((((((((2.15311535474403846e-8 * u + 5.64188496988670089e-1)
+              * u + 8.88314979438837594e+0) * u + 6.61191906371416295e+1)
+              * u + 2.98635138197400131e+2) * u + 8.81952221241769090e+2)
+              * u + 1.71204761263407058e+3) * u + 2.05107837782607147e+3)
+              * u + 1.23033935479799725e+3)
+          / ((((((((u + 1.57449261107098347e+1) * u
+              + 1.17693950891312499e+2) * u + 5.37181101862009858e+2)
+              * u + 1.62138957456669019e+3) * u + 3.29079923573345963e+3)
+              * u + 4.36261909014324716e+3) * u + 3.43936767414372164e+3)
+              * u + 1.23033935480374942e+3) AS pq_mid,
+          (5.6418958354775628695e-1
+            - (1.0 / nullif(u*u, 0))
+              * (((((1.63153871373020978e-2 * (1.0 / nullif(u*u, 0))
+                    + 3.05326634961232344e-1) * (1.0 / nullif(u*u, 0))
+                    + 3.60344899949804439e-1) * (1.0 / nullif(u*u, 0))
+                    + 1.25781726111229246e-1) * (1.0 / nullif(u*u, 0))
+                    + 1.60837851487422766e-2) * (1.0 / nullif(u*u, 0))
+                   + 6.58749161529837803e-4)
+              / ((((((1.0 / nullif(u*u, 0)) + 2.56852019228982242e+0)
+                    * (1.0 / nullif(u*u, 0)) + 1.87295284992346047e+0)
+                    * (1.0 / nullif(u*u, 0)) + 5.27905102951428412e-1)
+                    * (1.0 / nullif(u*u, 0)) + 6.05183413124413191e-2)
+                    * (1.0 / nullif(u*u, 0)) + 2.33520497626869185e-3))
+            / nullif(u, 0) AS el
+        FROM conv1
+      ), conv3 AS (
+        SELECT *,
+          CASE WHEN u < 0.46875 THEN 1.0 - erf_small
+               WHEN u <= 4.0 THEN exp(-z2) * pq_mid
+               ELSE el * exp(-z2) END AS erfc_u,
+          CASE WHEN u < 0.46875 THEN exp(z2) * (1.0 - erf_small)
+               WHEN u <= 4.0 THEN exp(z2) * (exp(-z2) * pq_mid)
+               ELSE el END AS erfcx_u
+        FROM conv2
+      ), conv4 AS (
+        SELECT *,
+          (-0.5) * sv * sv - ln(sigma * sqrt(2 * pi())) AS lp,
+          CASE WHEN sv >= 0 THEN ln(1.0 + (-0.5) * erfc_u)
+               ELSE (-0.5) * sv * sv + ln(0.5 * erfcx_u) END AS ls
+        FROM conv3
+      ), conv5 AS (
+        SELECT rid, sample_label, probe_id, cell,
+          CASE WHEN mu IS NULL OR x IS NULL THEN x
+               ELSE CAST(greatest(shifted + sigma * sigma * exp(lp - ls),
+                                  1e-6) + 15.0 AS FLOAT) END AS y
+        FROM conv4
+      )
+      SELECT sample_label, probe_id,
+             round(CAST(max(CASE WHEN cell = 'meth_g' THEN y END)
+               AS DOUBLE), 2) AS meth_g,
+             round(CAST(max(CASE WHEN cell = 'unmeth_g' THEN y END)
+               AS DOUBLE), 2) AS unmeth_g,
+             round(CAST(max(CASE WHEN cell = 'meth_r' THEN y END)
+               AS DOUBLE), 2) AS meth_r,
+             round(CAST(max(CASE WHEN cell = 'unmeth_r' THEN y END)
+               AS DOUBLE), 2) AS unmeth_r
+      FROM conv5
+      GROUP BY rid, sample_label, probe_id
+      ORDER BY probe_id, sample_label, meth_g, unmeth_g, meth_r,
+               unmeth_r"""))
+
   val all: Seq[Q] =
-    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59)
+    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63)
 }
