@@ -903,6 +903,272 @@ object ExtraQ {
       ORDER BY probe_id, sample_label, meth_g, unmeth_g, meth_r,
                unmeth_r"""))
 
+  /** L14 end-to-end — nonlinear dye-bias correction (DyeBiasNL
+    * .dyeBiasCorrectionNL, reference samples.py:1340-1427 +
+    * stats.py:145-167) over a signal built from `orders`: probe =
+    * o_orderkey (unique, so (sample, probe) is a key and the final
+    * pivot/join is deterministic), sample = custkey mod 10, four cells
+    * in DISJOINT ranges derived from o_totalprice so no two in-band
+    * values can tie inside a (sample, channel) — interp knots with
+    * duplicate xp are the one place engine tie-breaks could diverge.
+    * A window filter drops the few rows whose FLOAT-cast cell would
+    * collide per sample (the decimal is near-unique but float ulp at
+    * 3.5e6 is 0.25). Planted branches: sample 3's green cells are all
+    * zero (G max = 0 → ineligible → passthrough), sample 7's top ~30%
+    * red cells are scaled 50× (top-20-median ratio trips the > 10
+    * distortion guard at every SF), type II rows route through the
+    * type-I curves and land on all three np.interp branches (inside,
+    * shifted-above, proportional-below), and modular NULL cells ride
+    * the whole pipeline untouched.
+    *
+    * The oracle replays the guard (quantile_cont + top-20 median),
+    * rank-arithmetic quantile normalization, midpoint knots, and the
+    * sort-merge interp exactly as SQL; all arithmetic is the same
+    * IEEE ops in the same order, so round(·, 2) is belt-and-braces. */
+  val q64 = Q(
+    "q64_dyebias_nl_endtoend",
+    (s, d) => {
+      import s.implicits._
+      val tp = $"o_totalprice".cast("double")
+      val withF = t(s, d, "orders")
+        .withColumn("_s", ($"o_custkey" % 10).cast("string"))
+        .withColumn("_f1", tp.cast("float"))
+        .withColumn("_f2", (tp + 1000000.0).cast("float"))
+        .withColumn("_f3", (tp + 2000000.0).cast("float"))
+        .withColumn("_f4", (tp + 3000000.0).cast("float"))
+        .withColumn("_f3i", ((tp + 2000000.0) * 50.0).cast("float"))
+      def uniq(c: String) =
+        count(lit(1)).over(Window.partitionBy($"_s", col(c))) === 1
+      val filtered = withF
+        .withColumn("_u", uniq("_f1") && uniq("_f2") && uniq("_f3") &&
+          uniq("_f4") && uniq("_f3i"))
+        .filter($"_u")
+      val nullF = lit(null).cast("float")
+      val sig = filtered.select(
+        $"_s".as("sample_label"),
+        $"o_orderkey".cast("string").as("probe_id"),
+        when($"o_orderkey" % 5 === 0, "II").otherwise("I").as("inf_type"),
+        when($"o_orderkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        lit("cg").as("probe_type"),
+        lit("").as("mask_info"),
+        when($"_s" === "3", lit(0f))
+          .when($"o_orderkey" % 29 === 0, nullF)
+          .otherwise($"_f1").as("meth_g"),
+        when($"_s" === "3", lit(0f))
+          .when($"o_orderkey" % 31 === 0, nullF)
+          .otherwise($"_f2").as("unmeth_g"),
+        when($"o_orderkey" % 37 === 0, nullF)
+          .when($"_s" === "7" && tp > 350000.0, $"_f3i")
+          .otherwise($"_f3").as("meth_r"),
+        when($"o_orderkey" % 41 === 0, nullF)
+          .otherwise($"_f4").as("unmeth_r"),
+        nullF.as("p_value"))
+      val (corrected, _) =
+        graft.prep.DyeBiasNL.dyeBiasCorrectionNL(s, sig)
+      corrected.select($"sample_label", $"probe_id",
+        round($"meth_g".cast("double"), 2).as("meth_g"),
+        round($"unmeth_g".cast("double"), 2).as("unmeth_g"),
+        round($"meth_r".cast("double"), 2).as("meth_r"),
+        round($"unmeth_r".cast("double"), 2).as("unmeth_r"))
+        .orderBy($"probe_id", $"sample_label")
+    },
+    Some("""
+      WITH uniqf AS (
+        SELECT * FROM (
+          SELECT o_orderkey AS okey,
+                 CAST(o_custkey % 10 AS VARCHAR) AS s,
+                 CAST(o_totalprice AS DOUBLE) AS tp,
+                 CAST(CAST(o_totalprice AS DOUBLE) AS FLOAT) AS f1,
+                 CAST(CAST(o_totalprice AS DOUBLE) + 1000000.0 AS FLOAT)
+                   AS f2,
+                 CAST(CAST(o_totalprice AS DOUBLE) + 2000000.0 AS FLOAT)
+                   AS f3,
+                 CAST(CAST(o_totalprice AS DOUBLE) + 3000000.0 AS FLOAT)
+                   AS f4,
+                 CAST((CAST(o_totalprice AS DOUBLE) + 2000000.0) * 50.0
+                   AS FLOAT) AS f3i
+          FROM orders) b
+        QUALIFY count(*) OVER (PARTITION BY s, f1) = 1
+            AND count(*) OVER (PARTITION BY s, f2) = 1
+            AND count(*) OVER (PARTITION BY s, f3) = 1
+            AND count(*) OVER (PARTITION BY s, f4) = 1
+            AND count(*) OVER (PARTITION BY s, f3i) = 1
+      ), sig AS (
+        SELECT s AS sample_label, CAST(okey AS VARCHAR) AS probe_id,
+               CASE WHEN okey % 5 = 0 THEN 'II' ELSE 'I' END AS inf_type,
+               CASE WHEN okey % 2 = 0 THEN 'G' ELSE 'R' END AS channel,
+               CASE WHEN s = '3' THEN CAST(0 AS FLOAT)
+                    WHEN okey % 29 = 0 THEN NULL ELSE f1 END AS meth_g,
+               CASE WHEN s = '3' THEN CAST(0 AS FLOAT)
+                    WHEN okey % 31 = 0 THEN NULL ELSE f2 END AS unmeth_g,
+               CASE WHEN okey % 37 = 0 THEN NULL
+                    WHEN s = '7' AND tp > 350000.0 THEN f3i
+                    ELSE f3 END AS meth_r,
+               CASE WHEN okey % 41 = 0 THEN NULL ELSE f4 END AS unmeth_r
+        FROM uniqf
+      ), cells AS (
+        -- in-band type-I cells (two per row, channel = probe channel)
+        SELECT sample_label, probe_id, channel,
+               CASE WHEN channel = 'G' THEN meth_g ELSE meth_r END AS vf
+        FROM sig WHERE inf_type = 'I'
+          AND (CASE WHEN channel = 'G' THEN meth_g ELSE meth_r END)
+              IS NOT NULL
+        UNION ALL
+        SELECT sample_label, probe_id, channel,
+               CASE WHEN channel = 'G' THEN unmeth_g ELSE unmeth_r END
+        FROM sig WHERE inf_type = 'I'
+          AND (CASE WHEN channel = 'G' THEN unmeth_g ELSE unmeth_r END)
+              IS NOT NULL
+      ), totals AS (
+        SELECT sample_label, probe_id, channel,
+               CASE WHEN sv = 0 THEN NULL ELSE sv END AS total_ib
+        FROM (SELECT sample_label, probe_id, channel, sum(vf) AS sv
+              FROM cells GROUP BY 1, 2, 3)
+      ), guard AS (
+        SELECT sample_label, channel,
+               quantile_cont(CAST(total_ib AS DOUBLE), 0.5) AS med
+        FROM totals GROUP BY 1, 2
+      ), top20 AS (
+        SELECT sample_label, channel, median(tv) AS t20
+        FROM (SELECT sample_label, channel,
+                     CAST(total_ib AS DOUBLE) AS tv,
+                     row_number() OVER (
+                       PARTITION BY sample_label, channel
+                       ORDER BY CAST(total_ib AS DOUBLE) DESC) AS rn
+              FROM totals WHERE total_ib IS NOT NULL)
+        WHERE rn <= 20 GROUP BY 1, 2
+      ), gw AS (
+        SELECT g.sample_label,
+               max(CASE WHEN g.channel = 'G' THEN g.med END) AS g_med,
+               max(CASE WHEN g.channel = 'R' THEN g.med END) AS r_med,
+               max(CASE WHEN g.channel = 'G' THEN t.t20 END) AS g_t20,
+               max(CASE WHEN g.channel = 'R' THEN t.t20 END) AS r_t20
+        FROM guard g LEFT JOIN top20 t
+          ON t.sample_label = g.sample_label AND t.channel = g.channel
+        GROUP BY 1
+      ), dist AS (
+        SELECT sample_label,
+               CASE WHEN g_t20 IS NULL OR g_med IS NULL OR r_t20 IS NULL
+                      OR r_med IS NULL OR g_t20 = 0 OR g_med = 0
+                    THEN TRUE
+                    ELSE COALESCE(
+                      isnan((r_t20 / g_t20) / (r_med / g_med)) OR
+                      (r_t20 / g_t20) / (r_med / g_med) > 10, TRUE)
+               END AS distorted
+        FROM gw
+      ), chanw AS (
+        SELECT sample_label,
+               max(CASE WHEN channel = 'G' THEN n END) AS g_n,
+               max(CASE WHEN channel = 'R' THEN n END) AS r_n,
+               max(CASE WHEN channel = 'G' THEN mx END) AS g_mx,
+               max(CASE WHEN channel = 'R' THEN mx END) AS r_mx
+        FROM (SELECT sample_label, channel, count(*) AS n,
+                     max(CAST(vf AS DOUBLE)) AS mx
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+      ), elig AS (
+        SELECT c.sample_label, c.g_n AS n_g, c.r_n AS n_r
+        FROM chanw c JOIN dist d ON d.sample_label = c.sample_label
+        WHERE NOT d.distorted AND c.g_n IS NOT NULL
+          AND c.r_n IS NOT NULL AND c.g_mx > 0 AND c.r_mx > 0
+      ), ranked AS (
+        SELECT c.sample_label, c.channel, CAST(c.vf AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY c.sample_label, c.channel
+                 ORDER BY CAST(c.vf AS DOUBLE)) - 1 AS r,
+               CASE WHEN c.channel = 'G' THEN e.n_g ELSE e.n_r END AS n,
+               CASE WHEN c.channel = 'G' THEN e.n_r ELSE e.n_g END AS m,
+               CASE WHEN c.channel = 'G' THEN 'R' ELSE 'G' END AS tch
+        FROM cells c JOIN elig e ON e.sample_label = c.sample_label
+      ), wpos AS (
+        SELECT *, CAST(floor(pos) AS BIGINT) AS plo,
+               CAST(ceil(pos) AS BIGINT) AS phi
+        FROM (SELECT *, CASE WHEN n = 1 THEN 0.0
+                             ELSE CAST(r AS DOUBLE) / (n - 1) * (m - 1)
+                        END AS pos
+              FROM ranked)
+      ), knots AS (
+        SELECT w.sample_label, w.channel, w.v AS xp,
+               (w.v + CASE WHEN w.plo = w.phi THEN lo.v
+                           ELSE lo.v + (w.pos - w.plo) * (hi.v - lo.v)
+                      END) / 2 AS fp
+        FROM wpos w
+        JOIN ranked lo ON lo.sample_label = w.sample_label
+          AND lo.channel = w.tch AND lo.r = w.plo
+        JOIN ranked hi ON hi.sample_label = w.sample_label
+          AND hi.channel = w.tch AND hi.r = w.phi
+      ), bounds AS (
+        SELECT sample_label, channel, min(xp) AS minx, max(xp) AS maxx,
+               min(fp) AS minmid, max(fp) AS maxmid
+        FROM knots GROUP BY 1, 2
+      ), q AS (
+        SELECT sample_label, probe_id, 'meth_g' AS vcol, 'G' AS ch,
+               CAST(meth_g AS DOUBLE) AS x FROM sig
+        UNION ALL
+        SELECT sample_label, probe_id, 'unmeth_g', 'G',
+               CAST(unmeth_g AS DOUBLE) FROM sig
+        UNION ALL
+        SELECT sample_label, probe_id, 'meth_r', 'R',
+               CAST(meth_r AS DOUBLE) FROM sig
+        UNION ALL
+        SELECT sample_label, probe_id, 'unmeth_r', 'R',
+               CAST(unmeth_r AS DOUBLE) FROM sig
+      ), ilo AS (
+        SELECT q.sample_label, q.ch, q.x, max(k.xp) AS lx,
+               arg_max(k.fp, k.xp) AS lf
+        FROM (SELECT DISTINCT sample_label, ch, x FROM q
+              WHERE x IS NOT NULL) q
+        JOIN knots k ON k.sample_label = q.sample_label
+          AND k.channel = q.ch AND k.xp <= q.x
+        GROUP BY 1, 2, 3
+      ), ihi AS (
+        SELECT q.sample_label, q.ch, q.x, min(k.xp) AS hx,
+               arg_min(k.fp, k.xp) AS hf
+        FROM (SELECT DISTINCT sample_label, ch, x FROM q
+              WHERE x IS NOT NULL) q
+        JOIN knots k ON k.sample_label = q.sample_label
+          AND k.channel = q.ch AND k.xp > q.x
+        GROUP BY 1, 2, 3
+      ), app AS (
+        SELECT q.sample_label, q.probe_id, q.vcol, q.x,
+               b.minx, b.maxx, b.minmid, b.maxmid,
+               CASE WHEN lo.lx IS NULL AND hi.hx IS NULL THEN NULL
+                    WHEN lo.lx IS NULL THEN hi.hf
+                    WHEN hi.hx IS NULL THEN lo.lf
+                    WHEN hi.hx = lo.lx THEN lo.lf
+                    ELSE lo.lf + (hi.hf - lo.lf) * (q.x - lo.lx)
+                                 / (hi.hx - lo.lx)
+               END AS itp
+        FROM q
+        LEFT JOIN bounds b ON b.sample_label = q.sample_label
+          AND b.channel = q.ch
+        LEFT JOIN ilo lo ON lo.sample_label = q.sample_label
+          AND lo.ch = q.ch AND lo.x = q.x
+        LEFT JOIN ihi hi ON hi.sample_label = q.sample_label
+          AND hi.ch = q.ch AND hi.x = q.x
+      ), outv AS (
+        SELECT sample_label, probe_id, vcol,
+               CASE WHEN minx IS NULL THEN x
+                    WHEN isnan(x) THEN NULL
+                    WHEN x > maxx THEN x - maxx + maxmid
+                    WHEN x < minx THEN
+                      CASE WHEN minx = 0 THEN NULL
+                           ELSE x * (minmid / minx) END
+                    ELSE itp END AS o
+        FROM app
+      )
+      SELECT sample_label, probe_id,
+             round(CAST(CAST(max(CASE WHEN vcol = 'meth_g' THEN o END)
+               AS FLOAT) AS DOUBLE), 2) AS meth_g,
+             round(CAST(CAST(max(CASE WHEN vcol = 'unmeth_g' THEN o END)
+               AS FLOAT) AS DOUBLE), 2) AS unmeth_g,
+             round(CAST(CAST(max(CASE WHEN vcol = 'meth_r' THEN o END)
+               AS FLOAT) AS DOUBLE), 2) AS meth_r,
+             round(CAST(CAST(max(CASE WHEN vcol = 'unmeth_r' THEN o END)
+               AS FLOAT) AS DOUBLE), 2) AS unmeth_r
+      FROM outv
+      GROUP BY sample_label, probe_id
+      ORDER BY probe_id, sample_label"""))
+
   val all: Seq[Q] =
-    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63)
+    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63, q64)
 }
