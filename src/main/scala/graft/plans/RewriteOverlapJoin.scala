@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join,
-  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate,
+  Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DataType,
   IntegerType, LongType, ShortType}
@@ -61,6 +61,29 @@ import org.apache.spark.sql.types.{ByteType, DataType,
   * `greatest` guard below, which keeps the rewrite faithful to the raw
   * predicate semantics: a pair satisfying the residual predicates is
   * emitted whether or not the "interval" is well-formed.
+  *
+  * Wide-interval safety (`spark.graft.overlapJoin.maxBinsPerRow`,
+  * default 4096 → 409.6 Mb at the default bin size, wider than any
+  * chromosome): a row whose bin range exceeds the cap — a sentinel
+  * bound like `0 .. Long.MaxValue` would otherwise explode a
+  * multi-billion-element Sequence (hard runtime failure past 2^31) —
+  * is routed around the explode entirely. The plan becomes a union of
+  * three branches with exactly-once semantics:
+  *   1. normal × normal through the binned equi join (the hot path);
+  *   2. long-left × all-right through the ORIGINAL condition;
+  *   3. normal-left × long-right through the original condition.
+  * Branches 2/3 carry a single-side `Filter`, so the long rows prune
+  * before the join (a broadcast-nested-loop over the handful of
+  * pathological rows — never an unfiltered cartesian). Set the cap
+  * `<= 0` to restore the unbounded single-branch rewrite. The rule
+  * recognises its own residual branches by those long-row filters
+  * (semantic equality on a child conjunct) and leaves them alone —
+  * the optimizer batch runs to fixed point, and without that guard
+  * the residual joins still match the overlap shape.
+  *
+  * Every firing is logged at INFO (`RewriteOverlapJoin fired ...`) so
+  * an unexpected plan change on a non-genomic join can be traced to
+  * this rule and disabled via `spark.graft.overlapJoin.rewrite`.
   */
 case class RewriteOverlapJoin(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -134,12 +157,36 @@ case class RewriteOverlapJoin(session: SparkSession)
 
         val binSize = conf
           .getConfString("spark.graft.overlapJoin.binSize", "100000").toLong
+        val maxBins = conf
+          .getConfString("spark.graft.overlapJoin.maxBinsPerRow", "4096")
+          .toLong
         val b = Literal(binSize)
         def toLong(e: Expression): Expression =
           if (e.dataType == LongType) e else Cast(e, LongType)
         def sdiv(e: Expression): Expression = IntegralDivide(toLong(e), b)
         def ediv(e: Expression): Expression =
           IntegralDivide(Subtract(toLong(e), Literal(1L)), b)
+        // bin count of [s, e) is ediv(e) - sdiv(s) + 1 (degenerate rows
+        // collapse to one bin via the greatest() below)
+        def isLong(s: Expression, e: Expression): Expression =
+          GreaterThanOrEqual(Subtract(ediv(e), sdiv(s)), Literal(maxBins))
+        val longL = isLong(lStart, lEnd)
+        val longR = isLong(rStart, rEnd)
+
+        // fixed-point guard: the residual branches built below still
+        // match the overlap shape, so recognise them by their long-row
+        // filter conjuncts and leave them alone (pushdown may merge or
+        // relocate the Filter inside the subtree, hence the deep scan)
+        if (maxBins > 0) {
+          def marked(p: LogicalPlan): Boolean = p.exists {
+            case Filter(c, _) => splitConjunctivePredicates(c).exists(x =>
+              x.semanticEquals(longL) || x.semanticEquals(Not(longL)) ||
+                x.semanticEquals(longR) || x.semanticEquals(Not(longR)))
+            case _ => false
+          }
+          if (marked(left) || marked(right)) return None
+        }
+
         // bins of [s, e): s div B .. (e-1) div B; greatest() keeps the
         // sequence non-empty for degenerate rows instead of erroring
         // Sequence is TimeZoneAwareExpression: it only counts as
@@ -151,20 +198,36 @@ case class RewriteOverlapJoin(session: SparkSession)
 
         val binL = AttributeReference(BinL, LongType, nullable = false)()
         val binR = AttributeReference(BinR, LongType, nullable = false)()
-        val genLeft = Generate(bins(lStart, lEnd), Nil, outer = false,
-          None, Seq(binL), left)
-        val genRight = Generate(bins(rStart, rEnd), Nil, outer = false,
-          None, Seq(binR), right)
         // one-bin dedup: keep only the bin holding the overlap's first
         // point, greatest(l_start, r_start) — covered by both sides'
         // exploded ranges whenever the residual predicates hold
-        val dedup = EqualTo(binL, IntegralDivide(
-          Greatest(Seq(toLong(lStart), toLong(rStart))), b))
-        val newCond = (conjuncts :+ EqualTo(binL, binR) :+ dedup)
-          .reduce(And)
-        val newJoin =
+        def binnedJoin(l: LogicalPlan, r: LogicalPlan): LogicalPlan = {
+          val genLeft = Generate(bins(lStart, lEnd), Nil, outer = false,
+            None, Seq(binL), l)
+          val genRight = Generate(bins(rStart, rEnd), Nil, outer = false,
+            None, Seq(binR), r)
+          val dedup = EqualTo(binL, IntegralDivide(
+            Greatest(Seq(toLong(lStart), toLong(rStart))), b))
+          val newCond = (conjuncts :+ EqualTo(binL, binR) :+ dedup)
+            .reduce(And)
           Join(genLeft, genRight, Inner, Some(newCond), j.hint)
-        Some(Project(j.output, newJoin))
+        }
+
+        logInfo(s"RewriteOverlapJoin fired (binSize=$binSize, " +
+          s"maxBinsPerRow=$maxBins) on join condition: ${cond.sql}")
+        if (maxBins <= 0) {
+          Some(Project(j.output, binnedJoin(left, right)))
+        } else {
+          val normalLeft = Filter(Not(longL), left)
+          val normalRight = Filter(Not(longR), right)
+          val hot = Project(j.output, binnedJoin(normalLeft, normalRight))
+          val residualLongLeft = Project(j.output,
+            Join(Filter(longL, left), right, Inner, Some(cond), j.hint))
+          val residualLongRight = Project(j.output,
+            Join(normalLeft, Filter(longR, right), Inner, Some(cond),
+              j.hint))
+          Some(Union(Seq(hot, residualLongLeft, residualLongRight)))
+        }
       case _ => None
     }
   }

@@ -68,6 +68,9 @@ class PlanSpec extends SparkSpec {
     val naive = a.join(b, a("chrom") === b("chrom") &&
       a("start") < b("e2") && a("end") > b("s2"))
     val p = naive.queryExecution.executedPlan.toString
+    // all rows here are provably narrow (local relations fold the
+    // long-row filters at optimize time), so the residual branches
+    // collapse away entirely — the plan must be the pure binned join
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"overlap join was not rewritten to an equi join\n${p.take(1500)}")
@@ -102,6 +105,40 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
     // a1/b1 + a3 overlaps all four b intervals ignoring chrom
     assert(pureRange.count() == 5)
+  }
+
+  test("naive overlap join with sentinel-wide intervals routes through " +
+      "the residual branches instead of exploding the bin sequence") {
+    import spark.implicits._
+    // a2 spans 0 .. 2^62 — unbounded sequence would need 4.6e13 bins
+    // (Sequence hard-fails past 2^31 elements); the maxBinsPerRow cap
+    // must route it around the explode with identical results
+    val a = Seq(("chr1", 100L, 250L, "a1"),
+      ("chr1", 0L, Long.MaxValue / 2, "a2"))
+      .toDF("chrom", "start", "end", "id_a")
+    val b = Seq(("chr1", 200L, 300L, "b1"),
+      ("chr1", 0L, Long.MaxValue / 2, "b2"),
+      ("chr2", 600L, 700L, "b3"))
+      .toDF("chrom", "s2", "e2", "id_b")
+    def joined = a.join(b, a("chrom") === b("chrom") &&
+      a("start") < b("e2") && a("end") > b("s2"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val expected = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"),
+      ("a2", "b2"))
+    assert(pairs(joined) == expected)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("Union") && p.contains("Generate"), p.take(2000))
+    // cap <= 0 restores the single-branch unbounded rewrite; the wide
+    // rows would then explode — only check the PLAN shape, don't run it
+    spark.conf.set("spark.graft.overlapJoin.maxBinsPerRow", "0")
+    try {
+      val p0 = joined.queryExecution.executedPlan.toString
+      assert(!p0.contains("Union"), p0.take(2000))
+      assert(p0.contains("Generate"), p0.take(2000))
+    } finally
+      spark.conf.unset("spark.graft.overlapJoin.maxBinsPerRow")
   }
 
   test("pre-binned joins (Intervals.overlapJoin) are NOT double-binned " +
