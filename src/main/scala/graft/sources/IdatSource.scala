@@ -192,6 +192,9 @@ class IdatPartitionReader(pathStr: String, required: StructType,
       in.readFully(0, head)
       if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
         // gzip: no random access — whole-file decode
+        require(len <= Int.MaxValue,
+          s"$pathStr: gzipped IDAT too large for whole-file decode " +
+            s"($len bytes)")
         val raw = new Array[Byte](len.toInt)
         in.readFully(0, raw)
         val d = Idat.decode(raw)
@@ -253,19 +256,28 @@ class IdatPartitionReader(pathStr: String, required: StructType,
         }
         def readVarintString(off: Long): UTF8String = {
           // varint length (7-bit groups) + UTF-8 bytes; strings are
-          // short — one bounded read covers prefix + payload
+          // normally short, so one bounded read usually covers prefix +
+          // payload — but a payload running past the first read gets a
+          // second ranged read for the remainder instead of
+          // underflowing the buffer
           val size = math.min(4096L, len - off).toInt
           val b = readAt(off, size)
           var numBytes = b.get & 0xff
           var numChars = numBytes % 128
           var shift = 0
+          var prefixLen = 1
           while (numBytes / 128 == 1) {
             numBytes = b.get & 0xff
+            prefixLen += 1
             shift += 7
             numChars += (numBytes % 128) << shift
           }
           val arr = new Array[Byte](numChars)
-          b.get(arr)
+          val avail = math.min(numChars, size - prefixLen)
+          b.get(arr, 0, avail)
+          if (avail < numChars)
+            in.readFully(off + prefixLen + avail, arr, avail,
+              numChars - avail)
           UTF8String.fromBytes(arr)
         }
         if (need("barcode")) barcode = readVarintString(sect(402))
@@ -276,18 +288,30 @@ class IdatPartitionReader(pathStr: String, required: StructType,
 
   override def next(): Boolean = { idx += 1; idx < n }
 
+  // column ordinals resolved ONCE — a string match per field per row
+  // would cost a million-probe file ~7M comparisons in the hot loop
+  private val colIds: Array[Int] = fieldNames.map {
+    case "path" => 0
+    case "barcode" => 1
+    case "chip_type" => 2
+    case "illumina_id" => 3
+    case "mean" => 4
+    case "std_dev" => 5
+    case "n_beads" => 6
+  }
+
   override def get(): InternalRow = {
-    val vals = new Array[Any](fieldNames.length)
+    val vals = new Array[Any](colIds.length)
     var f = 0
-    while (f < fieldNames.length) {
-      vals(f) = fieldNames(f) match {
-        case "path" => pathUtf
-        case "barcode" => barcode
-        case "chip_type" => chipType
-        case "illumina_id" => ids(idx)
-        case "mean" => means(idx)
-        case "std_dev" => stds(idx)
-        case "n_beads" => beads(idx)
+    while (f < colIds.length) {
+      vals(f) = colIds(f) match {
+        case 0 => pathUtf
+        case 1 => barcode
+        case 2 => chipType
+        case 3 => ids(idx)
+        case 4 => means(idx)
+        case 5 => stds(idx)
+        case 6 => beads(idx)
       }
       f += 1
     }

@@ -14,9 +14,14 @@ object IdatGen {
       chipType: String = "BeadChip 8x5"): Array[Byte] = {
     val n = ids.length
     def strBytes(s: String): Array[Byte] = {
-      // varint length (all test strings < 128) + utf8
+      // varint length (little-endian 7-bit groups, high bit =
+      // continuation) + utf8
       val b = s.getBytes("UTF-8")
-      Array(b.length.toByte) ++ b
+      var n = b.length
+      val prefix = scala.collection.mutable.ArrayBuffer[Byte]()
+      while (n >= 128) { prefix += ((n % 128) + 128).toByte; n /= 128 }
+      prefix += n.toByte
+      prefix.toArray ++ b
     }
     // sections payloads
     val secs = scala.collection.mutable.LinkedHashMap[Int, Array[Byte]]()

@@ -93,6 +93,19 @@ class IdatSpec extends SparkSpec {
     assert(spark.read.format("idat").load(dir.getAbsolutePath).count() == 8)
   }
 
+  test("barcode longer than the 4 KB bounded read decodes via the " +
+      "second ranged read (multi-byte varint prefix)") {
+    val long = "BC" + "x" * 5000 // varint prefix is 2 bytes
+    val raw = makeIdat(ids, means, stds, beads, barcode = long)
+    assert(Idat.decode(raw).barcode == long)
+    val dir = java.nio.file.Files.createTempDirectory("idatlong").toFile
+    val f = new java.io.File(dir, "c_Grn.idat")
+    java.nio.file.Files.write(f.toPath, raw)
+    val got = spark.read.format("idat").load(f.getAbsolutePath)
+      .select("barcode").distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq(long))
+  }
+
   test("distributed read emits one row per probe per file") {
     val dir = java.nio.file.Files.createTempDirectory("idat").toFile
     val grn = new java.io.File(dir, "s1_Grn.idat")
