@@ -13,8 +13,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  In}
 import org.apache.spark.sql.types.{FloatType, IntegerType, ShortType,
   StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -93,14 +94,50 @@ class IdatTable(paths: Seq[String]) extends Table with SupportsRead {
     new IdatScanBuilder(paths)
 }
 
+/** Pushes `path` / `barcode` equality and IN filters into the source:
+  * a path filter prunes whole FILES at planning time (a sheet-driven
+  * ingest that targets two of 100k files opens two), and a barcode
+  * filter is decided from the tiny barcode section alone — a
+  * non-matching file's data sections are never read. Both pushdowns
+  * are exact, so Spark does not re-evaluate the pushed predicates. */
 class IdatScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = IdatTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var pathKeep: Option[Set[String]] = None
+  private var barcodeKeep: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IdatScan(paths, required)
+  private def strings(vs: Array[Any]): Option[Set[String]] =
+    if (vs.forall(_.isInstanceOf[String]))
+      Some(vs.map(_.asInstanceOf[String]).toSet)
+    else None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def keep(cur: Option[Set[String]], vs: Set[String]) =
+      Some(cur.fold(vs)(_ intersect vs))
+    val residual = filters.filter {
+      case EqualTo("path", v: String) =>
+        pathKeep = keep(pathKeep, Set(v)); false
+      case In("path", vs) if strings(vs).isDefined =>
+        pathKeep = keep(pathKeep, strings(vs).get); false
+      case EqualTo("barcode", v: String) =>
+        barcodeKeep = keep(barcodeKeep, Set(v)); false
+      case In("barcode", vs) if strings(vs).isDefined =>
+        barcodeKeep = keep(barcodeKeep, strings(vs).get); false
+      case _ => true
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new IdatScan(paths, required, pathKeep, barcodeKeep)
 }
 
 /** Hadoop Configuration is not Serializable; the standard wrapper
@@ -120,10 +157,21 @@ class SerializableHadoopConf(@transient var value: Configuration)
 
 case class IdatInputPartition(path: String) extends InputPartition
 
-class IdatScan(paths: Seq[String], required: StructType)
+class IdatScan(paths: Seq[String], required: StructType,
+    pathKeep: Option[Set[String]] = None,
+    barcodeKeep: Option[Set[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def description(): String = {
+    def fmt(k: String, o: Option[Set[String]]) =
+      o.map(s => s"$k IN ${s.mkString("(", ",", ")")}")
+    val fs = Seq(fmt("path", pathKeep), fmt("barcode", barcodeKeep))
+      .flatten.mkString(", ")
+    s"IdatScan PushedFilters: [$fs], " +
+      s"ReadSchema: ${required.simpleString}"
+  }
 
   /** One partition per file; globs and directories expand here on the
     * driver (listing only — no file bytes are read at planning time). */
@@ -145,28 +193,39 @@ class IdatScan(paths: Seq[String], required: StructType)
             .map(_.getPath.toString)
         else Seq(st.getPath.toString)
       }
-    }.distinct.map(IdatInputPartition(_): InputPartition).toArray
+    }.distinct
+      // pushed path filter: prune whole files before scheduling (the
+      // column value is exactly this normalized path string)
+      .filter(p => pathKeep.forall(_.contains(p)))
+      .map(IdatInputPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IdatReaderFactory(required,
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      barcodeKeep)
 }
 
 class IdatReaderFactory(required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    barcodeKeep: Option[Set[String]] = None)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new IdatPartitionReader(
       partition.asInstanceOf[IdatInputPartition].path, required,
-      conf.value)
+      conf.value, barcodeKeep)
 }
 
 /** Reads exactly the sections the pruned schema needs, via seeks into
-  * the section directory; whole-file decode only for gzipped inputs. */
+  * the section directory; whole-file decode only for gzipped inputs. A
+  * pushed barcode filter is decided from the barcode section alone —
+  * on a miss the reader emits zero rows without touching any data
+  * section. */
 class IdatPartitionReader(pathStr: String, required: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration, barcodeKeep: Option[Set[String]] = None)
+    extends PartitionReader[InternalRow] {
 
   import java.nio.{ByteBuffer, ByteOrder}
 
@@ -198,11 +257,13 @@ class IdatPartitionReader(pathStr: String, required: StructType,
         val raw = new Array[Byte](len.toInt)
         in.readFully(0, raw)
         val d = Idat.decode(raw)
-        n = d.nSnpsRead
-        ids = d.illuminaIds; means = d.means; stds = d.stdDevs
-        beads = d.nBeads.map(b => b)
-        barcode = UTF8String.fromString(d.barcode)
-        chipType = UTF8String.fromString(d.chipType)
+        if (barcodeKeep.forall(_.contains(d.barcode))) {
+          n = d.nSnpsRead
+          ids = d.illuminaIds; means = d.means; stds = d.stdDevs
+          beads = d.nBeads.map(b => b)
+          barcode = UTF8String.fromString(d.barcode)
+          chipType = UTF8String.fromString(d.chipType)
+        } // else: pushed barcode filter miss — zero rows
       } else {
         val header = new Array[Byte](16)
         in.readFully(0, header)
@@ -228,31 +289,6 @@ class IdatPartitionReader(pathStr: String, required: StructType,
           val a = new Array[Byte](size)
           in.readFully(off, a)
           ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
-        }
-        n = readAt(sect(1000), 4).getInt
-        def need(col: String) = fieldNames.contains(col)
-        if (need("illumina_id")) {
-          val b = readAt(sect(102), n * 4)
-          ids = new Array[Int](n)
-          var i = 0; while (i < n) { ids(i) = b.getInt; i += 1 }
-        }
-        if (need("mean")) {
-          val b = readAt(sect(104), n * 2)
-          means = new Array[Float](n)
-          var i = 0
-          while (i < n) { means(i) = (b.getShort & 0xffff).toFloat; i += 1 }
-        }
-        if (need("std_dev")) {
-          val b = readAt(sect(103), n * 2)
-          stds = new Array[Float](n)
-          var i = 0
-          while (i < n) { stds(i) = (b.getShort & 0xffff).toFloat; i += 1 }
-        }
-        if (need("n_beads")) {
-          val b = readAt(sect(107), n)
-          beads = new Array[Short](n)
-          var i = 0
-          while (i < n) { beads(i) = (b.get & 0xff).toShort; i += 1 }
         }
         def readVarintString(off: Long): UTF8String = {
           // varint length (7-bit groups) + UTF-8 bytes; strings are
@@ -280,8 +316,46 @@ class IdatPartitionReader(pathStr: String, required: StructType,
               numChars - avail)
           UTF8String.fromBytes(arr)
         }
-        if (need("barcode")) barcode = readVarintString(sect(402))
-        if (need("chip_type")) chipType = readVarintString(sect(403))
+        // pushed barcode filter: one tiny ranged read decides the whole
+        // file — a miss reads NO other section
+        val bcMatch = barcodeKeep.forall { k =>
+          barcode = readVarintString(sect(402))
+          k.contains(barcode.toString)
+        }
+        if (bcMatch) {
+          n = readAt(sect(1000), 4).getInt
+          def need(col: String) = fieldNames.contains(col)
+          if (need("illumina_id")) {
+            val b = readAt(sect(102), n * 4)
+            ids = new Array[Int](n)
+            var i = 0; while (i < n) { ids(i) = b.getInt; i += 1 }
+          }
+          if (need("mean")) {
+            val b = readAt(sect(104), n * 2)
+            means = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              means(i) = (b.getShort & 0xffff).toFloat; i += 1
+            }
+          }
+          if (need("std_dev")) {
+            val b = readAt(sect(103), n * 2)
+            stds = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              stds(i) = (b.getShort & 0xffff).toFloat; i += 1
+            }
+          }
+          if (need("n_beads")) {
+            val b = readAt(sect(107), n)
+            beads = new Array[Short](n)
+            var i = 0
+            while (i < n) { beads(i) = (b.get & 0xff).toShort; i += 1 }
+          }
+          if (need("barcode") && barcode == null)
+            barcode = readVarintString(sect(402))
+          if (need("chip_type")) chipType = readVarintString(sect(403))
+        }
       }
     } finally in.close()
   }

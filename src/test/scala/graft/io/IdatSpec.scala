@@ -106,6 +106,47 @@ class IdatSpec extends SparkSpec {
     assert(got == Seq(long))
   }
 
+  test("pushed path filter prunes files at planning; pushed barcode " +
+      "filter reads zero data sections of a non-matching file") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("idatpush").toFile
+    val fa = new java.io.File(dir, "a_Grn.idat")
+    java.nio.file.Files.write(fa.toPath,
+      makeIdat(ids, means, stds, beads, barcode = "AAA"))
+    // file B's data-section offsets are corrupted to point past EOF:
+    // ANY read of its id/mean/std/bead sections throws, so the query
+    // below can only succeed if the pushed barcode filter short-
+    // circuits on the (intact) barcode section alone
+    val corrupt = makeIdat(ids, means, stds, beads, barcode = "BBB")
+    val bb = java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val numFields = bb.getInt(12)
+    for (i <- 0 until numFields) {
+      val entry = 16 + i * 10
+      val code = bb.getShort(entry) & 0xffff
+      if (Set(102, 103, 104, 107, 1000).contains(code))
+        bb.putLong(entry + 2, corrupt.length.toLong + 4096)
+    }
+    val fb = new java.io.File(dir, "b_Grn.idat")
+    java.nio.file.Files.write(fb.toPath, corrupt)
+
+    val df = spark.read.format("idat").load(dir.getAbsolutePath)
+    val byBarcode = df.filter(col("barcode") === "AAA")
+    assert(byBarcode.queryExecution.executedPlan.toString
+      .contains("barcode IN (AAA)"), "barcode filter not pushed")
+    val rows = byBarcode.collect() // would throw if B's sections read
+    assert(rows.length == 4 &&
+      rows.forall(_.getAs[String]("barcode") == "AAA"))
+
+    // path filter prunes file B before scheduling: one partition, and
+    // the corrupt file is never opened even without a barcode filter
+    val pa = rows.head.getAs[String]("path")
+    val byPath = df.filter(col("path") === pa)
+    assert(byPath.rdd.getNumPartitions == 1,
+      "path filter did not prune files")
+    assert(byPath.count() == 4)
+  }
+
   test("distributed read emits one row per probe per file") {
     val dir = java.nio.file.Files.createTempDirectory("idat").toFile
     val grn = new java.io.File(dir, "s1_Grn.idat")
