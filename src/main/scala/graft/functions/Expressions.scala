@@ -119,6 +119,24 @@ object HashFuncs {
     ArrayData.toArrayData(out)
   }
 
+  /** poly_hash64 of every word k-gram IN ORDER — one entry per start
+    * position, duplicates kept (unlike [[wordShingleHashes]]): index i
+    * covers words [i, i+k-1]. Backs span-level decontamination, where
+    * the MATCH POSITIONS matter, not just the distinct shingle set. */
+  def wordShingleHashesAt(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    if (n < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = mix(foldRange(b, bounds(2 * i), bounds(2 * (i + k - 1) + 1)))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** gram_repetition(str, n) → [top_frac, dup_frac, n_grams]: Gopher-
     * style repetition-quality signals (Rae et al. 2021, App. A —
     * "fraction of characters in the most common n-gram" family, word
@@ -437,6 +455,20 @@ object Expressions {
         c: Expression): WordShingleHashes = copy(child = c)
   }
 
+  /** word_shingle_hashes_at(str, k) — positional word-k-gram hashes
+    * (ordered, duplicates kept; HashFuncs.wordShingleHashesAt). */
+  case class WordShingleHashesAt(child: Expression, k: Int)
+      extends StringKernel {
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.wordShingleHashesAt(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.wordShingleHashesAt($c, $k)")
+    override protected def withNewChildInternal(
+        c: Expression): WordShingleHashesAt = copy(child = c)
+  }
+
   /** gram_repetition(str, n) — Gopher-style repetition signals
     * [top_frac, dup_frac, n_grams] in one pass (HashFuncs doc). */
   case class GramRepetition(child: Expression, n: Int)
@@ -605,6 +637,8 @@ object Expressions {
   def tokenHashes(c: Column): Column = column(TokenHashes(expression(c)))
   def wordShingleHashes(c: Column, k: Int): Column =
     column(WordShingleHashes(expression(c), k))
+  def wordShingleHashesAt(c: Column, k: Int): Column =
+    column(WordShingleHashesAt(expression(c), k))
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
   def gramRepetition(c: Column, n: Int): Column =
     column(GramRepetition(expression(c), n))

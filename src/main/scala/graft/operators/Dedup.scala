@@ -358,21 +358,47 @@ object Dedup {
     * the broadcast, and aggregates matches per document — ONE corpus
     * shuffle (the per-doc match count), never a corpus×corpus join.
     * Returns [idCol, n_shared, contaminated] with one row per corpus
-    * document (zero-match documents included, n_shared = 0). */
+    * document (zero-match documents included, n_shared = 0).
+    *
+    * `withSpans = true` additionally emits WHERE the contamination
+    * sits, so a pipeline can excise the span instead of dropping the
+    * document: `span_first` = word index of the first matching
+    * shingle, `span_last` = last word index covered by any matching
+    * shingle (i.e. last matching shingle position + k − 1) — the words
+    * `[span_first, span_last]` cover every matched k-gram. Null for
+    * clean documents. Same single-shuffle shape (the positional
+    * explode keeps duplicate shingles, so n_shared counts DISTINCT
+    * matched hashes either way). */
   def decontaminate(corpus: DataFrame, testSet: DataFrame,
       idCol: String, textCol: String, k: Int = 8,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1, withSpans: Boolean = false): DataFrame = {
     val testH = withShingleHashes(testSet, textCol, k)
       .select(explode(col("sh_hs")).as("h")).distinct()
-    val matches = withShingleHashes(corpus, textCol, k)
-      .select(col(idCol), explode(col("sh_hs")).as("h"))
-      .join(broadcast(testH), Seq("h"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shared"))
-    corpus.select(col(idCol))
-      .join(matches, Seq(idCol), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-      .withColumn("contaminated", col("n_shared") >= minShared)
+    if (!withSpans) {
+      val matches = withShingleHashes(corpus, textCol, k)
+        .select(col(idCol), explode(col("sh_hs")).as("h"))
+        .join(broadcast(testH), Seq("h"))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_shared"))
+      corpus.select(col(idCol))
+        .join(matches, Seq(idCol), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") >= minShared)
+    } else {
+      val matches = corpus
+        .select(col(idCol), posexplode(
+          Expressions.wordShingleHashesAt(col(textCol), k))
+          .as(Seq("pos", "h")))
+        .join(broadcast(testH), Seq("h"))
+        .groupBy(idCol)
+        .agg(count_distinct(col("h")).as("n_shared"),
+          min(col("pos")).as("span_first"),
+          (max(col("pos")) + (k - 1)).as("span_last"))
+      corpus.select(col(idCol))
+        .join(matches, Seq(idCol), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") >= minShared)
+    }
   }
 
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit

@@ -142,6 +142,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, true))) // "alpha beta gamma delta"
   }
 
+  test("decontaminate withSpans pinpoints the planted contaminated span") {
+    // doc 1: 4 clean words, then the 6-word test span at words [4, 9],
+    // then a clean tail; k = 3 → matching shingles at positions 4..7,
+    // span_last = 7 + 2 = 9: words [4, 9] excise the whole match
+    val corpus = Seq(
+      (1L, "w0 w1 w2 w3 alpha beta gamma delta epsilon zeta t0 t1"),
+      (2L, "clean document with nothing shared anywhere at all"),
+      // doc 3: the SAME shared 3-gram appears twice (positions 1, 5) —
+      // duplicate hashes must widen the span but count once
+      (3L, "x0 alpha beta gamma x1 alpha beta gamma x2"))
+      .toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, test, "doc_id", "text", k = 3,
+      withSpans = true).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shared"),
+        r.getAs[Boolean]("contaminated"),
+        Option(r.getAs[Integer]("span_first")),
+        Option(r.getAs[Integer]("span_last"))))).toMap
+    assert(out(1L) == ((4L, true, Some(4), Some(9))))
+    assert(out(2L) == ((0L, false, None, None)))
+    assert(out(3L) == ((1L, true, Some(1), Some(7))))
+  }
+
   test("minhash-LSH candidates cover high-jaccard pairs; estimates track") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 3,
       numHashes = 32, bands = 16)
