@@ -69,14 +69,26 @@ object Dedup {
     * than cap docs (approximation for corpus scale; None = exact). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      dfCap: Option[Int] = None): DataFrame = {
-    val postings = withShingleHashes(df, textCol, k)
+      dfCap: Option[Int] = None): DataFrame =
+    pairsFromGrouped(groupedPostings(df, idCol, textCol, k), threshold,
+      dfCap)
+
+  /** The shared inverted-index build: one row per shingle hash with its
+    * postings list (unfiltered — df-1 shingles included, so a
+    * percentile over `size(ds)` equals the full shingle-df
+    * distribution). */
+  private def groupedPostings(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    withShingleHashes(df, textCol, k)
       .select(col(idCol).as("id"),
         size(col("sh_hs")).cast("long").as("n_sh"),
         explode(col("sh_hs")).as("h"))
-    val inv = postings.groupBy("h")
+      .groupBy("h")
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+
+  private def pairsFromGrouped(grouped: DataFrame, threshold: Double,
+      dfCap: Option[Int]): DataFrame = {
+    val inv = grouped.filter(size(col("ds")) >= 2)
     val capped = dfCap.map(c => inv.filter(size(col("ds")) <= c))
       .getOrElse(inv)
     expandPairs(capped)
@@ -214,6 +226,14 @@ object Dedup {
     *     by more than the cap — pairs whose ONLY common shingles are
     *     that hot may be missed (the standard production trade;
     *     document counts are unaffected).
+    *
+    * EAGER on the auto-cap route (threshold < 0.5 with no explicit
+    * `dfCap`): the inverted index is built ONCE, persisted, the cap's
+    * percentile and the pair expansion both read the cached postings,
+    * and the returned (persisted) frame is materialized before this
+    * method returns — same contract as [[graft.prep.Prep.poobah]] /
+    * `computeDmr`. Call `.unpersist()` on the result when done. Every
+    * other route stays fully lazy.
     */
   def jaccardDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
@@ -229,10 +249,19 @@ object Dedup {
             "derived dfCap default or pass dfCap explicitly")
         jaccardPairs(df, idCol, textCol, k, threshold, None)
       case "inverted-autocap" =>
-        val cap = derivedDfCap(df, textCol, k)
+        val grouped = groupedPostings(df, idCol, textCol, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val row = grouped.agg(percentile(
+          size(col("ds")).cast("long"), lit(AutoCapQuantile))).head()
+        val cap = if (row.isNullAt(0)) 2
+          else math.max(2, math.ceil(row.getDouble(0)).toInt)
         log.info(s"jaccardDedup(threshold=$threshold): derived " +
           s"dfCap=$cap from the p$AutoCapQuantile shingle df")
-        jaccardPairs(df, idCol, textCol, k, threshold, Some(cap))
+        val result = pairsFromGrouped(grouped, threshold, Some(cap))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        result.count() // materialize so the postings cache can drop
+        grouped.unpersist()
+        result
       case _ =>
         jaccardPairs(df, idCol, textCol, k, threshold, dfCap)
     }

@@ -34,6 +34,13 @@ object Ecdf {
   def ecdfLookup(queries: DataFrame, background: DataFrame,
       groupCols: Seq[String], valueCol: String,
       outCol: String, bgSumCol: Option[String] = None): DataFrame = {
+    // appended columns must not collide with the query schema: a
+    // duplicate name would silently produce two identically-named
+    // columns on the main branch but OVERWRITE on the null branch —
+    // asymmetric schemas across the union
+    for (c <- outCol +: bgSumCol.toSeq)
+      require(!queries.columns.contains(c),
+        s"ecdfLookup: output column '$c' collides with a query column")
     val gcols = groupCols.map(col)
     val payload = struct(queries.columns.map(col): _*)
     val q = queries.filter(col(valueCol).isNotNull)
