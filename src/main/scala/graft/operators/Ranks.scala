@@ -37,36 +37,65 @@ object Ranks {
 
   /** Attach 1-based global `row_number() over (order by sortCols)` as
     * `outCol` (and the total row count as `totalCol` if asked — it falls
-    * out of the offset computation for free). */
+    * out of the offset computation for free).
+    *
+    * Implementation is the RDD `zipWithIndex` shape: range-repartition +
+    * per-partition sort, then ONE `toRdd` instance feeds both the
+    * per-partition count job and the rank-attach map. Pinning a single
+    * physical plan is the correctness point, not a micro-optimization:
+    * the earlier spelling branched the DataFrame into a counts subtree
+    * and a data subtree over the same exchange and joined them on
+    * `spark_partition_id()`. Whenever exchange reuse did NOT collapse
+    * the branches (AQE re-plans them independently — observed under
+    * `local[4]` with a UDF-heavy upstream), the two evaluations ran the
+    * range sampler twice, disagreed on the partition layout, and the
+    * inner join silently dropped whole partitions (nondeterministic
+    * 1-4% row loss in computeDmp's BH chain). With one RDD instance the
+    * count job and the data job read the same shuffle outputs and the
+    * same range boundaries by construction — the same guarantee
+    * `RDD.zipWithIndex` relies on.
+    *
+    * NOTE: eager — the count job runs when this is called (exactly like
+    * `RDD.zipWithIndex`). Rows flow through one extra narrow map; both
+    * jobs reuse the single shuffle written by the repartition. */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], outCol: String,
       totalCol: Option[String] = None, numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField}
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, sortCols: _*)
-    val counts = parted
-      .groupBy(spark_partition_id().as("_rk_pid"))
-      .agg(count(lit(1)).as("_rk_n"))
-    // The offsets frame has ≤ numParts rows, so one window task is the
-    // RIGHT plan — but the partition key must be non-foldable (pmod of a
-    // column, not a literal) or the optimizer erases the partition spec
-    // and WindowExec logs its single-partition scale warning.
-    val one = pmod(col("_rk_pid"), lit(1))
-    val wOff = Window.partitionBy(one).orderBy(col("_rk_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_rk_off", coalesce(sum(col("_rk_n")).over(wOff), lit(0L)))
-      .withColumn("_rk_total",
-        sum(col("_rk_n")).over(Window.partitionBy(one)))
-      .select(col("_rk_pid"), col("_rk_off"), col("_rk_total"))
-    val sorted = parted.sortWithinPartitions(sortCols: _*)
-      .withColumn("_rk_mid", monotonically_increasing_id())
-      .withColumn("_rk_pid", spark_partition_id())
-    val ranked = sorted.join(broadcast(offsets), Seq("_rk_pid"))
-      .withColumn(outCol,
-        col("_rk_off") + (col("_rk_mid").bitwiseAND(MidMask)) + 1L)
-    totalCol.fold(ranked)(t => ranked.withColumn(t, col("_rk_total")))
-      .drop("_rk_pid", "_rk_mid", "_rk_off", "_rk_total")
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = if (counts.isEmpty) 0L else offsets.last
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val withRank = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = bOff.value(pid)
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      // The consumer (RDDScanExec) projects each row to its own buffer
+      // before advancing, so reusing the holders is safe.
+      it.map { row =>
+        idx += 1L
+        rankRow.update(0, idx)
+        joined(row, rankRow)
+      }
+    }
+    val outSchema = sorted.schema
+      .add(StructField(outCol, LongType, nullable = false))
+    val ranked = GraftBridge.internalCreateDataFrame(
+      spark, withRank.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]],
+      outSchema)
+    totalCol.fold(ranked)(t => ranked.withColumn(t, lit(total)))
   }
 
   /** SQL-standard `ntile(buckets) over (order by sortCols)` from the

@@ -172,16 +172,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q36 must not plan a per-query window")
   }
 
-  test("global rank/BH run the range-partition scale path (q19, q40)") {
+  test("global rank/BH run the zipWithIndex scale path (q19, q40)") {
     for (q <- Seq(graft.queries.Windows.q19, graft.queries.ExtraQ.q40)) {
       val df = q.run(spark, sf("sf0.001"))
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("rangepartitioning"),
-        s"${q.name} should range-repartition for the distributed rank\n" +
+      // The rank boundary is the pinned single-instance RDD (counts and
+      // data read the same shuffle — the zipWithIndex guarantee; a
+      // DataFrame-level branch pair can disagree on partition layout
+      // when exchange reuse fails and silently drop rows).
+      assert(p.contains("Scan ExistingRDD"),
+        s"${q.name} should rank via the pinned-RDD zipWithIndex path\n" +
           p.take(1200))
-      assert(p.contains("ReusedExchange"),
-        s"${q.name} should reuse the range exchange for partition counts\n" +
+      // and no global-order window anywhere — the scale cliff the
+      // distributed rank exists to avoid
+      assert(!p.contains("row_number(") && !p.contains("ntile("),
+        s"${q.name} must not fall back to a global window rank\n" +
+          p.take(1200))
+      assert(!p.contains("SinglePartition"),
+        s"${q.name} must not move the frame to one partition\n" +
           p.take(1200))
     }
   }
