@@ -430,6 +430,57 @@ object Dedup {
     }
   }
 
+  /** Line-level exact dedup across a corpus (the CCNet-style hygiene
+    * pass: drop every copy of a line that appears in ≥ `minDocFreq`
+    * DISTINCT documents — boilerplate headers/footers/nav chrome at web
+    * scale). Lines are `sep`-separated; comparison is on the
+    * lower(trim(line)) normal form, the published CCNet normalization.
+    *
+    * Output: one row per input document —
+    * `[idCol, textCol (deduped), n_kept, n_dropped]` — a document whose
+    * every line is boilerplate survives with an empty text, not a
+    * dropped row (pipelines filter on `n_kept` explicitly).
+    *
+    * Scale shape: posexplode (narrow) → ONE distinct+groupBy shuffle on
+    * the normalized line to get per-line doc frequency (map-side
+    * partial aggregation collapses repeats before the wire) → shuffle
+    * join lines × frequencies (both sides hash-partitioned on the line;
+    * the frequency side is corpus-wide and must NOT be broadcast) →
+    * groupBy doc to reassemble in line order. No window over the whole
+    * corpus, no driver state; every stage keys on either the line or
+    * the doc id, so skew is bounded by the hottest single line, which
+    * the partial agg already collapses map-side. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2, sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_dl_pos", "_dl_line")))
+      .withColumn("_dl_norm", lower(trim(col("_dl_line"))))
+    val docFreq = lines.select(col(idCol), col("_dl_norm")).distinct()
+      .groupBy("_dl_norm")
+      .agg(count(lit(1)).as("_dl_df"))
+      .filter(col("_dl_df") >= minDocFreq)
+    // left anti join: keep lines whose normal form is NOT boilerplate
+    val kept = lines.join(docFreq, Seq("_dl_norm"), "left_anti")
+    val reassembled = kept.groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_dl_pos"), col("_dl_line")))),
+          x => x("_dl_line")), sep).as("_dl_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(idCol)
+      .agg(count(lit(1)).as("_dl_total"))
+    docs.select(col(idCol)).join(totals, Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_dl_text"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("_dl_total"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Fixed affine rehash family h_i = a_i*h + b_i (wrapping 64-bit
     * multiply) — the standard universal-hash trick: each shingle is
     * hashed ONCE, the numHashes family members are integer arithmetic.

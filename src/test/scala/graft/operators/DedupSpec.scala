@@ -245,4 +245,33 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(comps == Map("x" -> "m", "m" -> "m", "q" -> "m"))
   }
+
+  test("dedupLines drops cross-doc boilerplate, keeps order, keeps " +
+      "all-boilerplate docs as empty rows") {
+    val multi = Seq(
+      (1L, "COPYRIGHT 2026\nunique first line\nshared middle\nend one"),
+      (2L, "copyright 2026\nanother body line\nshared middle\nend two"),
+      (3L, "Copyright 2026  \nthird doc content here"),
+      (4L, "copyright 2026")) // nothing but boilerplate
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"))).toMap
+    // "copyright 2026" normalizes identically across case/trailing
+    // space in 4 docs; "shared middle" is in 2 docs — both dropped.
+    assert(out(1L) == (("unique first line\nend one", 2L, 2L)))
+    assert(out(2L) == (("another body line\nend two", 2L, 2L)))
+    assert(out(3L) == (("third doc content here", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    // a line repeated WITHIN one doc only does not count as cross-doc
+    val within = Seq(
+      (1L, "same line\nsame line\nother"),
+      (2L, "different content entirely"))
+      .toDF("doc_id", "text")
+    val w = Dedup.dedupLines(within, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(w(1L) == "same line\nsame line\nother")
+  }
 }
