@@ -331,18 +331,54 @@ object Multimodal {
       }
   }
 
+  /** Pluggable container demuxer: the JDK has no MP4/WebM demuxer, so
+    * deployments that need real video containers plug an
+    * implementation (e.g. an ffmpeg/JavaCV binding) in here instead of
+    * forking the operator. Implementations must be Serializable — the
+    * registry snapshot is captured into the task closure at plan time,
+    * so registration must happen on the DRIVER before the query runs.
+    * `demux` returns each selected frame as standalone image bytes
+    * (PNG recommended — it is what the downstream image codec and
+    * feature extractors expect). */
+  trait VideoDemuxer extends Serializable {
+    /** Cheap container sniff (magic bytes); `demux` is only tried when
+      * this returns true. */
+    def canDemux(content: Array[Byte]): Boolean
+    /** Full demux to per-frame standalone image payloads; None = the
+      * payload turned out not to be decodable after all. */
+    def demux(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]]
+  }
+
+  @volatile private var videoDemuxers: List[VideoDemuxer] = Nil
+
+  /** Register a container demuxer (driver-side, before planning).
+    * Demuxers are tried in registration order, before the built-in
+    * ImageIO sequence reader (GIF) and the stub chunker. */
+  def registerVideoDemuxer(d: VideoDemuxer): Unit =
+    synchronized { videoDemuxers = videoDemuxers :+ d }
+
+  /** Remove all registered demuxers (test hygiene). */
+  def clearVideoDemuxers(): Unit = synchronized { videoDemuxers = Nil }
+
   /** Frame sampling for video rows: every `stride`-th frame becomes a
-    * frame row. REAL demux when the payload is a decodable image
-    * sequence (animated GIF — frame count and pixels come from the
-    * container, emitted as standalone PNGs); otherwise the
-    * deterministic stub chunking of the payload by declared `n_frames`
-    * keeps the pipeline shape testable with synthetic bytes. Generator
-    * shape either way: one input row → many frame rows. */
+    * frame row. Demux resolution order per payload: (1) registered
+    * [[VideoDemuxer]]s (the MP4/WebM seam), (2) the built-in ImageIO
+    * sequence reader — REAL demux for animated GIF (frame count and
+    * pixels come from the container, emitted as standalone PNGs),
+    * (3) the deterministic stub chunking of the payload by declared
+    * `n_frames`, which keeps the pipeline shape testable with
+    * synthetic bytes. Generator shape either way: one input row →
+    * many frame rows. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
       stride: Int = 2): Dataset[VideoFrame] = {
     import spark.implicits._
+    val plugged = videoDemuxers // snapshot into the task closure
     media.filter(_.media_type == "video").flatMap { m =>
-      VideoCodec.decodeFrames(m.content) match {
+      plugged.iterator
+        .filter(_.canDemux(m.content))
+        .map(_.demux(m.content))
+        .collectFirst { case Some(fs) => fs }
+        .orElse(VideoCodec.decodeFrames(m.content)) match {
         case Some(frames) =>
           (0 until frames.length by stride).map(f =>
             VideoFrame(m.media_id, f, frames(f)))

@@ -189,6 +189,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("registered VideoDemuxer takes precedence over built-ins and " +
+      "unclaimed payloads fall through to the stub") {
+    Multimodal.registerVideoDemuxer(new MagicDemuxer)
+    try {
+      val payload = "MXcontainer-payload".getBytes("UTF-8")
+      val rows = Seq(MediaRow(20, "video", payload, 4, 4, 0, 7)).toDS()
+      val frames = sampleFrames(spark, rows, stride = 1).collect()
+        .sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+      assert(frames.map(_.content.head).toSeq ==
+        Seq(1.toByte, 2.toByte, 3.toByte))
+      val other = Seq(
+        MediaRow(21, "video", Array.fill[Byte](100)(9), 4, 4, 0, 4))
+        .toDS()
+      val stub = sampleFrames(spark, other, stride = 2).collect()
+      assert(stub.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    } finally Multimodal.clearVideoDemuxers()
+  }
+
   test("frame sampling: one row per sampled frame, chunked payload") {
     val frames = sampleFrames(spark, media, stride = 2).collect()
     assert(frames.map(_.media_id).distinct.toSeq == Seq(5L))
@@ -208,4 +227,13 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
   }
+}
+
+/** Top-level (serializable without an outer spec reference): a fake
+  * container demuxer claiming payloads that start with "MX". */
+private class MagicDemuxer extends Multimodal.VideoDemuxer {
+  def canDemux(c: Array[Byte]): Boolean =
+    c.length >= 2 && c(0) == 'M'.toByte && c(1) == 'X'.toByte
+  def demux(c: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+    Some(IndexedSeq(Array[Byte](1), Array[Byte](2), Array[Byte](3)))
 }
