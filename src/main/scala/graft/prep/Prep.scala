@@ -267,6 +267,27 @@ object Prep {
 
   // ---------- L10: NOOB (samples.py:1429-1502, stats.py:64-142) ----------
 
+  /** Pin a signal frame for a multi-reader pipeline stage: hash-
+    * repartition on (sample_label, probe_id), persist MEMORY_AND_DISK,
+    * and materialize eagerly so concurrent reader stages hit the cache
+    * instead of racing to recompute the same partitions (same rationale
+    * as the [[poobah]] cache point). No-op when the frame is already
+    * persisted — returns (frame, owned) where `owned` tells the caller
+    * whether it must unpersist. */
+  private def pinSignal(signal: DataFrame): (DataFrame, Boolean) = {
+    if (signal.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (signal, false)
+    else {
+      val nPart =
+        signal.sparkSession.sessionState.conf.numShufflePartitions
+      val p = signal
+        .repartition(nPart, col("sample_label"), col("probe_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (p, true)
+    }
+  }
+
   final case class NoobFit(sample: String, channel: String, mu: Double,
       sigma: Double, alpha: Double)
 
@@ -307,6 +328,18 @@ object Prep {
     * arrays). */
   def noobFits(signal: DataFrame, masks: DataFrame,
       useNegativeControls: Boolean = true): Seq[NoobFit] = {
+    // Cache point: FIVE readers of the signal lineage below (non-unique
+    // mask derivation, background cells, cap statistics, and the two
+    // Huber fit passes) — on a derived signal each would recompute the
+    // whole upstream plan. Eager (ends in collect()), so pin/unpin
+    // stays fully inside this call.
+    val (sigP, owned) = pinSignal(signal)
+    try noobFitsPinned(sigP, masks, useNegativeControls)
+    finally if (owned) sigP.unpersist(blocking = false)
+  }
+
+  private def noobFitsPinned(signal: DataFrame, masks: DataFrame,
+      useNegativeControls: Boolean): Seq[NoobFit] = {
     val masked = Masks.applyMask(signal,
       Masks.addMask(masks, Masks.maskNonUniqueProbes(signal)))
     val bgCells0 = oobCells(masked)
@@ -354,8 +387,17 @@ object Prep {
       masks: DataFrame, useNegativeControls: Boolean = true,
       offset: Double = 15.0): DataFrame = {
     import spark.implicits._
-    val fits = noobFits(signal, masks, useNegativeControls)
-    if (fits.isEmpty) return signal
+    // Pin once for the whole correction: noobFits' five readers plus
+    // the final per-channel fit joins all read the same frame. The
+    // RETURNED frame is lazy over the pinned signal, so ownership of
+    // the cache transfers to the result: unpersisting here would put
+    // the recomputation right back. The pin is keyed by plan, so a
+    // caller that later persists/unpersists the same signal plan
+    // shares this entry — acceptable for a cache (worst case is a
+    // recompute, never a wrong result).
+    val (sigP, _) = pinSignal(signal)
+    val fits = noobFitsPinned(sigP, masks, useNegativeControls)
+    if (fits.isEmpty) return sigP
     val fitDf = broadcast(fits.toDF()
       .withColumnsRenamed(Map("sample" -> "sample_label")))
 
@@ -382,7 +424,7 @@ object Prep {
               col(s"alpha_$ch"))).otherwise(col(c)))
       }.drop(s"mu_$ch", s"sigma_$ch", s"alpha_$ch")
     }
-    apply2(apply2(signal, "G", "meth_g", "unmeth_g"), "R", "meth_r",
+    apply2(apply2(sigP, "G", "meth_g", "unmeth_g"), "R", "meth_r",
       "unmeth_r")
   }
 
