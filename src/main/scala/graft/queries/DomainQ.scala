@@ -429,5 +429,485 @@ object DomainQ {
       LEFT JOIN reasm r USING (doc_id)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70)
+  /** L4/A13/A14 end-to-end — Dm.computeDmr (Dm.scala:301, reference
+    * dm.py:489-643): the full DMR pipeline over derived frames —
+    * consecutive-probe squared distance on the genome axis, the
+    * segments-per-locus percentile cutoff, change-point → running
+    * segment ids, per-segment aggregation with Stouffer-combined
+    * p-values (Acklam Φ⁻¹ + one Halley step, dm.py:27-37) and BH
+    * adjustment. Determinism by construction:
+    *   - betas are INTEGER-valued (max l_quantity), so every squared
+    *     distance is an exact integer in double — summation order
+    *     cannot drift, and the percentile cutoff interpolates between
+    *     integers (exact halves at worst). The change-point BRANCH is
+    *     therefore bit-identical across engines (a rounded output
+    *     could not repair a flipped branch).
+    *   - start positions are p_partkey·131 mod 1e6 — injective below
+    *     1e6 (gcd(131, 1e6) = 1), so genome order needs no tiebreak.
+    *   - dmp p-values are hash-uniform rationals k/1000003 (exact on
+    *     both engines) with modular NULLs to exercise the
+    *     NaN-propagation contract; estimates are exact quarters so the
+    *     segment avg is reproducible in any summation order.
+    * The oracle transcribes normInv exactly as StatFuncs.normInv:
+    * Acklam's rational initial estimate, then one Halley refinement
+    * through the same Cody erfc polynomials already used by the q63
+    * oracle (transcribed twice: once per-probe for Halley, once
+    * per-segment for the final 0.5·erfc(z/√2)). Iterative/libm drift
+    * is O(1e-15), far under the round(·, 6) gate on the p columns;
+    * bounds, counts and estimates are exact. */
+  val q71 = Q(
+    "q71_dmr_endtoend",
+    (s, d) => {
+      import s.implicits._
+      // sample universe = suppkey mod 32: the reference's study shape is
+      // dozens of samples x many probes (the million-probe axis is
+      // DomainBench's job); a 1000-wide beta vector would only measure
+      // array-shuffle volume, not the operator
+      val betas = t(s, d, "lineitem")
+        .groupBy($"l_partkey", ($"l_suppkey" % 32).as("sk"))
+        .agg(max($"l_quantity").cast("double").as("b0"))
+        .select($"l_partkey".cast("string").as("probe_id"),
+          $"sk".cast("string").as("sample_label"),
+          when(($"l_partkey" * 7 + $"sk") % 13 === 0,
+            lit(null).cast("double")).otherwise($"b0").as("beta"))
+      val ranges = t(s, d, "part").select(
+        $"p_partkey".cast("string").as("probe_id"),
+        concat(lit("chr"), ($"p_partkey" % 5).cast("string"))
+          .as("chromosome"),
+        (($"p_partkey" * 131) % 1000000).cast("long").as("start"),
+        ((($"p_partkey" * 131) % 1000000) + 100).cast("long").as("end"))
+      val dmp = t(s, d, "part").select(
+        $"p_partkey".cast("string").as("probe_id"),
+        when($"p_partkey" % 29 === 0, lit(null).cast("double"))
+          .otherwise((($"p_partkey" * 2654435761L) % 1000003)
+            .cast("double") / 1000003.0).as("nation_p_value"),
+        (($"p_partkey" % 100).cast("double") / 4.0)
+          .as("nation_estimate"))
+      graft.dm.Dm.computeDmr(betas, dmp, ranges, Seq("nation"))
+        .select($"segment_id", $"chromosome", $"start", $"end",
+          $"n_probes",
+          round($"nation_p_value", 6).as("nation_p_value"),
+          $"nation_estimate",
+          round($"nation_p_value_adjusted", 6)
+            .as("nation_p_value_adjusted"))
+        .orderBy($"segment_id")
+    },
+    Some("""
+      WITH betas AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS probe_id,
+               CAST(l_suppkey % 32 AS VARCHAR) AS sample_label,
+               CASE WHEN (l_partkey * 7 + l_suppkey % 32) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(max(l_quantity) AS DOUBLE) END AS beta
+        FROM lineitem GROUP BY l_partkey, l_suppkey % 32
+      ), probes AS (
+        SELECT probe_id FROM betas GROUP BY probe_id
+        HAVING count(beta) >= 1
+      ), rng AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+               'chr' || CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+               CAST((p_partkey * 131) % 1000000 AS BIGINT) AS start_pos,
+               CAST((p_partkey * 131) % 1000000 + 100 AS BIGINT)
+                 AS end_pos
+        FROM part
+      ), dmp AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN p_partkey % 29 = 0 THEN NULL
+                    ELSE CAST((p_partkey * 2654435761) % 1000003
+                              AS DOUBLE) / 1000003.0 END AS p,
+               CAST(p_partkey % 100 AS DOUBLE) / 4.0 AS est
+        FROM part
+      ), cpg AS (
+        SELECT r.probe_id, r.chromosome, r.start_pos, r.end_pos,
+               d.p, d.est,
+               row_number() OVER (PARTITION BY r.chromosome
+                 ORDER BY r.start_pos, r.end_pos, r.probe_id) AS rn
+        FROM rng r
+        JOIN probes pr USING (probe_id)
+        JOIN dmp d USING (probe_id)
+        WHERE r.end_pos > r.start_pos
+      ), nb AS (
+        SELECT probe_id, sample_label, beta FROM betas
+        WHERE beta IS NOT NULL
+      ), pairs AS (
+        SELECT c.chromosome, c.rn, c.probe_id AS pa, n.probe_id AS pb
+        FROM cpg c JOIN cpg n
+          ON n.chromosome = c.chromosome AND n.rn = c.rn + 1
+      ), dist AS (
+        SELECT p.chromosome, p.rn,
+               coalesce(sum((b1.beta - b2.beta) * (b1.beta - b2.beta)),
+                        0.0) AS dist
+        FROM pairs p
+        LEFT JOIN nb b1 ON b1.probe_id = p.pa
+        LEFT JOIN nb b2 ON b2.probe_id = p.pb
+                       AND b2.sample_label = b1.sample_label
+        GROUP BY p.chromosome, p.rn
+      ), cut AS (
+        SELECT quantile_cont(dist, 0.5) AS cutoff FROM dist
+      ), flagged AS (
+        SELECT c.*,
+               CASE WHEN d.dist IS NULL THEN TRUE
+                    ELSE d.dist > t.cutoff END AS change_point
+        FROM cpg c
+        LEFT JOIN dist d ON d.chromosome = c.chromosome AND d.rn = c.rn
+        CROSS JOIN cut t
+      ), seg0 AS (
+        SELECT *, coalesce(lag(change_point) OVER
+                 (PARTITION BY chromosome ORDER BY rn), TRUE)
+               AS prev_change
+        FROM flagged
+      ), seg AS (
+        SELECT *, sum(CASE WHEN prev_change THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY chromosome ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lp
+        FROM seg0
+      ), chromidx AS (
+        SELECT chromosome,
+               row_number() OVER (ORDER BY chromosome) AS ci
+        FROM (SELECT DISTINCT chromosome FROM cpg)
+      ), segid AS (
+        SELECT s.*, c.ci * 1000000000 + s.lp AS segment_id
+        FROM seg s JOIN chromidx c USING (chromosome)
+      ), ni0 AS (
+        SELECT segment_id, p,
+               least(greatest(p, 1e-300), 1.0 - 1.11e-16) AS pc
+        FROM segid WHERE p IS NOT NULL
+      ), ni1 AS (
+        SELECT *, CASE WHEN pc < 0.02425 THEN sqrt(-2.0 * ln(pc))
+                       WHEN pc <= 1.0 - 0.02425 THEN pc - 0.5
+                       ELSE sqrt(-2.0 * ln(1.0 - pc)) END AS qv
+        FROM ni0
+      ), ni2 AS (
+        SELECT *, CASE
+          WHEN pc < 0.02425 THEN
+            (((((-7.784894002430293e-03 * qv + -3.223964580411365e-01)
+               * qv + -2.400758277161838e+00) * qv
+               + -2.549732539343734e+00) * qv + 4.374664141464968e+00)
+               * qv + 2.938163982698783e+00)
+            / ((((7.784695709041462e-03 * qv + 3.224671290700398e-01)
+               * qv + 2.445134137142996e+00) * qv
+               + 3.754408661907416e+00) * qv + 1.0)
+          WHEN pc <= 1.0 - 0.02425 THEN
+            (((((-3.969683028665376e+01 * (qv*qv)
+               + 2.209460984245205e+02) * (qv*qv)
+               + -2.759285104469687e+02) * (qv*qv)
+               + 1.383577518672690e+02) * (qv*qv)
+               + -3.066479806614716e+01) * (qv*qv)
+               + 2.506628277459239e+00) * qv
+            / (((((-5.447609879822406e+01 * (qv*qv)
+               + 1.615858368580409e+02) * (qv*qv)
+               + -1.556989798598866e+02) * (qv*qv)
+               + 6.680131188771972e+01) * (qv*qv)
+               + -1.328068155288572e+01) * (qv*qv) + 1.0)
+          ELSE
+            -((((( -7.784894002430293e-03 * qv + -3.223964580411365e-01)
+               * qv + -2.400758277161838e+00) * qv
+               + -2.549732539343734e+00) * qv + 4.374664141464968e+00)
+               * qv + 2.938163982698783e+00)
+            / ((((7.784695709041462e-03 * qv + 3.224671290700398e-01)
+               * qv + 2.445134137142996e+00) * qv
+               + 3.754408661907416e+00) * qv + 1.0)
+          END AS x0
+        FROM ni1
+      ), ni3 AS (
+        SELECT *, -x0 / sqrt(2.0) AS hw, abs(-x0 / sqrt(2.0)) AS hu
+        FROM ni2
+      ), ni4 AS (
+        SELECT *,
+          hu * ((((1.85777706184603153e-1 * (hu*hu)
+                  + 3.16112374387056560e+0)
+                  * (hu*hu) + 1.13864154151050156e+2)
+                  * (hu*hu) + 3.77485237685302021e+2)
+                  * (hu*hu) + 3.20937758913846947e+3)
+            / (((((hu*hu) + 2.36012909523441209e+1)
+                  * (hu*hu) + 2.44024637934444173e+2)
+                  * (hu*hu) + 1.28261652607737228e+3)
+                  * (hu*hu) + 2.84423683343917062e+3) AS erf_small,
+          ((((((((2.15311535474403846e-8 * hu + 5.64188496988670089e-1)
+              * hu + 8.88314979438837594e+0) * hu
+              + 6.61191906371416295e+1) * hu + 2.98635138197400131e+2)
+              * hu + 8.81952221241769090e+2) * hu
+              + 1.71204761263407058e+3) * hu + 2.05107837782607147e+3)
+              * hu + 1.23033935479799725e+3)
+          / ((((((((hu + 1.57449261107098347e+1) * hu
+              + 1.17693950891312499e+2) * hu + 5.37181101862009858e+2)
+              * hu + 1.62138957456669019e+3) * hu
+              + 3.29079923573345963e+3) * hu + 4.36261909014324716e+3)
+              * hu + 3.43936767414372164e+3)
+              * hu + 1.23033935480374942e+3) AS pq_mid,
+          (5.6418958354775628695e-1
+            - (1.0 / nullif(hu*hu, 0))
+              * (((((1.63153871373020978e-2 * (1.0 / nullif(hu*hu, 0))
+                    + 3.05326634961232344e-1) * (1.0 / nullif(hu*hu, 0))
+                    + 3.60344899949804439e-1) * (1.0 / nullif(hu*hu, 0))
+                    + 1.25781726111229246e-1) * (1.0 / nullif(hu*hu, 0))
+                    + 1.60837851487422766e-2) * (1.0 / nullif(hu*hu, 0))
+                   + 6.58749161529837803e-4)
+              / ((((((1.0 / nullif(hu*hu, 0)) + 2.56852019228982242e+0)
+                    * (1.0 / nullif(hu*hu, 0)) + 1.87295284992346047e+0)
+                    * (1.0 / nullif(hu*hu, 0)) + 5.27905102951428412e-1)
+                    * (1.0 / nullif(hu*hu, 0)) + 6.05183413124413191e-2)
+                    * (1.0 / nullif(hu*hu, 0)) + 2.33520497626869185e-3))
+            / nullif(hu, 0) AS el
+        FROM ni3
+      ), ni5 AS (
+        SELECT *, CASE WHEN hu < 0.46875 THEN 1.0 - erf_small
+                       WHEN hu <= 4.0 THEN exp(-(hu*hu)) * pq_mid
+                       ELSE el * exp(-(hu*hu)) END AS erfc_abs
+        FROM ni4
+      ), ni6 AS (
+        SELECT *, CASE WHEN hw >= 0 THEN erfc_abs
+                       ELSE 2.0 - erfc_abs END AS erfc_hw
+        FROM ni5
+      ), ni7 AS (
+        SELECT *, (0.5 * erfc_hw - pc) * sqrt(2.0 * pi())
+                  * exp(x0 * x0 / 2.0) AS hb
+        FROM ni6
+      ), ni8 AS (
+        SELECT segment_id,
+               x0 - hb / (1.0 + x0 * hb / 2.0) AS xi
+        FROM ni7
+      ), sega AS (
+        SELECT segment_id, min(start_pos) AS start_pos,
+               max(end_pos) AS end_pos, min(chromosome) AS chromosome,
+               count(*) AS n_probes,
+               sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(p) AS k, min(p) AS p_single, avg(est) AS estimate
+        FROM segid GROUP BY segment_id
+      ), segz AS (
+        SELECT segment_id, sum(-xi) AS zsum FROM ni8
+        GROUP BY segment_id
+      ), st0 AS (
+        SELECT a.*, z.zsum,
+               z.zsum / sqrt(CAST(a.k AS DOUBLE)) / sqrt(2.0) AS sw,
+               abs(z.zsum / sqrt(CAST(a.k AS DOUBLE)) / sqrt(2.0)) AS su
+        FROM sega a LEFT JOIN segz z USING (segment_id)
+      ), st2 AS (
+        SELECT *,
+          su * ((((1.85777706184603153e-1 * (su*su)
+                  + 3.16112374387056560e+0)
+                  * (su*su) + 1.13864154151050156e+2)
+                  * (su*su) + 3.77485237685302021e+2)
+                  * (su*su) + 3.20937758913846947e+3)
+            / (((((su*su) + 2.36012909523441209e+1)
+                  * (su*su) + 2.44024637934444173e+2)
+                  * (su*su) + 1.28261652607737228e+3)
+                  * (su*su) + 2.84423683343917062e+3) AS erf_small2,
+          ((((((((2.15311535474403846e-8 * su + 5.64188496988670089e-1)
+              * su + 8.88314979438837594e+0) * su
+              + 6.61191906371416295e+1) * su + 2.98635138197400131e+2)
+              * su + 8.81952221241769090e+2) * su
+              + 1.71204761263407058e+3) * su + 2.05107837782607147e+3)
+              * su + 1.23033935479799725e+3)
+          / ((((((((su + 1.57449261107098347e+1) * su
+              + 1.17693950891312499e+2) * su + 5.37181101862009858e+2)
+              * su + 1.62138957456669019e+3) * su
+              + 3.29079923573345963e+3) * su + 4.36261909014324716e+3)
+              * su + 3.43936767414372164e+3)
+              * su + 1.23033935480374942e+3) AS pq_mid2,
+          (5.6418958354775628695e-1
+            - (1.0 / nullif(su*su, 0))
+              * (((((1.63153871373020978e-2 * (1.0 / nullif(su*su, 0))
+                    + 3.05326634961232344e-1) * (1.0 / nullif(su*su, 0))
+                    + 3.60344899949804439e-1) * (1.0 / nullif(su*su, 0))
+                    + 1.25781726111229246e-1) * (1.0 / nullif(su*su, 0))
+                    + 1.60837851487422766e-2) * (1.0 / nullif(su*su, 0))
+                   + 6.58749161529837803e-4)
+              / ((((((1.0 / nullif(su*su, 0)) + 2.56852019228982242e+0)
+                    * (1.0 / nullif(su*su, 0)) + 1.87295284992346047e+0)
+                    * (1.0 / nullif(su*su, 0)) + 5.27905102951428412e-1)
+                    * (1.0 / nullif(su*su, 0)) + 6.05183413124413191e-2)
+                    * (1.0 / nullif(su*su, 0)) + 2.33520497626869185e-3))
+            / nullif(su, 0) AS el2
+        FROM st0
+      ), st3 AS (
+        SELECT *, CASE WHEN su < 0.46875 THEN 1.0 - erf_small2
+                       WHEN su <= 4.0 THEN exp(-(su*su)) * pq_mid2
+                       ELSE el2 * exp(-(su*su)) END AS erfc_abs2
+        FROM st2
+      ), stouf AS (
+        SELECT segment_id, start_pos, end_pos, chromosome, n_probes,
+               estimate,
+               CASE WHEN n_null > 0 THEN NULL
+                    WHEN k = 1 THEN p_single
+                    ELSE 0.5 * (CASE WHEN sw >= 0 THEN erfc_abs2
+                                     ELSE 2.0 - erfc_abs2 END)
+               END AS p_comb
+        FROM st3
+      ), bh1 AS (
+        SELECT segment_id, p_comb,
+               row_number() OVER (ORDER BY p_comb) AS r,
+               count(*) OVER () AS n
+        FROM stouf WHERE p_comb IS NOT NULL
+      ), bh2 AS (
+        SELECT segment_id,
+               least(min(p_comb * n / r) OVER (ORDER BY r DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0) AS padj
+        FROM bh1
+      )
+      SELECT s.segment_id, s.chromosome, s.start_pos AS start,
+             s.end_pos AS "end", s.n_probes,
+             round(s.p_comb, 6) AS nation_p_value,
+             s.estimate AS nation_estimate,
+             round(b.padj, 6) AS nation_p_value_adjusted
+      FROM stouf s LEFT JOIN bh2 b USING (segment_id)
+      ORDER BY s.segment_id"""))
+
+  /** L18 end-to-end — Combat.combat (Combat.scala:37, reference
+    * samples.py:1609-1701; the parametric EB ComBat of Johnson, Li &
+    * Rabinovic 2007): standardization from batch-design sufficient
+    * stats, per-batch hyperpriors (γ̄, τ², method-of-moments λ/θ), the
+    * it_sol fixed-point shrinkage, and the final per-cell adjustment.
+    * Determinism by construction: m-values are INTEGERS and the sample
+    * universe is l_suppkey mod 64 — so per-(probe,batch) sums/means are
+    * exact rationals and the batch weights n_pb/64 are exact dyadics;
+    * the only engine drift is (a) the 3-term grand-mean sum order and
+    * (b) avg/var_samp over probe-level doubles in the priors, both
+    * O(1 ulp), far under the round(·, 6) gate. The oracle replays
+    * it_sol as a RECURSIVE CTE with the exact relative-change stopping
+    * rule (the q63 Huber-loop pattern) and the same operation order in
+    * every scalar formula, so the iterate sequences are identical. */
+  val q72 = Q(
+    "q72_combat_endtoend",
+    (s, d) => {
+      import s.implicits._
+      val data = t(s, d, "lineitem").select(
+        ($"l_suppkey" % 64).cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_orderkey" % 23 === 0, lit(null).cast("double"))
+          .otherwise((($"l_quantity".cast("long") + $"l_linenumber" * 3)
+            % 97).cast("double")).as("m_value"))
+      val batches = t(s, d, "supplier").select(
+        ($"s_suppkey" % 64).cast("string").as("sample_label"),
+        (($"s_suppkey" % 64) % 3).cast("string").as("batch")).distinct()
+      graft.batch.Combat.combat(s, data, batches)
+        .select($"sample_label", $"probe_id",
+          round($"m_value", 6).as("m_value"))
+        .orderBy($"probe_id", $"sample_label", $"m_value")
+    },
+    Some("""
+      WITH RECURSIVE data AS (
+        SELECT CAST(l_suppkey % 64 AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_orderkey % 23 = 0 THEN NULL
+                    ELSE CAST((CAST(l_quantity AS BIGINT)
+                               + l_linenumber * 3) % 97 AS DOUBLE)
+               END AS m_value
+        FROM lineitem
+      ), batches AS (
+        SELECT DISTINCT CAST(s_suppkey % 64 AS VARCHAR) AS sample_label,
+               CAST((s_suppkey % 64) % 3 AS VARCHAR) AS batch
+        FROM supplier
+      ), nt AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS n_total
+        FROM (SELECT count(DISTINCT sample_label) AS cnt
+              FROM batches GROUP BY batch)
+      ), wb AS (
+        SELECT d.probe_id, d.sample_label, b.batch, d.m_value AS v
+        FROM data d JOIN batches b USING (sample_label)
+        WHERE d.m_value IS NOT NULL
+      ), pb AS (
+        SELECT probe_id, batch, CAST(count(*) AS BIGINT) AS n_pb,
+               avg(v) AS mean_pb, sum(v * v) AS sumsq_pb
+        FROM wb GROUP BY probe_id, batch
+      ), ps AS (
+        SELECT probe_id,
+               sum(CAST(n_pb AS DOUBLE) / (SELECT n_total FROM nt)
+                   * mean_pb) AS grand_mean,
+               sum(sumsq_pb - n_pb * mean_pb * mean_pb) AS sse,
+               sum(n_pb) AS n_p
+        FROM pb GROUP BY probe_id
+      ), ps2 AS (
+        SELECT probe_id, grand_mean, sse / n_p AS var_pooled
+        FROM ps WHERE sse / n_p > 0
+      ), zs AS (
+        SELECT pb.probe_id, pb.batch, pb.n_pb,
+               p.grand_mean, p.var_pooled,
+               (pb.mean_pb - p.grand_mean) / sqrt(p.var_pooled)
+                 AS gamma_hat,
+               (pb.sumsq_pb - 2.0 * pb.mean_pb * pb.n_pb * p.grand_mean
+                 + pb.n_pb * p.grand_mean * p.grand_mean) / p.var_pooled
+                 AS z_sumsq
+        FROM pb JOIN ps2 p USING (probe_id)
+      ), zs2 AS (
+        SELECT *, CASE WHEN n_pb > 1
+                       THEN (z_sumsq - n_pb * gamma_hat * gamma_hat)
+                            / (n_pb - 1)
+                       ELSE 1.0 END AS delta_hat
+        FROM zs
+      ), pr AS (
+        SELECT batch, avg(gamma_hat) AS gamma_bar,
+               var_samp(gamma_hat) AS tau2,
+               avg(delta_hat) AS d_mean, var_samp(delta_hat) AS d_var
+        FROM zs2 GROUP BY batch
+      ), pr2 AS (
+        SELECT *, (d_mean * d_mean + 2.0 * d_var) / d_var AS lambda,
+               (pow(d_mean, 3) + d_mean * d_var) / d_var AS theta
+        FROM pr
+      ), eb AS (
+        SELECT z.probe_id, z.batch, z.n_pb, z.gamma_hat, z.z_sumsq,
+               p.gamma_bar, p.tau2, p.lambda, p.theta,
+               (p.tau2 * z.n_pb * z.gamma_hat + 1.0 * p.gamma_bar)
+                 / (p.tau2 * z.n_pb + 1.0) AS g_star,
+               -- CAST matters: a bare 1.0 literal is DECIMAL(2,1) and
+               -- the recursive CTE pins column types from the base
+               -- select, silently rounding every d_new to one decimal
+               CAST(1.0 AS DOUBLE) AS d_star, 0 AS it, FALSE AS done
+        FROM zs2 z JOIN pr2 p USING (batch)
+        WHERE p.tau2 > 0 AND p.d_var > 0
+        UNION ALL
+        SELECT probe_id, batch, n_pb, gamma_hat, z_sumsq,
+               gamma_bar, tau2, lambda, theta,
+               g_new AS g_star, d_new AS d_star, it + 1 AS it,
+               greatest(abs(g_new - g_star)
+                          / greatest(abs(g_star), 1e-12),
+                        abs(d_new - d_star)
+                          / greatest(abs(d_star), 1e-12)) <= 1e-4
+                 AS done
+        FROM (
+          SELECT *, (theta + 0.5 * (z_sumsq
+                     - 2.0 * g_new * n_pb * gamma_hat
+                     + n_pb * g_new * g_new))
+                    / (n_pb / 2.0 + lambda - 1.0) AS d_new
+          FROM (
+            SELECT *, (tau2 * n_pb * gamma_hat + d_star * gamma_bar)
+                      / (tau2 * n_pb + d_star) AS g_new
+            FROM eb WHERE NOT done AND it < 100
+          ) y
+        ) x
+      ), ebf AS (
+        SELECT probe_id, batch, g_star AS gamma_star,
+               greatest(d_star, 1e-12) AS delta_star
+        FROM eb
+        QUALIFY row_number() OVER (PARTITION BY probe_id, batch
+          ORDER BY it DESC) = 1
+      ), shrunk AS (
+        SELECT z.probe_id, z.batch,
+               CASE WHEN p.tau2 IS NULL OR p.tau2 <= 0
+                         OR p.d_var IS NULL OR p.d_var <= 0
+                    THEN z.gamma_hat ELSE f.gamma_star END AS gamma_star,
+               CASE WHEN p.tau2 IS NULL OR p.tau2 <= 0
+                         OR p.d_var IS NULL OR p.d_var <= 0
+                    THEN z.delta_hat ELSE f.delta_star END AS delta_star
+        FROM zs2 z JOIN pr2 p USING (batch)
+        LEFT JOIN ebf f ON f.probe_id = z.probe_id AND f.batch = z.batch
+      )
+      SELECT d.sample_label, d.probe_id,
+             round(CASE WHEN s.gamma_star IS NOT NULL
+                             AND d.m_value IS NOT NULL
+                        THEN ((d.m_value - p.grand_mean)
+                              / sqrt(p.var_pooled) - s.gamma_star)
+                             / sqrt(s.delta_star)
+                             * sqrt(p.var_pooled) + p.grand_mean
+                        ELSE d.m_value END, 6) AS m_value
+      FROM data d
+      LEFT JOIN batches b USING (sample_label)
+      LEFT JOIN ps2 p ON p.probe_id = d.probe_id
+      LEFT JOIN shrunk s ON s.probe_id = d.probe_id
+                        AND s.batch = b.batch
+      ORDER BY d.probe_id, d.sample_label, m_value"""))
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72)
 }
