@@ -909,5 +909,105 @@ object DomainQ {
                         AND s.batch = b.batch
       ORDER BY d.probe_id, d.sample_label, m_value"""))
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72)
+  /** L5 end-to-end — Cnv.copyNumberVariation (Cnv.scala:56, reference
+    * cnv.py:101-123): per-probe target-mean vs normal-panel regression
+    * (target ~ [1, norm_1, norm_2]) solved from the Gram matrix, then
+    * cnv = log2(y / max(pred, 1)). Intensities are INTEGER-valued
+    * (hash-mod primes), so the Gram sums and moment vector are exact in
+    * double on both engines in any summation order; the only divergence
+    * is the solve itself (LAPACK LU on the Spark driver vs Cramer
+    * cofactor expansion in SQL) and the log, both O(1e-12) relative —
+    * far below the round(·, 6) gate. NULL plantings exercise both
+    * drop paths: a null target cell drops the probe via the any-null
+    * filter, a null panel cell via the feature-completeness filter. */
+  val q73 = Q(
+    "q73_cnv_regression_endtoend",
+    (s, d) => {
+      import s.implicits._
+      def pk = $"p_partkey"
+      val tgtI = t(s, d, "part").select(
+          pk.cast("string").as("probe_id"),
+          lit("t1").as("sample_label"),
+          when(pk % 31 === 0, lit(null).cast("double"))
+            .otherwise(((pk * 13) % 1009).cast("double")).as("total_ib"))
+        .unionByName(t(s, d, "part").select(
+          pk.cast("string").as("probe_id"),
+          lit("t2").as("sample_label"),
+          ((pk * 29) % 1013).cast("double").as("total_ib")))
+      val normI = t(s, d, "part").select(
+          pk.cast("string").as("probe_id"),
+          lit("n1").as("sample_label"),
+          ((pk * 7) % 997).cast("double").as("total_ib"))
+        .unionByName(t(s, d, "part").select(
+          pk.cast("string").as("probe_id"),
+          lit("n2").as("sample_label"),
+          when(pk % 37 === 0, lit(null).cast("double"))
+            .otherwise(((pk * 17) % 1003).cast("double"))
+            .as("total_ib")))
+      val ranges = t(s, d, "part")
+        .select(pk.cast("string").as("probe_id"))
+      graft.cnv.Cnv.copyNumberVariation(s, tgtI, normI, ranges)
+        .select($"probe_id", round($"cnv", 6).as("cnv"))
+        .orderBy($"probe_id")
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT probe_id, avg(total_ib) AS y
+        FROM (
+          SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+                 CASE WHEN p_partkey % 31 = 0 THEN NULL
+                      ELSE CAST((p_partkey * 13) % 1009 AS DOUBLE)
+                 END AS total_ib
+          FROM part
+          UNION ALL
+          SELECT CAST(p_partkey AS VARCHAR),
+                 CAST((p_partkey * 29) % 1013 AS DOUBLE)
+          FROM part
+        ) GROUP BY probe_id
+        HAVING max(CASE WHEN total_ib IS NULL THEN 1 ELSE 0 END) = 0
+      ), feat AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+               CAST((p_partkey * 7) % 997 AS DOUBLE) AS x1,
+               CAST((p_partkey * 17) % 1003 AS DOUBLE) AS x2
+        FROM part WHERE p_partkey % 37 <> 0
+      ), j AS (
+        SELECT t.probe_id, t.y, f.x1, f.x2
+        FROM tgt t JOIN feat f USING (probe_id)
+      ), gram AS (
+        SELECT CAST(count(*) AS DOUBLE) AS g00,
+               sum(x1) AS g01, sum(x2) AS g02,
+               sum(x1 * x1) AS g11, sum(x1 * x2) AS g12,
+               sum(x2 * x2) AS g22,
+               sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2
+        FROM j
+      ), sol AS (
+        SELECT
+          (b0 * (g11 * g22 - g12 * g12)
+             - g01 * (b1 * g22 - g12 * b2)
+             + g02 * (b1 * g12 - g11 * b2))
+          / (g00 * (g11 * g22 - g12 * g12)
+             - g01 * (g01 * g22 - g12 * g02)
+             + g02 * (g01 * g12 - g11 * g02)) AS beta0,
+          (g00 * (b1 * g22 - b2 * g12)
+             - b0 * (g01 * g22 - g12 * g02)
+             + g02 * (g01 * b2 - b1 * g02))
+          / (g00 * (g11 * g22 - g12 * g12)
+             - g01 * (g01 * g22 - g12 * g02)
+             + g02 * (g01 * g12 - g11 * g02)) AS beta1,
+          (g00 * (g11 * b2 - g12 * b1)
+             - g01 * (g01 * b2 - b1 * g02)
+             + b0 * (g01 * g12 - g11 * g02))
+          / (g00 * (g11 * g22 - g12 * g12)
+             - g01 * (g01 * g22 - g12 * g02)
+             + g02 * (g01 * g12 - g11 * g02)) AS beta2
+        FROM gram
+      )
+      SELECT j.probe_id,
+             round(ln(j.y / greatest(s.beta0 + s.beta1 * j.x1
+                                     + s.beta2 * j.x2, 1.0))
+                   / ln(2.0), 6) AS cnv
+      FROM j CROSS JOIN sol s
+      ORDER BY j.probe_id"""))
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }
