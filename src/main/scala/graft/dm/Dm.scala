@@ -394,11 +394,19 @@ object Dm {
       .withColumn("_prev_cp", lag(col("_last_cp"), 1).over(wChromBlocks))
       .select(col("chromosome"), col("_blk"), col("_prev_cp"))
     // dense unique index per chromosome string (tiny dimension) so the
-    // per-chromosome running ids cannot collide across partitions
-    val chromIdx = blocked.select("chromosome").distinct()
-      .withColumn("chrom_idx",
-        row_number().over(Window.partitionBy(lit(1))
-          .orderBy(col("chromosome"))).cast("long"))
+    // per-chromosome running ids cannot collide across partitions. The
+    // dimension is bounded (chromosome count), so it is collected and
+    // inlined as a literal map — a window over it would plan as a
+    // single-partition WindowExec (a foldable partitionBy key is
+    // stripped by the optimizer), which is harmless at ~25 rows but
+    // reads as the unpartitioned-window scale smell in every log.
+    val chromIdxMap = {
+      val chroms = blocked.select("chromosome").distinct()
+        .collect().map(_.getString(0)).sorted
+      if (chroms.isEmpty) map()
+      else map(chroms.zipWithIndex.flatMap { case (c, i) =>
+        Seq(lit(c), lit((i + 1).toLong)) }: _*)
+    }
     val wbRun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // prev_change: the in-block lag; at a block's first row, the
     // previous block's stitched change_point; at a chromosome's first
@@ -418,9 +426,9 @@ object Dm {
       .select(col("chromosome"), col("_blk"), col("_off"))
     val seg = withLp
       .join(broadcast(offsets), Seq("chromosome", "_blk"))
-      .join(broadcast(chromIdx), Seq("chromosome"))
       .withColumn("segment_id",
-        col("chrom_idx") * 1000000000L + col("_off") + col("_lp"))
+        element_at(chromIdxMap, col("chromosome")) * 1000000000L
+          + col("_off") + col("_lp"))
 
     // per-segment aggregation incl Stouffer + BH (A13/A14)
     val aggs =
