@@ -40,11 +40,21 @@ object Bench {
     // voted out by the median instead of doubling one query's number.
     val samples = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.Map.empty[String, String]
     (1 to Reps).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        // A failed rep is an ERROR, not a (fast) timing: recording it
+        // would fabricate a phantom speedup (r6: q16/q43/q46 "0.1 s"
+        // were analysis failures). Keep the sample only on success.
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed(name) = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         // Queries are independent pipelines: drop any frame a query
         // persisted for its own internal reuse (poobah, jaccardDedup
         // return persisted results by contract). Without this the
@@ -69,12 +79,29 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = ordered.map { case (name, _) => name -> median(samples(name)) }
-    val mins = ordered.map { case (name, _) => name -> samples(name).min }
+    val timed = ordered.filter { case (name, _) => samples(name).nonEmpty }
+    val med = timed.map { case (name, _) => name -> median(samples(name)) }
+    val mins = timed.map { case (name, _) => name -> samples(name).min }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"reps":$Reps,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"failed":$failedJson,"reps":$Reps,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the log TAIL — r6 lost q01-q14's rows to
+    // truncation. Persist the full record to disk so no round loses data.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -18,20 +18,32 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  /** Load one of the driver-generated parquet tables from an sf dir.
-    *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot map to
-    * its µs TimestampType directly; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong` and we convert here (the data
-    * is µs-grained, so `div 1000` is exact — same instants DuckDB sees). */
+  /** Normalize an `events`-shaped frame's `ts` column to TIMESTAMP_LTZ,
+    * whatever flavor the lakehouse delivered it in. Real corpora mix all
+    * three: TIMESTAMP(NANOS) parquet read as Long under
+    * `legacy.parquet.nanosAsLong` (µs-grained, so `div 1000` is exact),
+    * TIMESTAMP(MICROS) with `isAdjustedToUTC=false` read as TIMESTAMP_NTZ
+    * (the cast interprets wall-clock in the session zone — pinned to UTC
+    * in [[sessionConfigs]], the same instants DuckDB sees), and plain
+    * TIMESTAMP_LTZ which passes through. Event-time operators downstream
+    * (`unix_micros`, watermarks, RANGE frames) all require LTZ. */
+  def eventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Load one of the driver-generated parquet tables from an sf dir;
+    * `events.ts` is normalized via [[eventTs]]. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") eventTs(df) else df
   }
 
   /** Session configs every entry point (Verify/Bench/tests) applies. */
@@ -40,6 +52,11 @@ object Q {
     // rewrite rule, injected the way a cluster would
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // TIMESTAMP(MICROS) parquet with isAdjustedToUTC=false would otherwise
+    // surface as TIMESTAMP_NTZ and break every event-time operator
+    // (unix_micros, watermarks). Read it as LTZ; Q.eventTs additionally
+    // makes the events boundary NTZ-proof regardless of this config.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     // Coalesce post-shuffle partitions to the advisory size instead of
     // maximizing parallelism: at 100 TB both settings land on ~64 MB

@@ -27,6 +27,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must produce a RED correctness row, not a missing
+        // one (r6: q16/q43/q46 silently vanished from the report). Write a
+        // one-row error frame in place of the result — its schema can never
+        // match the oracle's, so the driver compare goes red loudly.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("_graft_query_failed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

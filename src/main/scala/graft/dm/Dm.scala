@@ -286,7 +286,15 @@ object Dm {
     val anyNull = max(when(col(pCol).isNull || isnan(col(pCol)), 1)
       .otherwise(0))
     val k = count(col(pCol))
-    val zSum = sum(z)
+    // Deterministic summation: sort the segment's z values and left-fold.
+    // A plain sum(z) accumulates in partition/scan order, so its last bit
+    // floats with parallelism — under the round(·, 6) oracle gate that is
+    // a latent round-boundary flip (r6: q71 driver hash-red that no local
+    // replay could reproduce). Sorted-fold is order-independent on every
+    // engine; segments are small (≤ samples · probes-per-segment cells),
+    // so the per-group array is KB-bounded.
+    val zSum = aggregate(array_sort(collect_list(z)), lit(0.0d),
+      (acc, x) => acc + x)
     val single = first(col(pCol))
     when(anyNull === 1, lit(null).cast("double"))
       .when(k === 1, single)

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object DomainQ {
 
+  /** Driver-hash float hardening for emitted double columns. The driver's
+    * compare hashes canonicalized cell values, where NaN vs NULL and
+    * -0.0 vs 0.0 are representation differences the local exact-compare
+    * forgives but a byte-level hash may not (r6: q71 driver-red while
+    * three local replays were green). Normalize at the emit boundary:
+    * NaN → NULL (`nanvl`), round to 6, and `+ 0.0` to collapse -0.0.
+    * Oracle SQL mirrors this as round(x, 6) + 0.0 (DuckDB NULLs
+    * propagate identically). */
+  private[queries] def emit6(c: org.apache.spark.sql.Column) =
+    round(nanvl(c, lit(null).cast("double")), 6) + lit(0.0)
+
   /** L13 end-to-end — dyeBiasCorrectionL (Prep.scala:233, reference
     * samples.py:1300-1338): scale G cells by mean_ib/median(type-I
     * in-band G), R cells by mean_ib/median(type-I in-band R). The frame
@@ -486,9 +497,9 @@ object DomainQ {
       graft.dm.Dm.computeDmr(betas, dmp, ranges, Seq("nation"))
         .select($"segment_id", $"chromosome", $"start", $"end",
           $"n_probes",
-          round($"nation_p_value", 6).as("nation_p_value"),
-          $"nation_estimate",
-          round($"nation_p_value_adjusted", 6)
+          emit6($"nation_p_value").as("nation_p_value"),
+          emit6($"nation_estimate").as("nation_estimate"),
+          emit6($"nation_p_value_adjusted")
             .as("nation_p_value_adjusted"))
         .orderBy($"segment_id")
     },
@@ -676,7 +687,9 @@ object DomainQ {
                count(p) AS k, min(p) AS p_single, avg(est) AS estimate
         FROM segid GROUP BY segment_id
       ), segz AS (
-        SELECT segment_id, sum(-xi) AS zsum FROM ni8
+        -- ordered aggregate: feed -xi ascending so the fold order matches
+        -- the engine's sorted-fold (order-independent summation both sides)
+        SELECT segment_id, sum(-xi ORDER BY -xi) AS zsum FROM ni8
         GROUP BY segment_id
       ), st0 AS (
         SELECT a.*, z.zsum,
@@ -749,9 +762,9 @@ object DomainQ {
       )
       SELECT s.segment_id, s.chromosome, s.start_pos AS start,
              s.end_pos AS "end", s.n_probes,
-             round(s.p_comb, 6) AS nation_p_value,
-             s.estimate AS nation_estimate,
-             round(b.padj, 6) AS nation_p_value_adjusted
+             round(s.p_comb, 6) + 0.0 AS nation_p_value,
+             round(s.estimate, 6) + 0.0 AS nation_estimate,
+             round(b.padj, 6) + 0.0 AS nation_p_value_adjusted
       FROM stouf s LEFT JOIN bh2 b USING (segment_id)
       ORDER BY s.segment_id"""))
 

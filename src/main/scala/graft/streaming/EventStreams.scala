@@ -127,14 +127,12 @@ object EventStreams {
   }
 
   /** Read the events table as a file stream (one-file-per-trigger batch
-    * drives it synchronously in tests). */
+    * drives it synchronously in tests). `ts` is normalized to LTZ for
+    * every lakehouse flavor via [[graft.Q.eventTs]]. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val st = spark.readStream.schema(schema)
       .parquet(s"$dir/events.parquet")
-    if (st.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    graft.Q.eventTs(st)
   }
 }

@@ -9,8 +9,7 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed counts with watermark over the events file stream") {
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Q.eventTs(spark.read.parquet(sf("sf0.001") + "/events.parquet"))
       .limit(500)
       .write.parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
@@ -24,8 +23,8 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     // append mode only emits windows the watermark has passed; verify the
     // streaming plan accepted watermark + window + agg and ran to the end
-    val batch = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.Q.eventTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
       .groupBy(window($"ts", "1 hour"), $"event_type").count()
     assert(batch.count() > 0)
     assert(spark.table("win_counts").columns.toSeq ==
@@ -33,8 +32,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful sessionization matches the batch window computation") {
-    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
     val sessions = EventStreams.sessionize(spark, events, gapSec = 1800)
       .cache()
     // total events preserved
@@ -57,8 +56,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming as-of enrichment equals the batch AsOfJoin") {
-    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
     val got = EventStreams.asOfEnrich(spark, events)
       .select($"event_id", $"user_id", $"query_us", $"state_us",
         $"state_value")
