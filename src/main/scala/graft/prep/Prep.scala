@@ -352,29 +352,48 @@ object Prep {
         when(col("value") === 0, lit(1.0))
           .otherwise(col("value").cast("double")).as("value"))
 
-    val bg0 = zeroToOne(bgCells)
-    // eligibility (≥ 100 positive values — after zeros→1, all values are
-    // ≥ 1, so this is the group row count) + the median+10·IQR cap
-    val capStats = bg0.groupBy("sample_label", "channel")
-      .agg(count(when(col("value") > 0, 1)).as("n_pos"),
-        percentile(col("value"), lit(0.5)).as("med"),
-        (percentile(col("value"), lit(0.75)) -
-          percentile(col("value"), lit(0.25))).as("iqr"))
-      .filter(col("n_pos") >= 100)
-      .select(col("sample_label"), col("channel"),
-        (col("med") + col("iqr") * 10).as("cap"))
-    val bgCapped = bg0.join(broadcast(capStats),
-      Seq("sample_label", "channel"))
-      .filter(col("value") < col("cap"))
-    val bgFit = huberFits(bgCapped)
-    val fgFit = huberFits(zeroToOne(fgCells))
-      .select(col("sample_label"), col("channel"), col("mu").as("fg_mu"))
-    bgFit.join(fgFit, Seq("sample_label", "channel"))
-      .select(col("sample_label"), col("channel"), col("mu"), col("sigma"),
-        greatest(col("fg_mu") - col("mu"), lit(10.0)).as("alpha"))
+    // ONE gathered pass per (sample, channel) over union-tagged cells:
+    // the eligibility count, the median+10·IQR cap, the capped-background
+    // Huber fit and the foreground Huber fit all read the group's values
+    // inside the same task. The previous shape made three separate
+    // shuffles over the same cells (an exact-percentile aggregation plus
+    // two groupByKey fits); the groups were already gathered for Huber,
+    // so the cap costs nothing extra here. Per-group memory stays the
+    // huberFits bound (one sample-channel's cells, MB-scale). Sorting
+    // the arrays also makes the fits order-deterministic — the iterative
+    // clip-mean no longer drifts with partition arrival order.
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val tagged = zeroToOne(bgCells).withColumn("is_fg", lit(false))
+      .unionByName(zeroToOne(fgCells).withColumn("is_fg", lit(true)))
+    tagged
+      .select(col("sample_label"), col("channel"), col("is_fg"),
+        col("value").cast("double").as("v"))
+      .as[(String, String, Boolean, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Boolean, Double)]) =>
+        val bgB = Array.newBuilder[Double]
+        val fgB = Array.newBuilder[Double]
+        it.foreach(r => if (r._3) fgB += r._4 else bgB += r._4)
+        val bgArr = bgB.result(); val fgArr = fgB.result()
+        // eligibility: ≥ 100 positive background values (after zeros→1
+        // every value is ≥ 1, so this is the array length)
+        if (bgArr.length < 100 || fgArr.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.sort(bgArr)
+          java.util.Arrays.sort(fgArr)
+          val cap = StatFuncs.median(bgArr) + StatFuncs.iqr(bgArr) * 10
+          val capped = bgArr.takeWhile(_ < cap) // sorted: < cap is a prefix
+          (for {
+            (mu, sigma) <- StatFuncs.huber(capped)
+            (fgMu, _) <- StatFuncs.huber(fgArr)
+          } yield (key._1, key._2, mu, sigma,
+            math.max(fgMu - mu, 10.0))).iterator
+        }
+      }
       .collect()
-      .map(r => NoobFit(r.getString(0), r.getString(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4)))
+      .map(r => NoobFit(r._1, r._2, r._3, r._4, r._5))
       .sortBy(f => (f.sample, f.channel))
       .toSeq
   }
