@@ -2,7 +2,7 @@ package graft.dm
 
 import breeze.linalg.{inv, pinv, DenseMatrix, DenseVector}
 import graft.functions.StatFuncs
-import org.apache.commons.math3.distribution.{FDistribution, TDistribution}
+import org.apache.commons.math3.distribution.FDistribution
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,6 +123,10 @@ object Dm {
             else {
               val fStat = ((sst - sse) / dfModel) / sigma2
               if (fStat.isNaN || fStat < 0) Double.NaN
+              // F(1, ν) is t(ν)² — route through the exact closed-form t
+              // survival so the value is oracle-reproducible (A&S sums)
+              else if (dfModel == 1)
+                StatFuncs.tTwoSidedP(math.sqrt(fStat), dof)
               else 1.0 - new FDistribution(dfModel.toDouble, dof.toDouble)
                 .cumulativeProbability(fStat)
             }
@@ -130,7 +134,6 @@ object Dm {
           val est = beta.toArray
           val nonIntercept = est.drop(1) :+ 0.0
           val effect = nonIntercept.max - nonIntercept.min
-          val tDist = new TDistribution(dof.toDouble)
           val out = Array.newBuilder[Double]
           out += fPval
           out += effect
@@ -138,8 +141,9 @@ object Dm {
           while (j < nF) {
             val se = math.sqrt(sigma2 * xtxi(j, j))
             val t = if (se == 0) Double.NaN else est(j) / se
-            val pv = if (t.isNaN) Double.NaN
-            else 2.0 * (1.0 - tDist.cumulativeProbability(math.abs(t)))
+            // closed-form two-sided t survival (exact for integer dof) —
+            // bit-reproducible by the transcribed oracle recurrence
+            val pv = StatFuncs.tTwoSidedP(t, dof)
             out += pv; out += t; out += est(j); out += se
             j += 1
           }

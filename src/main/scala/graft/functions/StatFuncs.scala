@@ -191,6 +191,44 @@ object StatFuncs {
     Some((mu, sigma))
   }
 
+  /** Two-sided Student-t p-value 1 − A(|t| | ν) for INTEGER dof via the
+    * closed-form finite sums of Abramowitz & Stegun 26.7.3/26.7.4:
+    * with θ = arctan(|t|/√ν),
+    *   ν odd:  A = (2/π)(θ + sinθ·Σ),  Σ = cosθ + (2/3)cos³θ + …
+    *   ν even: A = sinθ·Σ,             Σ = 1 + (1/2)cos²θ + …
+    * each sum having (ν−1)/2 resp. ν/2 terms with term ratio
+    * j/(j+1)·cos²θ. Mathematically exact (unlike an incomplete-beta
+    * continued fraction), so an oracle that transcribes the same
+    * recurrence reproduces it to libm-ulp — the property every other
+    * transcribed kernel here (erfc, normInv) relies on. */
+  def tTwoSidedP(t: Double, dof: Int): Double = {
+    if (t.isNaN || dof <= 0) return Double.NaN
+    val x = math.abs(t)
+    val th = math.atan2(x, math.sqrt(dof.toDouble))
+    val c = math.cos(th)
+    val s = math.sin(th)
+    if (dof % 2 == 1) {
+      var term = c; var acc = c
+      var j = 2
+      while (j <= dof - 3) {
+        term = term * (j / (j + 1.0)) * c * c
+        acc += term
+        j += 2
+      }
+      if (dof == 1) 1.0 - 2.0 / math.Pi * th
+      else 1.0 - 2.0 / math.Pi * (th + s * acc)
+    } else {
+      var term = 1.0; var acc = 1.0
+      var j = 1
+      while (j <= dof - 3) {
+        term = term * (j / (j + 1.0)) * c * c
+        acc += term
+        j += 2
+      }
+      1.0 - s * acc
+    }
+  }
+
   /** Exact median of an array (average of middle two for even n —
     * np.median semantics). */
   def median(v: Array[Double]): Double = {

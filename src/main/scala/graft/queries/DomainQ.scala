@@ -218,11 +218,18 @@ object DomainQ {
           round($"Intercept_t_value", 6).as("intercept_t_value"),
           round($"nation_estimate", 6).as("nation_estimate"),
           round($"nation_std_err", 6).as("nation_std_err"),
-          round($"nation_t_value", 6).as("nation_t_value"))
+          round($"nation_t_value", 6).as("nation_t_value"),
+          // p-value surface (closed-form A&S t CDF, clamped then rounded;
+          // NaN → NULL at the emit boundary)
+          emit6(greatest($"f_pvalue", lit(0.0))).as("f_pvalue"),
+          emit6(greatest($"Intercept_p_value", lit(0.0)))
+            .as("intercept_p_value"),
+          emit6(greatest($"nation_p_value", lit(0.0)))
+            .as("nation_p_value"))
         .orderBy($"probe_id")
     },
     Some("""
-      WITH betas AS (
+      WITH RECURSIVE betas AS (
         SELECT CAST(l_partkey AS VARCHAR) AS probe_id,
                CAST(l_suppkey AS VARCHAR) AS sample_label,
                avg(l_quantity) AS y
@@ -246,23 +253,80 @@ object DomainQ {
                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
         FROM st
       ), fit2 AS (
-        SELECT probe_id, n, sxx, det, slope,
+        SELECT probe_id, n, sxx, det, slope, sy, sxy, syy,
                (sy - slope * sx) / n AS icept,
                greatest(syy - ((sy - slope * sx) / n) * sy
                         - slope * sxy, 0) / (n - 2) AS sigma2
         FROM fit
+      ), tin AS (
+        -- |t| per inference column; 'f' is the overall F via sqrt(F) =
+        -- |t| (one regressor), transcribing the engine's fStat formula
+        SELECT probe_id, 'i' AS coef, CAST(n AS INTEGER) - 2 AS dof,
+               abs(icept / sqrt(sigma2 * sxx / det)) AS tv
+        FROM fit2
+        UNION ALL
+        SELECT probe_id, 's', CAST(n AS INTEGER) - 2,
+               abs(slope / sqrt(sigma2 * n / det))
+        FROM fit2
+        UNION ALL
+        SELECT probe_id, 'f', CAST(n AS INTEGER) - 2,
+               CASE WHEN (syy - sy * sy / n) - sigma2 * (n - 2) < 0
+                    THEN NULL
+                    ELSE sqrt((((syy - sy * sy / n)
+                                - sigma2 * (n - 2)) / 1) / sigma2) END
+        FROM fit2
+      ), tcs AS (
+        SELECT probe_id, coef, dof,
+               atan2(tv, sqrt(CAST(dof AS DOUBLE))) AS th,
+               cos(atan2(tv, sqrt(CAST(dof AS DOUBLE)))) AS c,
+               sin(atan2(tv, sqrt(CAST(dof AS DOUBLE)))) AS s
+        FROM tin WHERE tv IS NOT NULL
+      ), trec AS (
+        -- A&S 26.7.3/26.7.4 finite sums, the exact recurrence of
+        -- StatFuncs.tTwoSidedP: term_{k+1} = term_k * j/(j+1) * cos^2
+        SELECT probe_id, coef, dof, th, c, s,
+               CASE WHEN dof % 2 = 1 THEN c ELSE 1.0 END AS term,
+               CASE WHEN dof % 2 = 1 THEN c ELSE 1.0 END AS acc,
+               CASE WHEN dof % 2 = 1 THEN 2 ELSE 1 END AS j
+        FROM tcs
+        UNION ALL
+        SELECT probe_id, coef, dof, th, c, s,
+               term * (j / (j + 1.0)) * c * c,
+               acc + term * (j / (j + 1.0)) * c * c,
+               j + 2
+        FROM trec WHERE j <= dof - 3
+      ), tp AS (
+        SELECT probe_id, coef,
+               CASE WHEN dof % 2 = 1
+                    THEN 1.0 - 2.0 / pi() * (th + s * acc)
+                    ELSE 1.0 - s * acc END AS p
+        FROM trec WHERE j > dof - 3
       )
-      SELECT probe_id,
-             round(abs(slope), 6) AS effect_size,
-             round(icept, 6) AS intercept_estimate,
-             round(sqrt(sigma2 * sxx / det), 6) AS intercept_std_err,
-             round(icept / sqrt(sigma2 * sxx / det), 6)
+      SELECT f.probe_id,
+             round(abs(f.slope), 6) AS effect_size,
+             round(f.icept, 6) AS intercept_estimate,
+             round(sqrt(f.sigma2 * f.sxx / f.det), 6)
+               AS intercept_std_err,
+             round(f.icept / sqrt(f.sigma2 * f.sxx / f.det), 6)
                AS intercept_t_value,
-             round(slope, 6) AS nation_estimate,
-             round(sqrt(sigma2 * n / det), 6) AS nation_std_err,
-             round(slope / sqrt(sigma2 * n / det), 6) AS nation_t_value
-      FROM fit2
-      ORDER BY probe_id"""))
+             round(f.slope, 6) AS nation_estimate,
+             round(sqrt(f.sigma2 * f.n / f.det), 6) AS nation_std_err,
+             round(f.slope / sqrt(f.sigma2 * f.n / f.det), 6)
+               AS nation_t_value,
+             CASE WHEN pf.p IS NULL THEN NULL
+                  ELSE round(greatest(pf.p, 0.0), 6) + 0.0 END
+               AS f_pvalue,
+             CASE WHEN qi.p IS NULL THEN NULL
+                  ELSE round(greatest(qi.p, 0.0), 6) + 0.0 END
+               AS intercept_p_value,
+             CASE WHEN qs.p IS NULL THEN NULL
+                  ELSE round(greatest(qs.p, 0.0), 6) + 0.0 END
+               AS nation_p_value
+      FROM fit2 f
+      LEFT JOIN tp pf ON pf.probe_id = f.probe_id AND pf.coef = 'f'
+      LEFT JOIN tp qi ON qi.probe_id = f.probe_id AND qi.coef = 'i'
+      LEFT JOIN tp qs ON qs.probe_id = f.probe_id AND qs.coef = 's'
+      ORDER BY f.probe_id"""))
 
   /** A9 end-to-end — QC.dyeBiasSummary (QC.scala:59, reference
     * samples.py:1372-1376, quality_control.py:193-207): per (sample,
