@@ -360,6 +360,70 @@ object Multimodal {
   /** Remove all registered demuxers (test hygiene). */
   def clearVideoDemuxers(): Unit = synchronized { videoDemuxers = Nil }
 
+  /** REAL non-GIF container demuxer through the [[VideoDemuxer]] seam:
+    * MJPEG-in-AVI. AVI is a RIFF container (public spec: Microsoft
+    * "AVI RIFF File Reference"); an MJPEG stream stores every frame as
+    * a standalone JPEG inside `##db`/`##dc` stream chunks, and the JDK
+    * ships a JPEG reader — so the whole demux is walk-the-chunk-tree +
+    * `ImageIO`, no native codec. Frames re-encode as PNG, the payload
+    * contract downstream decoders expect. Not auto-registered: call
+    * `registerVideoDemuxer(MjpegAviDemuxer)` on the driver (the
+    * registry snapshot is captured at plan time). */
+  object MjpegAviDemuxer extends VideoDemuxer {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    def canDemux(content: Array[Byte]): Boolean =
+      content.length >= 12 && fourcc(content, 0) == "RIFF" &&
+        fourcc(content, 8) == "AVI "
+
+    def demux(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+      try {
+        val frames = IndexedSeq.newBuilder[Array[Byte]]
+        // Walk the RIFF chunk tree: LIST/RIFF nodes recurse (their data
+        // starts with a 4-byte list type), leaf chunks advance by their
+        // even-padded size. MJPEG frames live in `NNdb`/`NNdc` chunks
+        // (NN = stream number) and start with the JPEG SOI marker.
+        def walk(start: Long, end: Long): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = fourcc(content, off.toInt)
+            val sz = u32(content, off.toInt + 4)
+            val dataStart = off + 8
+            val dataEnd = math.min(dataStart + sz, end)
+            if (id == "RIFF" || id == "LIST") walk(dataStart + 4, dataEnd)
+            else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                (id.substring(2) == "db" || id.substring(2) == "dc") &&
+                sz >= 2 && dataEnd <= content.length &&
+                (content(dataStart.toInt) & 0xff) == 0xff &&
+                (content(dataStart.toInt + 1) & 0xff) == 0xd8) {
+              val jpeg = java.util.Arrays.copyOfRange(content,
+                dataStart.toInt, dataEnd.toInt)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(jpeg))
+              if (img != null) {
+                val out = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", out)
+                frames += out.toByteArray
+              }
+            }
+            off = dataStart + sz + (sz & 1L)
+          }
+        }
+        val riffEnd = math.min(8L + u32(content, 4), content.length.toLong)
+        walk(12L, riffEnd)
+        val out = frames.result()
+        if (out.nonEmpty) Some(out) else None
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame becomes a
     * frame row. Demux resolution order per payload: (1) registered
     * [[VideoDemuxer]]s (the MP4/WebM seam), (2) the built-in ImageIO

@@ -189,6 +189,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Build an MJPEG-in-AVI container: a RIFF tree with a `movi` LIST
+    * holding one `00dc` chunk per frame, each a real JDK-encoded JPEG.
+    * Minimal but structurally valid RIFF (even-padded chunks, correct
+    * sizes) — exactly the surface the demuxer walks. */
+  def mjpegAvi(n: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val sz = data.length
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      out.write(Array[Byte]((sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+        ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
+      out.write(data)
+      if ((sz & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    val jpegs = (0 until n).map { i =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) g.setSample(x, y, 0, 20 * i)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      jpegs.flatMap(j => chunk("00dc", j))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    chunk("RIFF", body)
+  }
+
+  test("MJPEG-in-AVI demuxes to real frames through the seam") {
+    Multimodal.registerVideoDemuxer(Multimodal.MjpegAviDemuxer)
+    try {
+      val avi = mjpegAvi(4)
+      // declared n_frames is WRONG on purpose: frame count must come
+      // from the container, proving the stub chunker was not used
+      val rows = Seq(MediaRow(30, "video", avi, 16, 12, 0, 99)).toDS()
+      val frames = sampleFrames(spark, rows, stride = 1).collect()
+        .sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+      for (f <- frames) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.content))
+        assert(img.getWidth == 16 && img.getHeight == 12)
+        // constant-gray JPEG decodes near-exactly (DC-only block)
+        val lum = img.getRaster.getSample(8, 6, 0)
+        assert(math.abs(lum - 20 * f.frame_idx) <= 2,
+          s"frame ${f.frame_idx}: got gray $lum")
+      }
+      // stride respects container frame order
+      val strided = sampleFrames(spark, rows, stride = 2).collect()
+      assert(strided.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+      // an AVI with no MJPEG chunks: demux returns None and the row
+      // falls through to the stub chunker
+      val junk = "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII")
+      val rows2 = Seq(MediaRow(31, "video", junk, 4, 4, 0, 3)).toDS()
+      val stub = sampleFrames(spark, rows2, stride = 1).collect()
+      assert(stub.length == 3) // declared n_frames: stub path
+    } finally Multimodal.clearVideoDemuxers()
+  }
+
   test("registered VideoDemuxer takes precedence over built-ins and " +
       "unclaimed payloads fall through to the stub") {
     Multimodal.registerVideoDemuxer(new MagicDemuxer)
