@@ -131,19 +131,67 @@ object Cnv {
       probes: DataFrame, minOverlap: Int = 20,
       precision: Int = 1, slack: Long = 1L): DataFrame = {
     import spark.implicits._
-    val binsDs = bins0.select(col("chrom"),
+    // The ramp's recount formula only ever evaluates
+    //   countOverlap(s, e) = #(probe_start < e) − #(probe_end ≤ s)
+    // at ORIGINAL bin edges (a merged run starts at a constituent's
+    // start and ends at a constituent's end, and both prefix counts are
+    // monotone in position). So the probes are never gathered: one
+    // sort-merge running-sum pass (the Ecdf shape) attaches
+    //   a = #(probe_start < end)  and  b = #(probe_end ≤ start)
+    // to every bin, and the per-chromosome ramp then works over BINS
+    // ONLY (KB-MB per chromosome). The previous cogroup shipped every
+    // probe of a chromosome into one task — on a chr1-heavy census
+    // (750k probes at 10× EPICv2) that single task's gather/sort/GC
+    // made the stage track the largest chromosome (measured 1.6-3.3×
+    // skew blow-up run to run); bins-only groups are orders of
+    // magnitude smaller than any executor.
+    val binsL = bins0.select(col("chrom"),
       col("start").cast("long"), col("end").cast("long"))
-      .as[(String, Long, Long)].groupByKey(_._1)
-    val probesDs = probes.select(col("chrom"),
-      col("start").cast("long"), col("end").cast("long"))
-      .as[(String, Long, Long)].groupByKey(_._1)
-    binsDs.cogroup(probesDs) { (chrom, bIt, pIt) =>
-      val bins = bIt.map(b => (b._2, b._3)).toArray.sortBy(_._1)
-      val pr = pIt.map(p => (p._2, p._3)).toArray
-      mergeRamp(bins, pr.map(_._1).sorted, pr.map(_._2).sorted,
-        minOverlap, precision, slack)
-        .iterator.map { case (s, e) => (chrom, s, e) }
-    }.toDF("chrom", "start", "end")
+    val pr = probes.select(col("chrom"),
+      col("start").cast("long").as("ps"), col("end").cast("long").as("pe"))
+    def nl = lit(null).cast("long")
+    val bgA = pr.select(col("chrom"), col("ps").as("v"),
+      lit(1L).as("bga"), lit(0L).as("bgb"),
+      nl.as("qs"), nl.as("qe"), lit(null).cast("string").as("kind"))
+    val bgB = pr.select(col("chrom"), col("pe").as("v"),
+      lit(0L).as("bga"), lit(1L).as("bgb"),
+      nl.as("qs"), nl.as("qe"), lit(null).cast("string").as("kind"))
+    // a-queries probe the prefix at end−1 (so "< end" over integral
+    // positions), b-queries at start (so "≤ start")
+    val qA = binsL.select(col("chrom"), (col("end") - 1L).as("v"),
+      lit(0L).as("bga"), lit(0L).as("bgb"),
+      col("start").as("qs"), col("end").as("qe"), lit("a").as("kind"))
+    val qB = binsL.select(col("chrom"), col("start").as("v"),
+      lit(0L).as("bga"), lit(0L).as("bgb"),
+      col("start").as("qs"), col("end").as("qe"), lit("b").as("kind"))
+    // ≤ semantics: probe rows sort before query rows at equal position.
+    // Pin the exchange's parallelism against AQE byte-coalescing, the
+    // same reasoning as Ecdf.ecdfLookup.
+    val n = spark.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chrom"))
+      .orderBy(col("v").asc, when(col("kind").isNull, 0).otherwise(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val counted = bgA.unionByName(bgB).unionByName(qA).unionByName(qB)
+      .repartition(n, col("chrom"))
+      .withColumn("cuma", sum(col("bga")).over(w))
+      .withColumn("cumb", sum(col("bgb")).over(w))
+      .filter(col("kind").isNotNull)
+      .groupBy(col("chrom"), col("qs"), col("qe"))
+      .agg(max(when(col("kind") === "a", col("cuma"))).as("a"),
+        max(when(col("kind") === "b", col("cumb"))).as("b"))
+    counted.select(col("chrom"), col("qs"), col("qe"), col("a"), col("b"))
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (chrom: String,
+          it: Iterator[(String, Long, Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        mergeRampCounts(rows.map(r => (r._2, r._3)),
+          rows.map(_._4), rows.map(_._5), minOverlap, precision, slack)
+          .iterator.map { case (s, e) => (chrom, s, e) }
+      }.toDF("chrom", "start", "end")
   }
 
   /** The reference's merge ramp (cnv.py:299-322) on ONE chromosome's
@@ -167,14 +215,28 @@ object Cnv {
       }
       lo
     }
-    // overlap count for [s, e) = #(p_start < e) − #(p_end ≤ s)
-    def countOverlap(s: Long, e: Long): Long =
-      (lowerBound(pStarts, e) - lowerBound(pEnds, s + 1)).toLong
+    // prefix counts at the original bin edges — all the ramp ever needs
+    mergeRampCounts(bins0,
+      bins0.map(b => lowerBound(pStarts, b._2).toLong),
+      bins0.map(b => lowerBound(pEnds, b._1 + 1).toLong),
+      minOverlap, precision, slack)
+  }
 
+  /** The ramp kernel over one chromosome's sorted bins given, per bin,
+    * a = #(probe_start < end) and b = #(probe_end ≤ start). The overlap
+    * count of any merged run is a(last) − b(first): both prefix counts
+    * are monotone in position, so a run's recount needs only its
+    * constituents' edge counts — identical integers to recounting the
+    * raw probe arrays, with no probe data in the task at all. */
+  private[cnv] def mergeRampCounts(bins0: Array[(Long, Long)],
+      aEnd0: Array[Long], bStart0: Array[Long], minOverlap: Int,
+      precision: Int, slack: Long): Array[(Long, Long)] = {
     var starts = bins0.map(_._1)
     var ends = bins0.map(_._2)
+    var aEnds = aEnd0
+    var bStarts = bStart0
     var ns: Array[Long] = Array.tabulate(starts.length)(i =>
-      countOverlap(starts(i), ends(i)))
+      aEnds(i) - bStarts(i))
     if (ns.isEmpty) return Array.empty
     val step = math.max(1, precision)
     val mins = ((math.max(1L, ns.min).toInt until minOverlap by step) :+
@@ -194,11 +256,16 @@ object Cnv {
       if (toMerge.exists(identity)) {
         val outS = scala.collection.mutable.ArrayBuffer[Long]()
         val outE = scala.collection.mutable.ArrayBuffer[Long]()
+        val outA = scala.collection.mutable.ArrayBuffer[Long]()
+        val outB = scala.collection.mutable.ArrayBuffer[Long]()
         val outN = scala.collection.mutable.ArrayBuffer[Long]()
         var runS = -1L
         var runE = -1L
+        var runA = 0L // a at the run's (max) end — monotone, so max
+        var runB = 0L // b at the run's first start
         def flushRun(): Unit = if (runS >= 0) {
-          outS += runS; outE += runE; outN += countOverlap(runS, runE)
+          outS += runS; outE += runE; outA += runA; outB += runB
+          outN += runA - runB
           runS = -1L; runE = -1L
         }
         var i = 0
@@ -206,17 +273,22 @@ object Cnv {
           if (toMerge(i)) {
             if (runS >= 0 && starts(i) <= runE + slack) {
               runE = math.max(runE, ends(i))
+              runA = math.max(runA, aEnds(i))
             } else {
-              flushRun(); runS = starts(i); runE = ends(i)
+              flushRun()
+              runS = starts(i); runE = ends(i)
+              runA = aEnds(i); runB = bStarts(i)
             }
           } else {
             flushRun()
-            outS += starts(i); outE += ends(i); outN += ns(i)
+            outS += starts(i); outE += ends(i)
+            outA += aEnds(i); outB += bStarts(i); outN += ns(i)
           }
           i += 1
         }
         flushRun()
-        starts = outS.toArray; ends = outE.toArray; ns = outN.toArray
+        starts = outS.toArray; ends = outE.toArray
+        aEnds = outA.toArray; bStarts = outB.toArray; ns = outN.toArray
       }
     }
     starts.indices.collect {
