@@ -80,16 +80,27 @@ object Dm {
     val x = DenseMatrix(samples.map(design.rows): _*)
     val xtxInv = inv(x.t * x)
     val pinvFull = xtxInv * x.t
+    // index lookup instead of a dense n-wide y per probe: with many
+    // samples but sparse per-probe observations the dense construction
+    // is O(probes · samples) map probes (20M at sf0.1) for O(probes ·
+    // k_present) useful work — iterate the probe's own map instead
+    val sampleIdx: Map[String, Int] = samples.zipWithIndex.toMap
     val bcast = spark.sparkContext.broadcast(
-      (samples, x.toArray, xtxInv.toArray, pinvFull.toArray))
+      (samples, sampleIdx, x.toArray, xtxInv.toArray, pinvFull.toArray))
 
     val nF = design.factorNames.length
     val fitUdf = udf((m: Map[String, Double]) => {
-      val (sampleOrder, xArr, xtxInvArr, pinvArr) = bcast.value
+      val (sampleOrder, idxOf, xArr, xtxInvArr, pinvArr) = bcast.value
       val n = sampleOrder.length
       val xFull = new DenseMatrix(n, p, xArr)
-      val y = sampleOrder.map(s => m.getOrElse(s, Double.NaN)).toArray
-      val present = y.indices.filter(i => !y(i).isNaN)
+      // present = design-sample indices with a non-NaN beta, ascending —
+      // identical set and order to the previous dense-y scan
+      val pairs = m.iterator.flatMap { case (s, v) =>
+        if (v.isNaN) Iterator.empty
+        else idxOf.get(s).map(i => (i, v)).iterator
+      }.toArray.sortBy(_._1)
+      val present = pairs.map(_._1)
+      val y = pairs.map(_._2)
       val k = present.length
       if (k < p + 1) Array.fill(2 + 4 * nF)(Double.NaN)
       else {
@@ -106,7 +117,7 @@ object Dm {
         if (sub.isEmpty) Array.fill(2 + 4 * nF)(Double.NaN)
         else {
         val (xm, pin, xtxi) = sub.get
-        val yv = DenseVector(present.map(y): _*)
+        val yv = DenseVector(y: _*)
         val beta = pin * yv
         val resid = yv - xm * beta
         val dof = k - p
@@ -204,19 +215,27 @@ object Dm {
       val levels = samples.map(replicateGroups).distinct.sorted
       samples.map(s => levels.indexOf(replicateGroups(s))).toArray
     }
-    val bcast = spark.sparkContext.broadcast((samples, x.toArray, groupIds))
+    // same sparse-presence lookup as computeDmp: iterate the probe's own
+    // map instead of building a dense n-wide y per probe
+    val sampleIdx: Map[String, Int] = samples.zipWithIndex.toMap
+    val bcast = spark.sparkContext.broadcast(
+      (samples, sampleIdx, x.toArray, groupIds))
     val nF = design.factorNames.length
 
     val fitUdf = udf((m: Map[String, Double]) => {
-      val (sampleOrder, xArr, gIds) = bcast.value
+      val (sampleOrder, idxOf, xArr, gIds) = bcast.value
       val n = sampleOrder.length
       val xFull = new DenseMatrix(n, p, xArr)
-      val y = sampleOrder.map(s => m.getOrElse(s, Double.NaN)).toArray
-      val present = y.indices.filter(i => !y(i).isNaN)
+      val pairs = m.iterator.flatMap { case (s, v) =>
+        if (v.isNaN) Iterator.empty
+        else idxOf.get(s).map(i => (i, v)).iterator
+      }.toArray.sortBy(_._1)
+      val present = pairs.map(_._1)
       if (present.length < p + 2) Array.fill(2 + 4 * nF)(Double.NaN)
       else {
-        val xs = DenseMatrix(present.map(i => xFull(i, ::).t.toArray): _*)
-        val ys = DenseVector(present.map(y).toArray)
+        val xs = DenseMatrix(present.map(i => xFull(i, ::).t.toArray)
+          .toSeq: _*)
+        val ys = DenseVector(pairs.map(_._2))
         // re-map group ids to contiguous 0-based over present rows
         val rawG = present.map(gIds).toArray
         val remap = rawG.distinct.sorted.zipWithIndex.toMap
