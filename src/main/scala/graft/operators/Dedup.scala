@@ -319,26 +319,30 @@ object Dedup {
             "with path halving this needs a component diameter over " +
             s"2^$maxRounds; the pair input is likely being recomputed " +
             "non-deterministically")
-      // 1. neighbor-min propagation
+      // 1. neighbor-min propagation; the node's previous label rides
+      // along (`_prev`) so convergence needs no extra join afterwards —
+      // max() recovers it through the min-aggregation (one labels row
+      // per id; message rows carry null, which max ignores)
       val msgs = edges
         .join(labels.select(col("id").as("u"), col("component")), Seq("u"))
-        .select(col("v").as("id"), col("component"))
-      val prop = labels.unionByName(msgs)
-        .groupBy("id").agg(min(col("component")).as("component"))
+        .select(col("v").as("id"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("_prev"))
+      val prop = labels
+        .select(col("id"), col("component"), col("component").as("_prev"))
+        .unionByName(msgs)
+        .groupBy("id").agg(min(col("component")).as("component"),
+          max(col("_prev")).as("_prev"))
       // 2. pointer doubling: component := component(component)
       val parents = prop
         .select(col("id").as("_pd_id"), col("component").as("_pd_comp"))
       val next = prop
         .join(parents, prop("component") === parents("_pd_id"), "left")
         .select(col("id"),
-          coalesce(col("_pd_comp"), col("component")).as("component"))
+          coalesce(col("_pd_comp"), col("component")).as("component"),
+          col("_prev"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("component").as("_prev")),
-          Seq("id"))
-        .filter(col("component") =!= col("_prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("_prev")).isEmpty
+      labels = next.select(col("id"), col("component"))
       round += 1
     }
     labels
