@@ -103,6 +103,44 @@ object Dm {
       val y = pairs.map(_._2)
       val k = present.length
       if (k < p + 1) Array.fill(2 + 4 * nF)(Double.NaN)
+      else if (p == 2) {
+        // Simple regression (intercept + one covariate): closed-form
+        // sufficient statistics with ORDERED folds — ascending design
+        // index, i.e. lexicographic sample order, the same sequence an
+        // ordered SQL aggregate replays. This is both faster than the
+        // matrix path (no per-probe inversion) and makes every emitted
+        // statistic BIT-identical to a transcribed oracle: the
+        // pinv-vs-closed-form ~1e-13 drift flipped round(·, 6) cells
+        // whose true values are dyadic half-boundaries (OLS slopes over
+        // rational betas land on ...5 exactly; observed at sf0.1).
+        var sx = 0.0; var sxx = 0.0; var sy = 0.0
+        var sxy = 0.0; var syy = 0.0
+        var i = 0
+        while (i < k) {
+          val xi = xFull(present(i), 1); val yi = y(i)
+          sx += xi; sxx += xi * xi; sy += yi
+          sxy += xi * yi; syy += yi * yi
+          i += 1
+        }
+        val nD = k.toDouble
+        val det = nD * sxx - sx * sx
+        if (det == 0) Array.fill(2 + 4 * nF)(Double.NaN)
+        else {
+          val slope = (nD * sxy - sx * sy) / det
+          val icept = (sy - slope * sx) / nD
+          val sigma2 =
+            math.max(syy - icept * sy - slope * sxy, 0.0) / (nD - 2)
+          val dof = k - 2
+          val seI = math.sqrt(sigma2 * sxx / det)
+          val seS = math.sqrt(sigma2 * nD / det)
+          val tI = if (seI == 0) Double.NaN else icept / seI
+          val tS = if (seS == 0) Double.NaN else slope / seS
+          val pI = StatFuncs.tTwoSidedP(tI, dof)
+          val pS = StatFuncs.tTwoSidedP(tS, dof)
+          val effect = math.max(slope, 0.0) - math.min(slope, 0.0)
+          Array(pS, effect, pI, tI, icept, seI, pS, tS, slope, seS)
+        }
+      }
       else {
         val sub: Option[(DenseMatrix[Double], DenseMatrix[Double],
             DenseMatrix[Double])] =
@@ -131,13 +169,20 @@ object Dm {
           val dfModel = p - 1
           val fPval =
             if (dfModel <= 0 || sigma2 == 0) Double.NaN
-            else {
+            // F(1, ν) is t(ν)² exactly — route through the slope's t
+            // STATISTIC, not sqrt(fStat): sst − sse cancels
+            // catastrophically in the no-signal limit and sqrt has
+            // unbounded sensitivity at 0, so the sign/magnitude of a
+            // ~1e-13 residue decided NaN-vs-1.0 (observed at sf0.1);
+            // t = est/se is the primitive and p(t) is smooth there.
+            // Closed-form A&S survival keeps it oracle-reproducible.
+            else if (dfModel == 1) {
+              val se1 = math.sqrt(sigma2 * xtxi(1, 1))
+              if (se1 == 0) Double.NaN
+              else StatFuncs.tTwoSidedP(beta(1) / se1, dof)
+            } else {
               val fStat = ((sst - sse) / dfModel) / sigma2
               if (fStat.isNaN || fStat < 0) Double.NaN
-              // F(1, ν) is t(ν)² — route through the exact closed-form t
-              // survival so the value is oracle-reproducible (A&S sums)
-              else if (dfModel == 1)
-                StatFuncs.tTwoSidedP(math.sqrt(fStat), dof)
               else 1.0 - new FDistribution(dfModel.toDouble, dof.toDouble)
                 .cumulativeProbability(fStat)
             }

@@ -210,15 +210,22 @@ object DomainQ {
         .toSeq
       val design =
         graft.dm.Dm.designMatrix(sheetRows, "sample_label", "~ nation")
+      // Single round(·, 6) + -0.0/NaN normalization suffices here
+      // because the p = 2 engine path computes the SAME closed form in
+      // the SAME fold order as the oracle's ordered aggregates — every
+      // statistic is bit-identical before the gate, so round-boundary
+      // cells (dyadic slopes land on ...5 exactly) cannot flip. The
+      // matrix-pseudo-inverse engine path drifted ~1e-13 from the
+      // closed form and DID flip effect_size at sf0.1.
       graft.dm.Dm.computeDmp(s, betas, design)
         .select($"probe_id",
-          round($"effect_size", 6).as("effect_size"),
-          round($"Intercept_estimate", 6).as("intercept_estimate"),
-          round($"Intercept_std_err", 6).as("intercept_std_err"),
-          round($"Intercept_t_value", 6).as("intercept_t_value"),
-          round($"nation_estimate", 6).as("nation_estimate"),
-          round($"nation_std_err", 6).as("nation_std_err"),
-          round($"nation_t_value", 6).as("nation_t_value"),
+          emit6($"effect_size").as("effect_size"),
+          emit6($"Intercept_estimate").as("intercept_estimate"),
+          emit6($"Intercept_std_err").as("intercept_std_err"),
+          emit6($"Intercept_t_value").as("intercept_t_value"),
+          emit6($"nation_estimate").as("nation_estimate"),
+          emit6($"nation_std_err").as("nation_std_err"),
+          emit6($"nation_t_value").as("nation_t_value"),
           // p-value surface (closed-form A&S t CDF, clamped then rounded;
           // NaN → NULL at the emit boundary)
           emit6(greatest($"f_pvalue", lit(0.0))).as("f_pvalue"),
@@ -238,14 +245,21 @@ object DomainQ {
         SELECT probe_id FROM betas
         GROUP BY probe_id HAVING count(*) >= 5
       ), joined AS (
-        SELECT b.probe_id, b.y, CAST(s.s_nationkey AS DOUBLE) AS x
+        SELECT b.probe_id, b.sample_label, b.y,
+               CAST(s.s_nationkey AS DOUBLE) AS x
         FROM betas b
         JOIN eligible e USING (probe_id)
         JOIN supplier s ON CAST(s.s_suppkey AS VARCHAR) = b.sample_label
       ), st AS (
+        -- ORDERED aggregates: fold each sum in lexicographic sample
+        -- order, the exact sequence the engine's closed-form kernel
+        -- folds in — sums are then bit-identical, not merely ~1e-13
         SELECT probe_id, CAST(count(*) AS DOUBLE) AS n,
-               sum(x) AS sx, sum(x * x) AS sxx,
-               sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+               sum(x ORDER BY sample_label) AS sx,
+               sum(x * x ORDER BY sample_label) AS sxx,
+               sum(y ORDER BY sample_label) AS sy,
+               sum(x * y ORDER BY sample_label) AS sxy,
+               sum(y * y ORDER BY sample_label) AS syy
         FROM joined GROUP BY probe_id
       ), fit AS (
         SELECT probe_id, n, sxx, sy, sxy, syy,
@@ -259,21 +273,15 @@ object DomainQ {
                         - slope * sxy, 0) / (n - 2) AS sigma2
         FROM fit
       ), tin AS (
-        -- |t| per inference column; 'f' is the overall F via sqrt(F) =
-        -- |t| (one regressor), transcribing the engine's fStat formula
+        -- |t| per inference column; the overall F p-value (one
+        -- regressor) IS the slope's two-sided t p-value — F(1, v) =
+        -- t(v)^2 — so it reuses the 's' chain below
         SELECT probe_id, 'i' AS coef, CAST(n AS INTEGER) - 2 AS dof,
                abs(icept / sqrt(sigma2 * sxx / det)) AS tv
         FROM fit2
         UNION ALL
         SELECT probe_id, 's', CAST(n AS INTEGER) - 2,
                abs(slope / sqrt(sigma2 * n / det))
-        FROM fit2
-        UNION ALL
-        SELECT probe_id, 'f', CAST(n AS INTEGER) - 2,
-               CASE WHEN (syy - sy * sy / n) - sigma2 * (n - 2) < 0
-                    THEN NULL
-                    ELSE sqrt((((syy - sy * sy / n)
-                                - sigma2 * (n - 2)) / 1) / sigma2) END
         FROM fit2
       ), tcs AS (
         SELECT probe_id, coef, dof,
@@ -295,7 +303,11 @@ object DomainQ {
                acc + term * (j / (j + 1.0)) * c * c,
                j + 2
         FROM trec WHERE j <= dof - 3
-      ), tp AS (
+      ), tp AS MATERIALIZED (
+        -- MATERIALIZED: three outer joins read tp; un-materialized,
+        -- DuckDB re-evaluates the whole recursive chain (and its
+        -- ordered-aggregate sums) per reference and runs out of memory
+        -- at sf0.1
         SELECT probe_id, coef,
                CASE WHEN dof % 2 = 1
                     THEN 1.0 - 2.0 / pi() * (th + s * acc)
@@ -303,15 +315,16 @@ object DomainQ {
         FROM trec WHERE j > dof - 3
       )
       SELECT f.probe_id,
-             round(abs(f.slope), 6) AS effect_size,
-             round(f.icept, 6) AS intercept_estimate,
-             round(sqrt(f.sigma2 * f.sxx / f.det), 6)
+             round(abs(f.slope), 6) + 0.0 AS effect_size,
+             round(f.icept, 6) + 0.0 AS intercept_estimate,
+             round(sqrt(f.sigma2 * f.sxx / f.det), 6) + 0.0
                AS intercept_std_err,
-             round(f.icept / sqrt(f.sigma2 * f.sxx / f.det), 6)
+             round(f.icept / sqrt(f.sigma2 * f.sxx / f.det), 6) + 0.0
                AS intercept_t_value,
-             round(f.slope, 6) AS nation_estimate,
-             round(sqrt(f.sigma2 * f.n / f.det), 6) AS nation_std_err,
-             round(f.slope / sqrt(f.sigma2 * f.n / f.det), 6)
+             round(f.slope, 6) + 0.0 AS nation_estimate,
+             round(sqrt(f.sigma2 * f.n / f.det), 6) + 0.0
+               AS nation_std_err,
+             round(f.slope / sqrt(f.sigma2 * f.n / f.det), 6) + 0.0
                AS nation_t_value,
              CASE WHEN pf.p IS NULL THEN NULL
                   ELSE round(greatest(pf.p, 0.0), 6) + 0.0 END
@@ -323,7 +336,7 @@ object DomainQ {
                   ELSE round(greatest(qs.p, 0.0), 6) + 0.0 END
                AS nation_p_value
       FROM fit2 f
-      LEFT JOIN tp pf ON pf.probe_id = f.probe_id AND pf.coef = 'f'
+      LEFT JOIN tp pf ON pf.probe_id = f.probe_id AND pf.coef = 's'
       LEFT JOIN tp qi ON qi.probe_id = f.probe_id AND qi.coef = 'i'
       LEFT JOIN tp qs ON qs.probe_id = f.probe_id AND qs.coef = 's'
       ORDER BY f.probe_id"""))
