@@ -155,6 +155,58 @@ class CnvSpec extends SparkSpec {
     assert(merged.forall { case (s, e) => e > s })
   }
 
+  test("distributed ECDF-count merge equals the per-chromosome kernel " +
+      "on adversarial fixtures") {
+    // The distributed path replaces the probe gather with prefix counts
+    // at bin edges (a = #(start < end), b = #(end <= start)); this
+    // fixture stresses its edge semantics: probes straddling bin
+    // boundaries (counted in both bins by overlap, once in a merged
+    // run), probes inside subtracted gaps (invisible to original bins,
+    // visible to a merged run spanning the gap), a chromosome with no
+    // probes, and one under the 100-probe eligibility floor.
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    val chroms = Seq("chrA", "chrB", "chrEmpty", "chrTiny")
+    val bins = chroms.flatMap { c =>
+      (0 until 40).map(i => (c, i * 1000L, i * 1000L + 1000L))
+    }
+    val probes = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    for (c <- Seq("chrA", "chrB"); _ <- 0 until 600) {
+      val s = next(40000).toLong
+      // ~1 in 8 probes straddles positions, widths 1-3000 (can cross
+      // bin edges and cover whole bins)
+      val w = 1L + next(if (next(8) == 0) 3000 else 3)
+      probes += ((c, s, s + w))
+    }
+    // chrTiny: 50 sparse probes — every bin is under-filled, so the ramp
+    // must collapse the whole chromosome into one merged bin on BOTH
+    // paths (the merged recount spans former gaps identically)
+    for (_ <- 0 until 50) {
+      val s = next(40000).toLong; probes += (("chrTiny", s, s + 2))
+    }
+    val binsDf = bins.toDF("chrom", "start", "end")
+    val probesDf = probes.toSeq.toDF("chrom", "start", "end")
+    val got = Cnv.mergeBinsToMinimumOverlap(spark, binsDf, probesDf,
+        minOverlap = 20, precision = 3, slack = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = chroms.flatMap { c =>
+      val bs = bins.filter(_._1 == c).map(b => (b._2, b._3)).toArray
+        .sortBy(_._1)
+      val pr = probes.filter(_._1 == c)
+      Cnv.mergeRamp(bs, pr.map(_._2).toArray.sorted,
+          pr.map(_._3).toArray.sorted, 20, 3, 1L)
+        .map { case (s, e) => (c, s, e) }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty && !want.exists(_._1 == "chrEmpty"))
+    // the sparse chromosome collapsed to a single full-span bin
+    assert(want.filter(_._1 == "chrTiny") == Set(("chrTiny", 0L, 40000L)))
+  }
+
   test("gap-aware tiles subtract assembly gaps") {
     val seqLen = Seq(("1", 200000L)).toDF("chrom", "seq_length")
     val gaps = Seq(("1", 40000L, 60000L)).toDF("chrom", "start", "end")
