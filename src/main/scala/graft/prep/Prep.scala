@@ -255,8 +255,12 @@ object Prep {
           .as("bg_g"),
         percentile(when(col("channel") === "R", col("value")), lit(0.5))
           .as("bg_r"))
+    // NULL cells must stay NULL (np.clip(NaN - bg, 1, None) is NaN,
+    // samples.py:1527); Spark's greatest SKIPS nulls, so an unguarded
+    // greatest(NULL - bg, 1.0) would resurrect masked cells as 1.0.
     def scrub(c: String, bg: String): Column =
-      greatest(col(c) - col(bg), lit(1.0)).cast("float")
+      when(col(c).isNull || col(bg).isNull, lit(null).cast("float"))
+        .otherwise(greatest(col(c) - col(bg), lit(1.0)).cast("float"))
     signal.join(broadcast(med), Seq("sample_label"), "left")
       .withColumn("meth_g", scrub("meth_g", "bg_g"))
       .withColumn("unmeth_g", scrub("unmeth_g", "bg_g"))

@@ -72,11 +72,27 @@ object QC {
         count(lit(1)).as("n_values"))
 
   /** A10 — top-N most-variable probes across samples from the betas long
-    * table (ml.py:62-66): groupBy variance + TakeOrderedAndProject. */
+    * table (ml.py:62-66): groupBy variance + TakeOrderedAndProject.
+    *
+    * Variance via the explicit moments formula ((Σx² − (Σx)²/n)/(n−1))
+    * rather than var_samp: the two are mathematically identical, but
+    * var_samp's streaming merge updates divide mid-stream, so its last
+    * bits depend on the partition merge tree — this spelling's sums are
+    * order-independent whenever betas are exactly representable, making
+    * the top-N cut partition-invariant (and it's a cheaper one-pass
+    * declarative aggregate). Cancellation is benign here: betas are
+    * bounded, so Σx² and (Σx)²/n are the same magnitude as n·beta². */
   def mostVariableProbes(betas: DataFrame, n: Int): DataFrame =
-    betas.groupBy("probe_id")
-      .agg(var_samp(col("beta")).as("beta_variance"))
-      .filter(col("beta_variance").isNotNull)
+    betas.filter(col("beta").isNotNull)
+      .groupBy("probe_id")
+      .agg(count(lit(1L)).as("n_obs"),
+        sum(col("beta").cast("double")).as("s1"),
+        sum(col("beta").cast("double") * col("beta").cast("double"))
+          .as("s2"))
+      .filter(col("n_obs") > 1)
+      .select(col("probe_id"),
+        ((col("s2") - col("s1") * col("s1") / col("n_obs")) /
+          (col("n_obs") - 1)).as("beta_variance"))
       .orderBy(col("beta_variance").desc, col("probe_id"))
       .limit(n)
 

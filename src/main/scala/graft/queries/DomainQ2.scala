@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.Q
+import graft.Q.t
+import org.apache.spark.sql.functions._
+
+/** Second block of domain end-to-end oracles, converting the QC /
+  * selector / ML-feed spec-only §2 rows into hash-gated rows: per-sample
+  * intensity summary (A8), probe counts per chromosome (A6), top-N
+  * most-variable probes (A10), scrub background correction (L11), the
+  * selector family type1Green/meth/cg/subset (F4/F5/F6/F10) and the
+  * imputed ML matrix assembly (R4). Same discipline as DomainQ: signal
+  * frames derive from the driver tables with INTEGER-VALUED cells, so
+  * sums/means/medians are exact rationals on both engines and the only
+  * engine-visible rounding is the final float cast / round(·, 6).
+  */
+object DomainQ2 {
+
+  import DomainQ.emit6
+
+  /** The q65-shaped synthetic signal: integer-valued cells with
+    * per-column NULL moduli (23 kills all four; 11/13/17/19 kill one
+    * each), inf_type II on partkey%3==0, channel G on partkey%2==0. */
+  private def sigA(s: org.apache.spark.sql.SparkSession, d: String,
+      withProbeType: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    def cell(base: org.apache.spark.sql.Column, m: Int) =
+      when($"l_orderkey" % 23 === 0 || $"l_orderkey" % m === 0,
+        lit(null).cast("float")).otherwise(base.cast("float"))
+    val base = t(s, d, "lineitem").select(
+      $"l_suppkey".cast("string").as("sample_label"),
+      $"l_partkey".cast("string").as("probe_id"),
+      when($"l_partkey" % 3 === 0, "II").otherwise("I").as("inf_type"),
+      when($"l_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+      when($"l_partkey" % 5 < 3, "cg")
+        .when($"l_partkey" % 5 === 3, "ch").otherwise("snp")
+        .as("probe_type"),
+      cell($"l_quantity", 11).as("meth_g"),
+      cell(($"l_orderkey" * 3 + $"l_linenumber") % 47, 13)
+        .as("unmeth_g"),
+      cell(($"l_orderkey" * 7 + $"l_linenumber") % 53, 17)
+        .as("meth_r"),
+      cell(($"l_orderkey" * 11 + $"l_linenumber" * 5) % 59, 19)
+        .as("unmeth_r"))
+    if (withProbeType) base else base.drop("probe_type")
+  }
+
+  /** The q65 sig CTE, shared by the oracles below. */
+  private val sigSql = """
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 3 = 0 THEN 'II' ELSE 'I' END
+                 AS inf_type,
+               CASE WHEN l_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CASE WHEN l_partkey % 5 < 3 THEN 'cg'
+                    WHEN l_partkey % 5 = 3 THEN 'ch'
+                    ELSE 'snp' END AS probe_type,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 11 = 0
+                    THEN NULL ELSE CAST(l_quantity AS FLOAT) END
+                 AS meth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber) % 47
+                              AS FLOAT) END AS unmeth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 17 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 53
+                              AS FLOAT) END AS meth_r,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 19 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 11 + l_linenumber * 5) % 59
+                              AS FLOAT) END AS unmeth_r
+        FROM lineitem"""
+
+  /** A8 end-to-end — QC.intensitySummary (QC.scala:16, reference
+    * quality_control.py:55-130): per-sample mean / exact median / NA
+    * counts of the summed M and U intensities, where a cell contributes
+    * coalesce(g,0)+coalesce(r,0) unless BOTH channels are NULL. Cells
+    * are integer-valued, so sums and interpolated medians are exact on
+    * both engines. */
+  val q74 = Q(
+    "q74_qc_intensity_summary",
+    (s, d) => {
+      import s.implicits._
+      graft.qc.QC.intensitySummary(sigA(s, d))
+        .select($"sample_label",
+          emit6($"mean_meth").as("mean_meth"),
+          emit6($"median_meth").as("median_meth"),
+          emit6($"mean_unmeth").as("mean_unmeth"),
+          emit6($"median_unmeth").as("median_unmeth"),
+          $"n_na_meth", $"n_na_unmeth", $"n_probes")
+        .orderBy($"sample_label")
+    },
+    Some(s"""
+      WITH sig AS ($sigSql
+      ), cells AS (
+        SELECT sample_label,
+               CASE WHEN meth_g IS NULL AND meth_r IS NULL THEN NULL
+                    ELSE CAST(coalesce(meth_g, 0) + coalesce(meth_r, 0)
+                              AS DOUBLE) END AS m,
+               (meth_g IS NULL AND meth_r IS NULL) AS m_null,
+               CASE WHEN unmeth_g IS NULL AND unmeth_r IS NULL THEN NULL
+                    ELSE CAST(coalesce(unmeth_g, 0)
+                              + coalesce(unmeth_r, 0) AS DOUBLE) END AS u,
+               (unmeth_g IS NULL AND unmeth_r IS NULL) AS u_null
+        FROM sig
+      )
+      SELECT sample_label,
+             round(avg(m), 6) + 0.0 AS mean_meth,
+             round(quantile_cont(m, 0.5), 6) + 0.0 AS median_meth,
+             round(avg(u), 6) + 0.0 AS mean_unmeth,
+             round(quantile_cont(u, 0.5), 6) + 0.0 AS median_unmeth,
+             CAST(sum(CASE WHEN m_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_na_meth,
+             CAST(sum(CASE WHEN u_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_na_unmeth,
+             count(*) AS n_probes
+      FROM cells GROUP BY sample_label
+      ORDER BY sample_label"""))
+
+  /** A6 end-to-end — QC.probeCounts (QC.scala:46, reference
+    * samples.py:1703-1731): signal × broadcast manifest chromosome
+    * lookup, per-(sample, chromosome) probe and fully-masked counts.
+    * The manifest derives from `part` (probe universe ⊇ lineitem
+    * partkeys, so the left join never dangles); n_masked counts the
+    * orderkey%23 rows whose four cells are all NULL. */
+  val q75 = Q(
+    "q75_probe_counts_per_chromosome",
+    (s, d) => {
+      import s.implicits._
+      val manifest = t(s, d, "part").select(
+        $"p_partkey".cast("string").as("probe_id"),
+        concat(lit("chr"), (($"p_partkey" % 22) + 1).cast("string"))
+          .as("chromosome"))
+      graft.qc.QC.probeCounts(sigA(s, d), manifest)
+        .orderBy($"sample_label", $"chromosome")
+    },
+    Some(s"""
+      WITH sig AS ($sigSql
+      ), manifest AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+               'chr' || CAST(p_partkey % 22 + 1 AS VARCHAR)
+                 AS chromosome
+        FROM part
+      )
+      SELECT s.sample_label, m.chromosome,
+             count(*) AS n_probes,
+             CAST(sum(CASE WHEN s.meth_g IS NULL AND s.meth_r IS NULL
+                            AND s.unmeth_g IS NULL
+                            AND s.unmeth_r IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+      FROM sig s LEFT JOIN manifest m USING (probe_id)
+      GROUP BY s.sample_label, m.chromosome
+      ORDER BY s.sample_label, m.chromosome"""))
+
+  /** A10 end-to-end — QC.mostVariableProbes (QC.scala:85, reference
+    * ml.py:62-66): per-probe sample variance via the exact moments
+    * spelling + global top-N. Betas are integer-valued, so Σx and Σx²
+    * are exact on both engines and the variance is the same double
+    * bit-for-bit — the top-100 cut (ties broken by probe_id) is
+    * engine-invariant. */
+  val q76 = Q(
+    "q76_most_variable_probes",
+    (s, d) => {
+      import s.implicits._
+      val betas = t(s, d, "lineitem").select(
+        ($"l_suppkey" % 32).cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_orderkey" % 23 === 0, lit(null).cast("double"))
+          .otherwise((($"l_orderkey" * 7 + $"l_linenumber") % 101)
+            .cast("double")).as("beta"))
+      graft.qc.QC.mostVariableProbes(betas, 100)
+        .select($"probe_id",
+          emit6($"beta_variance").as("beta_variance"))
+        .orderBy($"beta_variance".desc, $"probe_id")
+    },
+    Some("""
+      WITH betas AS (
+        SELECT CAST(l_suppkey % 32 AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_orderkey % 23 = 0 THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 101
+                              AS DOUBLE) END AS beta
+        FROM lineitem
+      ), agg AS (
+        SELECT probe_id, count(*) AS n_obs, sum(beta) AS s1,
+               sum(beta * beta) AS s2
+        FROM betas WHERE beta IS NOT NULL GROUP BY probe_id
+      ), v AS (
+        SELECT probe_id,
+               (s2 - s1 * s1 / n_obs) / (n_obs - 1) AS beta_variance
+        FROM agg WHERE n_obs > 1
+      )
+      SELECT probe_id, round(beta_variance, 6) + 0.0 AS beta_variance
+      FROM v
+      ORDER BY beta_variance DESC, probe_id
+      LIMIT 100"""))
+
+  /** L11 end-to-end — Prep.scrubBackgroundCorrection (Prep.scala:251,
+    * reference samples.py:1504-1527): subtract the per-(sample, channel)
+    * OOB median from every cell of that measurement channel, clip at 1,
+    * NULL cells stay NULL (np.clip(NaN) is NaN — this query gates the
+    * NULL-preservation fix). Medians of integers are exact (worst case
+    * .5), so every scrubbed cell is an exact dyadic float. */
+  val q77 = Q(
+    "q77_scrub_endtoend",
+    (s, d) => {
+      import s.implicits._
+      graft.prep.Prep.scrubBackgroundCorrection(sigA(s, d))
+        .select($"sample_label", $"probe_id", $"inf_type", $"channel",
+          $"meth_g", $"unmeth_g", $"meth_r", $"unmeth_r")
+        .orderBy($"sample_label", $"probe_id", $"meth_g", $"unmeth_g",
+          $"meth_r", $"unmeth_r")
+    },
+    Some(s"""
+      WITH sig AS ($sigSql
+      ), oob AS (
+        -- oobCells: type-I probes read the OPPOSITE channel's two cells
+        SELECT sample_label, 'G' AS ch, meth_g AS v FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND meth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'G', unmeth_g FROM sig
+          WHERE inf_type = 'I' AND channel = 'R' AND unmeth_g IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', meth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND meth_r IS NOT NULL
+        UNION ALL
+        SELECT sample_label, 'R', unmeth_r FROM sig
+          WHERE inf_type = 'I' AND channel = 'G' AND unmeth_r IS NOT NULL
+      ), med AS (
+        SELECT sample_label,
+               quantile_cont(CASE WHEN ch = 'G'
+                 THEN CAST(v AS DOUBLE) END, 0.5) AS bg_g,
+               quantile_cont(CASE WHEN ch = 'R'
+                 THEN CAST(v AS DOUBLE) END, 0.5) AS bg_r
+        FROM oob GROUP BY sample_label
+      )
+      SELECT s.sample_label, s.probe_id, s.inf_type, s.channel,
+             CASE WHEN s.meth_g IS NULL OR m.bg_g IS NULL THEN NULL
+                  ELSE CAST(greatest(CAST(s.meth_g AS DOUBLE) - m.bg_g,
+                                     1.0) AS FLOAT) END AS meth_g,
+             CASE WHEN s.unmeth_g IS NULL OR m.bg_g IS NULL THEN NULL
+                  ELSE CAST(greatest(CAST(s.unmeth_g AS DOUBLE) - m.bg_g,
+                                     1.0) AS FLOAT) END AS unmeth_g,
+             CASE WHEN s.meth_r IS NULL OR m.bg_r IS NULL THEN NULL
+                  ELSE CAST(greatest(CAST(s.meth_r AS DOUBLE) - m.bg_r,
+                                     1.0) AS FLOAT) END AS meth_r,
+             CASE WHEN s.unmeth_r IS NULL OR m.bg_r IS NULL THEN NULL
+                  ELSE CAST(greatest(CAST(s.unmeth_r AS DOUBLE) - m.bg_r,
+                                     1.0) AS FLOAT) END AS unmeth_r
+      FROM sig s LEFT JOIN med m USING (sample_label)
+      ORDER BY sample_label, probe_id, meth_g, unmeth_g, meth_r,
+               unmeth_r"""))
+
+  /** F4/F5/F6/F10 end-to-end — the Samples selector family
+    * (Samples.scala:60-111, reference samples.py:123-414): sample
+    * subset + drop (F10), cg-probe filter (F6), type-I-green filter
+    * (F4) and the meth column slice (F5), composed the way a
+    * pylluminator session chains them. Pure filters + projection — the
+    * oracle is the conjunctive WHERE. */
+  val q78 = Q(
+    "q78_selectors_slice",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.Samples(s, sigA(s, d, withProbeType = true)
+        .withColumn("mask_info", lit(""))
+        .withColumn("p_value", lit(null).cast("float")),
+        graft.core.Masks.empty(s))
+      val labels = base.sampleLabels
+      val sub = base.subset(labels.filter(_.toLong % 4 != 3))
+        .dropSamples(labels.filter(_.toLong % 7 == 2))
+      val cg = sub.copy(signal = sub.cgProbes(applyMask = false))
+      val green = cg.copy(signal = cg.type1Green(applyMask = false))
+      green.meth(applyMask = false)
+        .select($"sample_label", $"probe_id", $"probe_type",
+          $"inf_type", $"channel", $"meth_g", $"meth_r")
+        .orderBy($"sample_label", $"probe_id", $"meth_g", $"meth_r")
+    },
+    Some(s"""
+      WITH sig AS ($sigSql
+      )
+      SELECT sample_label, probe_id, probe_type, inf_type, channel,
+             meth_g, meth_r
+      FROM sig
+      WHERE CAST(sample_label AS BIGINT) % 4 <> 3
+        AND CAST(sample_label AS BIGINT) % 7 <> 2
+        AND probe_type = 'cg'
+        AND inf_type = 'I' AND channel = 'G'
+      ORDER BY sample_label, probe_id, meth_g, meth_r"""))
+
+  /** R4/A10 end-to-end — Ml.topVarianceMatrix (Ml.scala:24, reference
+    * ml.py:40-60): the distributed top-variance selection followed by
+    * the sample × probe matrix assembly with probe-mean imputation of
+    * missing cells — the exact frame handed to sklearn in the
+    * reference. Betas are pre-aggregated to unique (sample, probe)
+    * keys (min over the group, exact); the imputed mean is a single
+    * division of exact integer sums, so every cell is engine-exact. */
+  val q79 = Q(
+    "q79_ml_matrix_impute",
+    (s, d) => {
+      import s.implicits._
+      val betas = t(s, d, "lineitem")
+        .groupBy(($"l_suppkey" % 32).cast("string").as("sample_label"),
+          $"l_partkey".cast("string").as("probe_id"))
+        .agg(min(when($"l_orderkey" % 23 === 0,
+          lit(null).cast("double"))
+          .otherwise((($"l_orderkey" * 7 + $"l_linenumber") % 101)
+            .cast("double"))).as("beta"))
+      val (samples, probes, mat) =
+        graft.ml.Ml.topVarianceMatrix(betas, 50)
+      val rows = for {
+        i <- samples.indices
+        j <- probes.indices
+      } yield (samples(i), probes(j), mat(i, j))
+      rows.toDF("sample_label", "probe_id", "value")
+        .select($"sample_label", $"probe_id",
+          emit6($"value").as("value"))
+        .orderBy($"sample_label", $"probe_id")
+    },
+    Some("""
+      WITH betas AS (
+        SELECT CAST(l_suppkey % 32 AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               min(CASE WHEN l_orderkey % 23 = 0 THEN NULL
+                        ELSE CAST((l_orderkey * 7 + l_linenumber) % 101
+                                  AS DOUBLE) END) AS beta
+        FROM lineitem
+        GROUP BY 1, 2
+      ), agg AS (
+        SELECT probe_id, count(*) AS n_obs, sum(beta) AS s1,
+               sum(beta * beta) AS s2, avg(beta) AS mean_beta
+        FROM betas WHERE beta IS NOT NULL GROUP BY probe_id
+      ), top AS (
+        SELECT probe_id, mean_beta,
+               (s2 - s1 * s1 / n_obs) / (n_obs - 1) AS v
+        FROM agg WHERE n_obs > 1
+        ORDER BY v DESC, probe_id
+        LIMIT 50
+      ), samples AS (
+        SELECT DISTINCT sample_label FROM betas
+      ), grid AS (
+        SELECT s.sample_label, t.probe_id, t.mean_beta
+        FROM samples s CROSS JOIN top t
+      )
+      SELECT g.sample_label, g.probe_id,
+             round(coalesce(b.beta, g.mean_beta), 6) + 0.0 AS value
+      FROM grid g LEFT JOIN betas b
+        ON b.sample_label = g.sample_label AND b.probe_id = g.probe_id
+      ORDER BY g.sample_label, g.probe_id"""))
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79)
+}

@@ -122,6 +122,22 @@ class PrepSpec extends SparkSpec {
     assert(floorCount > 0)
   }
 
+  test("scrub preserves NULL cells (np.clip(NaN) is NaN, not 1)") {
+    val withNull = Seq(("s1", "cg_null", "I", "G", "cg", "",
+      None: Option[Float], Some(500f), Some(120f), Some(400f),
+      None: Option[Float]))
+      .toDF("sample_label", "probe_id", "inf_type", "channel",
+        "probe_type", "mask_info", "meth_g", "meth_r", "unmeth_g",
+        "unmeth_r", "p_value")
+    val scrubbed = Prep.scrubBackgroundCorrection(sig.unionByName(withNull))
+      .filter($"probe_id" === "cg_null").head()
+    // the NULL meth_g must STAY NULL — an unguarded greatest(NULL - bg, 1)
+    // would resurrect it as 1.0 (samples.py:1527 clips NaN to NaN)
+    assert(scrubbed.isNullAt(scrubbed.fieldIndex("meth_g")))
+    // sibling non-null cells on the same row are still scrubbed
+    assert(!scrubbed.isNullAt(scrubbed.fieldIndex("unmeth_g")))
+  }
+
   test("NOOB: corrected values ≈ offset + positive signal; order kept") {
     val corrected = Prep.noobBackgroundCorrection(spark, sig, noMasks)
     val pairs = sig.select($"probe_id", $"meth_g".as("before"))
