@@ -349,5 +349,100 @@ object DomainQ2 {
         ON b.sample_label = g.sample_label AND b.probe_id = g.probe_id
       ORDER BY g.sample_label, g.probe_id"""))
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79)
+  /** L21 end-to-end — Ml.hierarchicalClustering (Ml.scala:124, reference
+    * visualizations.py:670 via scipy complete linkage): the full merge
+    * dendrogram over a 12-sample × 8-feature matrix of exact integer
+    * sums. Leaf distances are sqrt of exact-integer squared sums
+    * (deterministic on both engines — IEEE sqrt is correctly rounded),
+    * and the argmin tie-break (d, a, b) mirrors the sorted-id scan
+    * order of the Scala loop. The oracle replays the n−1 agglomeration
+    * steps as a RECURSIVE CTE whose working set carries cluster
+    * membership rows; each step aggregates the complete-linkage max
+    * over cross-cluster leaf pairs and window-picks the argmin. */
+  val q80 = Q(
+    "q80_hierarchical_clustering",
+    (s, d) => {
+      import s.implicits._
+      // the n_samples × n_features boundary the reference hands to
+      // scipy — distributed aggregation, KB-scale collect
+      val cells = t(s, d, "lineitem")
+        .groupBy(($"l_suppkey" % 12).cast("int").as("si"),
+          ($"l_partkey" % 8).cast("int").as("fj"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+        .collect()
+      // leaf index = rank of si among the PRESENT residues (small sfs
+      // don't populate all twelve) — a fixed-size matrix would cluster
+      // phantom all-zero samples
+      val idx = cells.map(_.getInt(0)).distinct.sorted.zipWithIndex.toMap
+      val x = breeze.linalg.DenseMatrix.zeros[Double](idx.size, 8)
+      cells.foreach(r => x(idx(r.getInt(0)), r.getInt(1)) =
+        r.getLong(2).toDouble)
+      graft.ml.Ml.hierarchicalClustering(x).zipWithIndex.map {
+        case (mg, i) => (i + 1, mg.a, mg.b, mg.dist, mg.size)
+      }.toDF("step", "cluster_a", "cluster_b", "dist", "size")
+        .select($"step", $"cluster_a", $"cluster_b",
+          emit6($"dist").as("dist"), $"size")
+        .orderBy($"step")
+    },
+    Some("""
+      WITH RECURSIVE cells AS (
+        SELECT CAST(l_suppkey % 12 AS INT) AS si,
+               CAST(l_partkey % 8 AS INT) AS fj,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS v
+        FROM lineitem GROUP BY 1, 2
+      ), leaves AS (
+        -- leaf index = rank of si among present residues (matches the
+        -- Scala index map at every sf)
+        SELECT si, CAST(dense_rank() OVER (ORDER BY si) - 1 AS INT)
+                 AS leaf
+        FROM (SELECT DISTINCT si FROM cells)
+      ), grid AS (
+        SELECT l.leaf, f.fj, coalesce(c.v, 0.0) AS v
+        FROM leaves l
+        CROSS JOIN (SELECT DISTINCT fj FROM cells) f
+        LEFT JOIN cells c ON c.si = l.si AND c.fj = f.fj
+      ), pd AS (
+        SELECT a.leaf AS i, b.leaf AS j,
+               sqrt(sum((a.v - b.v) * (a.v - b.v))) AS d
+        FROM grid a JOIN grid b ON a.fj = b.fj AND a.leaf < b.leaf
+        GROUP BY 1, 2
+      ), n AS (SELECT count(*) AS n FROM leaves),
+      st AS (
+        SELECT 0 AS iter, 'm' AS kind, leaf AS cid, leaf,
+               CAST(NULL AS INT) AS ca, CAST(NULL AS INT) AS cb,
+               CAST(NULL AS DOUBLE) AS d, CAST(NULL AS INT) AS sz
+        FROM leaves
+        UNION ALL
+        (
+          WITH mem AS (SELECT iter, cid, leaf FROM st WHERE kind = 'm'),
+          cd AS (
+            SELECT x.cid AS ca, y.cid AS cb, max(p.d) AS d
+            FROM mem x JOIN mem y ON x.cid < y.cid
+            JOIN pd p ON p.i = least(x.leaf, y.leaf)
+                     AND p.j = greatest(x.leaf, y.leaf)
+            GROUP BY 1, 2
+          ),
+          best AS (
+            SELECT ca, cb, d
+            FROM cd
+            QUALIFY row_number() OVER (ORDER BY d, ca, cb) = 1
+          ),
+          it AS (SELECT max(iter) + 1 AS t,
+                        (SELECT n FROM n) + max(iter) AS nid FROM mem)
+          SELECT it.t AS iter, 'm' AS kind,
+                 CASE WHEN m.cid IN (b.ca, b.cb) THEN it.nid
+                      ELSE m.cid END,
+                 m.leaf, NULL, NULL, NULL, NULL
+          FROM mem m CROSS JOIN best b CROSS JOIN it
+          UNION ALL
+          SELECT it.t, 'e', NULL, NULL, b.ca, b.cb, b.d,
+                 (SELECT count(*) FROM mem WHERE cid IN (b.ca, b.cb))
+          FROM best b CROSS JOIN it
+        )
+      )
+      SELECT iter AS step, ca AS cluster_a, cb AS cluster_b,
+             round(d, 6) + 0.0 AS dist, sz AS size
+      FROM st WHERE kind = 'e' ORDER BY step"""))
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80)
 }
