@@ -444,5 +444,314 @@ object DomainQ2 {
              round(d, 6) + 0.0 AS dist, sz AS size
       FROM st WHERE kind = 'e' ORDER BY step"""))
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80)
+  /** Round-and-normalize at coarser precision for the mixed-LM surface:
+    * the golden-section likelihood search takes ~36 libm-dependent
+    * branches per probe, so outputs carry O(1e-8) engine drift —
+    * round(·, 2) sits orders of magnitude above it (the q63 tier). */
+  private[queries] def emit2(c: org.apache.spark.sql.Column) =
+    round(nanvl(c, lit(null).cast("double")), 2) + lit(0.0)
+
+  /** L2 end-to-end — Dm.computeDmpMixed (Dm.scala:254, reference
+    * dm.py:62-67 delegating to statsmodels MixedLM): per-probe
+    * random-intercept LMM, REML profiled likelihood over the variance
+    * ratio by golden-section search, Wald z inference. Betas are exact
+    * integers ((Σqty) mod 97) over ≥8 samples per probe, x = suppkey%7
+    * (never collinear within a probe subset at any sf), replicate
+    * group = suppkey%3. The oracle replays the EXACT golden-section
+    * iterate sequence (~36 steps, same bracket updates and stopping
+    * rule) as a RECURSIVE CTE whose per-iteration likelihood evaluation
+    * aggregates the Sherman-Morrison block sums per replicate group,
+    * and the Wald p via the Cody erfc transcription. */
+  val q81 = Q(
+    "q81_dmp_mixedlm_endtoend",
+    (s, d) => {
+      import s.implicits._
+      val betasAll = t(s, d, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg((sum($"l_quantity".cast("long")) % 97).cast("double")
+          .as("beta"))
+        .select($"l_suppkey".cast("string").as("sample_label"),
+          $"l_partkey".cast("string").as("probe_id"), $"beta")
+      val eligible = betasAll.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_obs")).filter($"n_obs" >= 8)
+        .drop("n_obs")
+      val betas = betasAll.join(eligible, "probe_id")
+      val sheetRows = t(s, d, "supplier")
+        .select($"s_suppkey".cast("string")).collect().map { r =>
+          val k = r.getString(0)
+          Map("sample_label" -> k, "xcov" -> (k.toLong % 7).toString,
+            "rep" -> (k.toLong % 3).toString)
+        }.toSeq
+      val design =
+        graft.dm.Dm.designMatrix(sheetRows, "sample_label", "~ xcov")
+      val groups =
+        sheetRows.map(m => m("sample_label") -> m("rep")).toMap
+      graft.dm.Dm.computeDmpMixed(s, betas, design, groups)
+        .select($"probe_id",
+          emit2($"effect_size").as("effect_size"),
+          emit2($"Intercept_estimate").as("intercept_estimate"),
+          emit2($"Intercept_std_err").as("intercept_std_err"),
+          emit2($"Intercept_t_value").as("intercept_z"),
+          emit2($"Intercept_p_value").as("intercept_p_value"),
+          emit2($"xcov_estimate").as("xcov_estimate"),
+          emit2($"xcov_std_err").as("xcov_std_err"),
+          emit2($"xcov_t_value").as("xcov_z"),
+          emit2($"xcov_p_value").as("xcov_p_value"),
+          emit2($"xcov_p_value_adjusted").as("xcov_p_value_adjusted"))
+        .orderBy($"probe_id")
+    },
+    Some("""
+      WITH RECURSIVE betas AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS probe_id,
+               CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) % 97
+                    AS DOUBLE) AS y,
+               CAST(l_suppkey % 7 AS DOUBLE) AS x,
+               CAST(l_suppkey % 3 AS INT) AS grp
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      ), eligible AS (
+        SELECT probe_id FROM betas GROUP BY probe_id HAVING count(*) >= 8
+      ), obs AS (
+        SELECT b.* FROM betas b JOIN eligible e USING (probe_id)
+      ), pstats AS (
+        SELECT probe_id, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM obs GROUP BY probe_id
+      ), gstats AS (
+        SELECT probe_id, grp, CAST(count(*) AS DOUBLE) AS m,
+               sum(x) AS sxg, sum(y) AS syg
+        FROM obs GROUP BY probe_id, grp
+      ), consts AS (
+        SELECT ln(1e-8) AS lo0, ln(1e4) AS hi0,
+               (sqrt(5.0) - 1.0) / 2.0 AS phi
+      ), init_pts AS (
+        SELECT 1 AS which, hi0 - phi * (hi0 - lo0) AS c FROM consts
+        UNION ALL
+        SELECT 2, lo0 + phi * (hi0 - lo0) FROM consts
+      ), ev0s AS (
+        SELECT p.probe_id, i.which, i.c, p.n, p.sx, p.sxx, p.sy, p.sxy, p.syy,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.m * g.m) AS s_cm2,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.m * g.sxg) AS s_cmsx,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.sxg * g.sxg) AS s_csx2,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.m * g.syg) AS s_cmsy,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.sxg * g.syg) AS s_csxsy,
+               sum(exp(i.c) / (1.0 + exp(i.c) * g.m) * g.syg * g.syg) AS s_csy2,
+               sum(ln(1.0 + exp(i.c) * g.m)) AS ldv
+        FROM pstats p CROSS JOIN init_pts i
+        JOIN gstats g USING (probe_id)
+        GROUP BY ALL
+      ), ev0 AS (
+        SELECT probe_id, which,
+               0.5 * ((n - 2) * ln(((syy - s_csy2)
+                   - (((sxx - s_csx2) * (sy - s_cmsy)
+                       - (sx - s_cmsx) * (sxy - s_csxsy))
+                      / ((n - s_cm2) * (sxx - s_csx2)
+                         - (sx - s_cmsx) * (sx - s_cmsx)) * (sy - s_cmsy)
+                      + ((n - s_cm2) * (sxy - s_csxsy)
+                         - (sx - s_cmsx) * (sy - s_cmsy))
+                        / ((n - s_cm2) * (sxx - s_csx2)
+                           - (sx - s_cmsx) * (sx - s_cmsx)) * (sxy - s_csxsy)))
+                   / (n - 2)) + ldv + (n - 2))
+               + 0.5 * ln((n - s_cm2) * (sxx - s_csx2)
+                          - (sx - s_cmsx) * (sx - s_cmsx)) AS f
+        FROM ev0s
+      ), gold AS (
+        SELECT p.probe_id, p.n, p.sx, p.sxx, p.sy, p.sxy, p.syy,
+               c.lo0 AS lo, c.hi0 AS hi,
+               c.hi0 - c.phi * (c.hi0 - c.lo0) AS c1,
+               c.lo0 + c.phi * (c.hi0 - c.lo0) AS c2,
+               e1.f AS f1, e2.f AS f2, 0 AS it
+        FROM pstats p CROSS JOIN consts c
+        JOIN ev0 e1 ON e1.probe_id = p.probe_id AND e1.which = 1
+        JOIN ev0 e2 ON e2.probe_id = p.probe_id AND e2.which = 2
+        UNION ALL
+        SELECT e.probe_id, e.n, e.sx, e.sxx, e.sy, e.sxy, e.syy,
+               e.lo2 AS lo, e.hi2 AS hi,
+               CASE WHEN e.up THEN e.cn ELSE e.c2 END AS c1,
+               CASE WHEN e.up THEN e.c1 ELSE e.cn END AS c2,
+               CASE WHEN e.up THEN e.fn ELSE e.f2 END AS f1,
+               CASE WHEN e.up THEN e.f1 ELSE e.fn END AS f2,
+               e.it + 1 AS it
+        FROM (
+          SELECT s.*,
+                 0.5 * ((s.n - 2) * ln(((s.syy - s.s_csy2)
+                     - (((s.sxx - s.s_csx2) * (s.sy - s.s_cmsy)
+                         - (s.sx - s.s_cmsx) * (s.sxy - s.s_csxsy))
+                        / ((s.n - s.s_cm2) * (s.sxx - s.s_csx2)
+                           - (s.sx - s.s_cmsx) * (s.sx - s.s_cmsx))
+                          * (s.sy - s.s_cmsy)
+                        + ((s.n - s.s_cm2) * (s.sxy - s.s_csxsy)
+                           - (s.sx - s.s_cmsx) * (s.sy - s.s_cmsy))
+                          / ((s.n - s.s_cm2) * (s.sxx - s.s_csx2)
+                             - (s.sx - s.s_cmsx) * (s.sx - s.s_cmsx))
+                          * (s.sxy - s.s_csxsy)))
+                     / (s.n - 2)) + s.ldv + (s.n - 2))
+                 + 0.5 * ln((s.n - s.s_cm2) * (s.sxx - s.s_csx2)
+                            - (s.sx - s.s_cmsx) * (s.sx - s.s_cmsx)) AS fn
+          FROM (
+            SELECT gs.probe_id, gs.n, gs.sx, gs.sxx, gs.sy, gs.sxy, gs.syy,
+                   gs.lo2, gs.hi2, gs.c1, gs.c2, gs.f1, gs.f2, gs.it, gs.up,
+                   gs.cn,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.m * g.m)
+                     AS s_cm2,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.m * g.sxg)
+                     AS s_cmsx,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.sxg * g.sxg)
+                     AS s_csx2,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.m * g.syg)
+                     AS s_cmsy,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.sxg * g.syg)
+                     AS s_csxsy,
+                   sum(exp(gs.cn) / (1.0 + exp(gs.cn) * g.m) * g.syg * g.syg)
+                     AS s_csy2,
+                   sum(ln(1.0 + exp(gs.cn) * g.m)) AS ldv
+            FROM (
+              SELECT w.*,
+                     CASE WHEN w.up
+                          THEN w.hi2 - (sqrt(5.0) - 1.0) / 2.0
+                               * (w.hi2 - w.lo2)
+                          ELSE w.lo2 + (sqrt(5.0) - 1.0) / 2.0
+                               * (w.hi2 - w.lo2) END AS cn
+              FROM (
+                SELECT gold.*, (f1 < f2) AS up,
+                       CASE WHEN f1 < f2 THEN lo ELSE c1 END AS lo2,
+                       CASE WHEN f1 < f2 THEN c2 ELSE hi END AS hi2
+                FROM gold
+                WHERE hi - lo > 1e-6 AND it < 200
+              ) w
+            ) gs JOIN gstats g USING (probe_id)
+            GROUP BY ALL
+          ) s
+        ) e
+      ), goldf AS (
+        SELECT * FROM gold
+        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY it DESC) = 1
+      ), fins AS (
+        SELECT p.probe_id, p.n, p.sx, p.sxx, p.sy, p.sxy, p.syy,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.m * g.m) AS s_cm2,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.m * g.sxg)
+                 AS s_cmsx,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.sxg * g.sxg)
+                 AS s_csx2,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.m * g.syg)
+                 AS s_cmsy,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.sxg * g.syg)
+                 AS s_csxsy,
+               sum(exp((f.lo + f.hi) / 2)
+                   / (1.0 + exp((f.lo + f.hi) / 2) * g.m) * g.syg * g.syg)
+                 AS s_csy2
+        FROM goldf f JOIN pstats p USING (probe_id)
+        JOIN gstats g USING (probe_id)
+        GROUP BY ALL
+      ), fin1 AS (
+        SELECT probe_id, n,
+               n - s_cm2 AS a11, sx - s_cmsx AS a12, sxx - s_csx2 AS a22,
+               sy - s_cmsy AS b1, sxy - s_csxsy AS b2, syy - s_csy2 AS yt
+        FROM fins
+      ), fin2 AS (
+        SELECT *, a11 * a22 - a12 * a12 AS det FROM fin1
+      ), fin3 AS (
+        SELECT *,
+               (a22 * b1 - a12 * b2) / det AS beta0,
+               (a11 * b2 - a12 * b1) / det AS beta1
+        FROM fin2
+      ), fin4 AS (
+        SELECT *,
+               (yt - (beta0 * b1 + beta1 * b2)) / (n - 2) AS s2
+        FROM fin3
+      ), fin5 AS (
+        SELECT probe_id, beta0, beta1,
+               sqrt(s2 * a22 / det) AS se0,
+               sqrt(s2 * a11 / det) AS se1,
+               beta0 / sqrt(s2 * a22 / det) AS z0,
+               beta1 / sqrt(s2 * a11 / det) AS z1
+        FROM fin4
+      ), pz AS (
+        SELECT probe_id, beta0, beta1, se0, se1, z0, z1, 'i' AS coef,
+               abs(z0) / sqrt(2.0) AS u
+        FROM fin5
+        UNION ALL
+        SELECT probe_id, beta0, beta1, se0, se1, z0, z1, 'x',
+               abs(z1) / sqrt(2.0)
+        FROM fin5
+      ), erfc1 AS (
+        SELECT *,
+          u * ((((1.85777706184603153e-1 * (u*u) + 3.16112374387056560e+0)
+                  * (u*u) + 1.13864154151050156e+2)
+                  * (u*u) + 3.77485237685302021e+2)
+                  * (u*u) + 3.20937758913846947e+3)
+            / (((((u*u) + 2.36012909523441209e+1)
+                  * (u*u) + 2.44024637934444173e+2)
+                  * (u*u) + 1.28261652607737228e+3)
+                  * (u*u) + 2.84423683343917062e+3) AS erf_small,
+          ((((((((2.15311535474403846e-8 * u + 5.64188496988670089e-1)
+              * u + 8.88314979438837594e+0) * u + 6.61191906371416295e+1)
+              * u + 2.98635138197400131e+2) * u + 8.81952221241769090e+2)
+              * u + 1.71204761263407058e+3) * u + 2.05107837782607147e+3)
+              * u + 1.23033935479799725e+3)
+          / ((((((((u + 1.57449261107098347e+1) * u
+              + 1.17693950891312499e+2) * u + 5.37181101862009858e+2)
+              * u + 1.62138957456669019e+3) * u + 3.29079923573345963e+3)
+              * u + 4.36261909014324716e+3) * u + 3.43936767414372164e+3)
+              * u + 1.23033935480374942e+3) AS pq_mid,
+          (5.6418958354775628695e-1
+            - (1.0 / nullif(u*u, 0))
+              * (((((1.63153871373020978e-2 * (1.0 / nullif(u*u, 0))
+                    + 3.05326634961232344e-1) * (1.0 / nullif(u*u, 0))
+                    + 3.60344899949804439e-1) * (1.0 / nullif(u*u, 0))
+                    + 1.25781726111229246e-1) * (1.0 / nullif(u*u, 0))
+                    + 1.60837851487422766e-2) * (1.0 / nullif(u*u, 0))
+                   + 6.58749161529837803e-4)
+              / ((((((1.0 / nullif(u*u, 0)) + 2.56852019228982242e+0)
+                    * (1.0 / nullif(u*u, 0)) + 1.87295284992346047e+0)
+                    * (1.0 / nullif(u*u, 0)) + 5.27905102951428412e-1)
+                    * (1.0 / nullif(u*u, 0)) + 6.05183413124413191e-2)
+                    * (1.0 / nullif(u*u, 0)) + 2.33520497626869185e-3))
+            / nullif(u, 0) AS el
+        FROM pz
+      ), erfc2 AS (
+        SELECT probe_id, coef, beta0, beta1, se0, se1, z0, z1,
+               CASE WHEN u < 0.46875 THEN 1.0 - erf_small
+                    WHEN u <= 4.0 THEN exp(-(u*u)) * pq_mid
+                    ELSE el * exp(-(u*u)) END AS p
+        FROM erfc1
+      ), pp AS (
+        SELECT f.probe_id, f.beta0, f.beta1, f.se0, f.se1, f.z0, f.z1,
+               pi.p AS p0, px.p AS p1
+        FROM fin5 f
+        JOIN erfc2 pi ON pi.probe_id = f.probe_id AND pi.coef = 'i'
+        JOIN erfc2 px ON px.probe_id = f.probe_id AND px.coef = 'x'
+      ), bh1 AS (
+        SELECT probe_id, p1,
+               row_number() OVER (ORDER BY p1) AS r,
+               count(*) OVER () AS nn
+        FROM pp
+      ), bh2 AS (
+        SELECT probe_id,
+               least(min(p1 * nn / r) OVER (ORDER BY r DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+                 AS padj
+        FROM bh1
+      )
+      SELECT p.probe_id,
+             round(abs(p.beta1), 2) + 0.0 AS effect_size,
+             round(p.beta0, 2) + 0.0 AS intercept_estimate,
+             round(p.se0, 2) + 0.0 AS intercept_std_err,
+             round(p.z0, 2) + 0.0 AS intercept_z,
+             round(p.p0, 2) + 0.0 AS intercept_p_value,
+             round(p.beta1, 2) + 0.0 AS xcov_estimate,
+             round(p.se1, 2) + 0.0 AS xcov_std_err,
+             round(p.z1, 2) + 0.0 AS xcov_z,
+             round(p.p1, 2) + 0.0 AS xcov_p_value,
+             round(b.padj, 2) + 0.0 AS xcov_p_value_adjusted
+      FROM pp p JOIN bh2 b USING (probe_id)
+      ORDER BY p.probe_id"""))
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80, q81)
 }
