@@ -26,11 +26,20 @@ object Masks {
   }
 
   /** Add a mask, overriding any existing (mask_name, sample_label) scope
-    * (mask.py:67-70: add_mask replaces on the same key). */
+    * (mask.py:54-69: `masks[(name, label)] = mask` — a dict PUT, so the
+    * same key replaces, INCLUDING the global scope where label is None).
+    * The anti-join must therefore be null-safe on sample_label: a plain
+    * equi-key never matches NULL = NULL and would silently keep the old
+    * global set alongside the new one. */
   def addMask(masks: DataFrame, newMask: DataFrame): DataFrame = {
     val keyed = newMask.select("mask_name", "sample_label", "probe_id")
-    masks.join(keyed.select("mask_name", "sample_label").distinct(),
-      Seq("mask_name", "sample_label"), "left_anti")
+    val keys = keyed
+      .select(col("mask_name").as("k_name"),
+        col("sample_label").as("k_label"))
+      .distinct()
+    masks.join(keys,
+      col("mask_name") === col("k_name") &&
+        col("sample_label") <=> col("k_label"), "left_anti")
       .unionByName(keyed)
   }
 

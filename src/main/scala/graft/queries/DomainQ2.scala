@@ -753,5 +753,160 @@ object DomainQ2 {
       FROM pp p JOIN bh2 b USING (probe_id)
       ORDER BY p.probe_id"""))
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80, q81)
+  /** M1-M4/M6/M7 end-to-end — the mask pipeline (Masks.scala:30-143,
+    * reference mask.py:8-194, samples.py:577-831): build a regex
+    * mask_info mask (M2), OVERRIDE it on the same (name, scope) key via
+    * addMask (M7 replace semantics), add the global snp mask (M4) and a
+    * sample-scoped pOOBAH mask (M6), remove the snp mask by name (M7),
+    * then apply (M1): cells of hit (probe, sample) pairs NULLed, rows
+    * kept. The oracle replays the surviving mask algebra as predicate
+    * sets: custom = second regex only, snp removed, poobah per-pair. */
+  val q82 = Q(
+    "q82_masks_endtoend",
+    (s, d) => {
+      import s.implicits._
+      def cell(base: org.apache.spark.sql.Column, m: Int) =
+        when($"l_orderkey" % 23 === 0 || $"l_orderkey" % m === 0,
+          lit(null).cast("float")).otherwise(base.cast("float"))
+      val sig = t(s, d, "lineitem").select(
+        $"l_suppkey".cast("string").as("sample_label"),
+        $"l_partkey".cast("string").as("probe_id"),
+        when($"l_partkey" % 5 < 3, "cg")
+          .when($"l_partkey" % 5 === 3, "ch").otherwise("snp")
+          .as("probe_type"),
+        concat(
+          when($"l_partkey" % 29 === 0, "M_mapping;").otherwise(""),
+          when($"l_partkey" % 31 === 0, "M_nonuniq").otherwise(""))
+          .as("mask_info"),
+        cell($"l_quantity", 11).as("meth_g"),
+        cell(($"l_orderkey" * 3 + $"l_linenumber") % 47, 13)
+          .as("unmeth_g"),
+        cell(($"l_orderkey" * 7 + $"l_linenumber") % 53, 17)
+          .as("meth_r"),
+        cell(($"l_orderkey" * 11 + $"l_linenumber" * 5) % 59, 19)
+          .as("unmeth_r"),
+        (($"l_orderkey" % 200).cast("double") / 1000.0).cast("float")
+          .as("p_value"))
+      import graft.core.Masks
+      val m1 = Masks.addMask(Masks.empty(s),
+        Masks.maskByNames(sig, "M_mapping", "custom"))
+      // override: same (name, scope) key replaces the regex set (M7)
+      val m2 = Masks.addMask(m1,
+        Masks.maskByNames(sig, "M_nonuniq", "custom"))
+      val m3 = Masks.addMask(m2, Masks.maskSnpProbes(sig))
+      val m4 = Masks.addMask(m3, Masks.maskPoobah(sig, 0.05))
+      val masks = Masks.removeMask(m4, maskName = Some("snp_probes"))
+      Masks.applyMask(sig, masks)
+        .select($"sample_label", $"probe_id", $"probe_type",
+          $"meth_g", $"unmeth_g", $"meth_r", $"unmeth_r", $"p_value")
+        .orderBy($"sample_label", $"probe_id", $"meth_g", $"unmeth_g",
+          $"meth_r", $"unmeth_r", $"p_value")
+    },
+    Some("""
+      WITH sig AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               CAST(l_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN l_partkey % 5 < 3 THEN 'cg'
+                    WHEN l_partkey % 5 = 3 THEN 'ch'
+                    ELSE 'snp' END AS probe_type,
+               l_partkey % 31 = 0 AS is_nonuniq,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 11 = 0
+                    THEN NULL ELSE CAST(l_quantity AS FLOAT) END
+                 AS meth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber) % 47
+                              AS FLOAT) END AS unmeth_g,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 17 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 7 + l_linenumber) % 53
+                              AS FLOAT) END AS meth_r,
+               CASE WHEN l_orderkey % 23 = 0 OR l_orderkey % 19 = 0
+                    THEN NULL
+                    ELSE CAST((l_orderkey * 11 + l_linenumber * 5) % 59
+                              AS FLOAT) END AS unmeth_r,
+               CAST(CAST(l_orderkey % 200 AS DOUBLE) / 1000.0 AS FLOAT)
+                 AS p_value
+        FROM lineitem
+      ), custom AS (
+        -- the surviving 'custom' mask is the SECOND add (override):
+        -- probes whose mask_info contains M_nonuniq; snp_probes was
+        -- removed; poobah hits stay sample-scoped
+        SELECT DISTINCT probe_id FROM sig WHERE is_nonuniq
+      ), poobah AS (
+        -- float→double promotion on the left, double 0.05 on the right:
+        -- the exact comparison the engine's maskPoobah runs
+        SELECT DISTINCT sample_label, probe_id FROM sig
+        WHERE CAST(p_value AS DOUBLE) >= 0.05
+      ), hit AS (
+        SELECT s.*,
+               (c.probe_id IS NOT NULL OR p.probe_id IS NOT NULL)
+                 AS is_masked
+        FROM sig s
+        LEFT JOIN custom c ON c.probe_id = s.probe_id
+        LEFT JOIN poobah p ON p.probe_id = s.probe_id
+                          AND p.sample_label = s.sample_label
+      )
+      SELECT sample_label, probe_id, probe_type,
+             CASE WHEN is_masked THEN NULL ELSE meth_g END AS meth_g,
+             CASE WHEN is_masked THEN NULL ELSE unmeth_g END
+               AS unmeth_g,
+             CASE WHEN is_masked THEN NULL ELSE meth_r END AS meth_r,
+             CASE WHEN is_masked THEN NULL ELSE unmeth_r END
+               AS unmeth_r,
+             CASE WHEN is_masked THEN NULL ELSE p_value END AS p_value
+      FROM hit
+      ORDER BY sample_label, probe_id, meth_g, unmeth_g, meth_r,
+               unmeth_r, p_value"""))
+
+  /** A5 end-to-end — SignalBuilder.removeProbeSuffixes
+    * (SignalBuilder.scala:156, reference utils.py:126-141 +
+    * samples.py:666-697): strip `_TC12`-style suffixes, average the
+    * duplicate probes that result. The fixture plants matching (_TC/_BC)
+    * and NON-matching (_XX) suffixes plus bare ids; betas are integers,
+    * so the duplicate-group means are single exact divisions — the float
+    * cast is bit-identical on both engines. */
+  val q83 = Q(
+    "q83_probe_suffix_dedup",
+    (s, d) => {
+      import s.implicits._
+      val betas = t(s, d, "lineitem").select(
+        ($"l_suppkey" % 16).cast("string").as("sample_label"),
+        concat(lit("cg"), ($"l_partkey" % 300).cast("string"),
+          when($"l_partkey" % 4 === 0,
+            concat(lit("_TC"), ($"l_partkey" % 3 + 1).cast("string")))
+            .when($"l_partkey" % 4 === 1,
+              concat(lit("_BC"), ($"l_partkey" % 5 + 1).cast("string")))
+            .when($"l_partkey" % 4 === 2, lit("_XX9"))
+            .otherwise(lit(""))).as("probe_id"),
+        (($"l_orderkey" * 5 + $"l_linenumber") % 89).cast("double")
+          .as("beta"))
+      graft.core.SignalBuilder.removeProbeSuffixes(betas)
+        .orderBy($"sample_label", $"probe_id")
+    },
+    Some("""
+      WITH betas AS (
+        SELECT CAST(l_suppkey % 16 AS VARCHAR) AS sample_label,
+               'cg' || CAST(l_partkey % 300 AS VARCHAR)
+               || CASE WHEN l_partkey % 4 = 0
+                       THEN '_TC' || CAST(l_partkey % 3 + 1 AS VARCHAR)
+                       WHEN l_partkey % 4 = 1
+                       THEN '_BC' || CAST(l_partkey % 5 + 1 AS VARCHAR)
+                       WHEN l_partkey % 4 = 2 THEN '_XX9'
+                       ELSE '' END AS probe_id,
+               CAST((l_orderkey * 5 + l_linenumber) % 89 AS DOUBLE)
+                 AS beta
+        FROM lineitem
+      )
+      SELECT sample_label,
+             regexp_replace(probe_id, '_[TB][CO][0-9]+$', '')
+               AS probe_id,
+             CAST(avg(beta) AS FLOAT) AS beta
+      FROM betas
+      GROUP BY sample_label,
+               regexp_replace(probe_id, '_[TB][CO][0-9]+$', '')
+      ORDER BY sample_label, probe_id"""))
+
+  val all: Seq[Q] =
+    Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

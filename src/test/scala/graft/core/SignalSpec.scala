@@ -120,6 +120,21 @@ class SignalSpec extends SparkSpec {
     assert(cg1s2.getAs[Float]("unmeth_r") == 888f) // scope respected
   }
 
+  test("addMask overrides the GLOBAL scope too (null-safe key)") {
+    // mask.py:54-69 keys the dict on (name, label) with label=None for
+    // global masks — re-adding the same name must REPLACE, not union
+    val m1 = Seq(("custom", null: String, "cg1"))
+      .toDF("mask_name", "sample_label", "probe_id")
+    val m2 = Seq(("custom", null: String, "cg2"))
+      .toDF("mask_name", "sample_label", "probe_id")
+    val merged = Masks.addMask(m1, m2).collect()
+    assert(merged.map(_.getString(2)).toSeq == Seq("cg2"))
+    // different name is untouched
+    val other = Seq(("other", null: String, "cg3"))
+      .toDF("mask_name", "sample_label", "probe_id")
+    assert(Masks.addMask(other, m2).count() == 2)
+  }
+
   test("probe-suffix removal merges duplicates by mean") {
     val betas = Seq(
       ("s1", "cg9_TC12", Some(0.2f)), ("s1", "cg9_BC21", Some(0.4f)),
