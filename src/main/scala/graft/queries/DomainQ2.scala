@@ -907,6 +907,144 @@ object DomainQ2 {
                regexp_replace(probe_id, '_[TB][CO][0-9]+$', '')
       ORDER BY sample_label, probe_id"""))
 
+  /** R1/J1/M5 end-to-end — SignalBuilder.build + minBeadsMask
+    * (SignalBuilder.scala:46,85, reference samples.py:468-570): the full
+    * ingest pipeline over an IDAT-shaped frame — min-beads nulling at
+    * scan time, the broadcast manifest-address join (address A/B
+    * explode, inner-join drop of unmapped addresses), methylation-state
+    * derivation (type II: G→M/R→U on address A; type I: B→M/A→U), the
+    * conditional-aggregation pivot to the four signal cells, and the
+    * bootstrap min-beads mask. Every value is an exact integer; type II
+    * address-B rows are planted as join noise that must drop. */
+  val q84 = Q(
+    "q84_signal_build_endtoend",
+    (s, d) => {
+      import s.implicits._
+      val chans = array(
+        struct(lit("G").as("ch"), lit(0L).as("chc"), lit("A").as("wa")),
+        struct(lit("R").as("ch"), lit(1L).as("chc"), lit("A").as("wa")),
+        struct(lit("G").as("ch"), lit(0L).as("chc"), lit("B").as("wa")),
+        struct(lit("R").as("ch"), lit(1L).as("chc"), lit("B").as("wa")))
+      val addr = when($"u.wa" === "A", $"l_partkey" * 2)
+        .otherwise($"l_partkey" * 2 + 1).cast("long")
+      val idat = t(s, d, "lineitem")
+        .select($"l_suppkey", $"l_partkey", $"l_orderkey",
+          $"l_linenumber", explode(chans).as("u"))
+        .select(
+          $"l_suppkey".cast("string").as("sample_label"),
+          $"u.ch".as("signal_channel"),
+          addr.as("illumina_id"),
+          (($"l_orderkey" * 3 + $"l_linenumber" + addr + $"u.chc")
+            % 211).cast("float").as("mean_value"),
+          (($"l_orderkey" + addr + $"u.chc") % 8).cast("int")
+            .as("n_beads"))
+      val manifest = t(s, d, "part").select(
+        $"p_partkey".cast("string").as("probe_id"),
+        when($"p_partkey" % 3 === 0, "II").otherwise("I")
+          .as("inf_type"),
+        when($"p_partkey" % 2 === 0, "G").otherwise("R").as("channel"),
+        when($"p_partkey" % 5 < 3, "cg")
+          .when($"p_partkey" % 5 === 3, "ch").otherwise("snp")
+          .as("probe_type"),
+        when($"p_partkey" % 7 === 0, "M_mapping").otherwise("")
+          .as("mask_info"),
+        ($"p_partkey" * 2).cast("long").as("address_a"),
+        when($"p_partkey" % 3 =!= 0, ($"p_partkey" * 2 + 1))
+          .cast("long").as("address_b"))
+      val sig = graft.core.SignalBuilder.build(idat, manifest,
+        minBeads = 3)
+      val mask = graft.core.SignalBuilder.minBeadsMask(sig, 3)
+        .select($"sample_label", $"probe_id")
+        .withColumn("is_min_beads_masked", lit(true))
+      sig.join(mask, Seq("sample_label", "probe_id"), "left")
+        .select($"sample_label", $"probe_id", $"inf_type", $"channel",
+          $"probe_type", $"mask_info", $"meth_g", $"meth_r",
+          $"unmeth_g", $"unmeth_r",
+          coalesce($"is_min_beads_masked", lit(false))
+            .as("is_min_beads_masked"))
+        .orderBy($"sample_label", $"probe_id")
+    },
+    Some("""
+      WITH idat AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS sample_label,
+               u.ch AS signal_channel,
+               CASE WHEN u.wa = 'A' THEN l_partkey * 2
+                    ELSE l_partkey * 2 + 1 END AS illumina_id,
+               CASE WHEN (l_orderkey
+                          + (CASE WHEN u.wa = 'A' THEN l_partkey * 2
+                                  ELSE l_partkey * 2 + 1 END)
+                          + u.chc) % 8 < 3 THEN NULL
+                    ELSE CAST((l_orderkey * 3 + l_linenumber
+                               + (CASE WHEN u.wa = 'A'
+                                       THEN l_partkey * 2
+                                       ELSE l_partkey * 2 + 1 END)
+                               + u.chc) % 211 AS FLOAT)
+               END AS mean_value
+        FROM lineitem
+        CROSS JOIN (VALUES ('G', 0, 'A'), ('R', 1, 'A'),
+                           ('G', 0, 'B'), ('R', 1, 'B'))
+          AS u(ch, chc, wa)
+      ), manifest AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS probe_id,
+               CASE WHEN p_partkey % 3 = 0 THEN 'II' ELSE 'I' END
+                 AS inf_type,
+               CASE WHEN p_partkey % 2 = 0 THEN 'G' ELSE 'R' END
+                 AS channel,
+               CASE WHEN p_partkey % 5 < 3 THEN 'cg'
+                    WHEN p_partkey % 5 = 3 THEN 'ch'
+                    ELSE 'snp' END AS probe_type,
+               CASE WHEN p_partkey % 7 = 0 THEN 'M_mapping'
+                    ELSE '' END AS mask_info,
+               p_partkey * 2 AS address_a,
+               CASE WHEN p_partkey % 3 <> 0 THEN p_partkey * 2 + 1
+               END AS address_b
+        FROM part
+      ), mba AS (
+        SELECT probe_id, inf_type, channel, probe_type, mask_info,
+               address_a AS illumina_id, 'A' AS which_address
+        FROM manifest WHERE address_a IS NOT NULL
+        UNION ALL
+        SELECT probe_id, inf_type, channel, probe_type, mask_info,
+               address_b, 'B'
+        FROM manifest WHERE address_b IS NOT NULL
+      ), joined AS (
+        SELECT i.sample_label, i.signal_channel, i.mean_value,
+               m.probe_id, m.inf_type, m.channel, m.probe_type,
+               m.mask_info, m.which_address,
+               CASE WHEN m.inf_type = 'II' THEN
+                      CASE WHEN i.signal_channel = 'G' THEN 'M'
+                           WHEN i.signal_channel = 'R' THEN 'U' END
+                    WHEN m.inf_type = 'I' THEN
+                      CASE WHEN m.which_address = 'B' THEN 'M'
+                           WHEN m.which_address = 'A' THEN 'U' END
+               END AS methylation_state
+        FROM idat i JOIN mba m USING (illumina_id)
+      ), sig AS (
+        SELECT sample_label, probe_id, inf_type, channel, probe_type,
+               coalesce(mask_info, '') AS mask_info,
+               max(CASE WHEN signal_channel = 'G'
+                         AND methylation_state = 'M'
+                        THEN mean_value END) AS meth_g,
+               max(CASE WHEN signal_channel = 'R'
+                         AND methylation_state = 'M'
+                        THEN mean_value END) AS meth_r,
+               max(CASE WHEN signal_channel = 'G'
+                         AND methylation_state = 'U'
+                        THEN mean_value END) AS unmeth_g,
+               max(CASE WHEN signal_channel = 'R'
+                         AND methylation_state = 'U'
+                        THEN mean_value END) AS unmeth_r
+        FROM joined
+        WHERE methylation_state IS NOT NULL
+        GROUP BY 1, 2, 3, 4, 5, 6
+      )
+      SELECT sample_label, probe_id, inf_type, channel, probe_type,
+             mask_info, meth_g, meth_r, unmeth_g, unmeth_r,
+             (meth_g IS NULL OR unmeth_r IS NULL)
+               AS is_min_beads_masked
+      FROM sig
+      ORDER BY sample_label, probe_id"""))
+
   val all: Seq[Q] =
-    Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }
