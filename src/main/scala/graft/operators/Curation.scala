@@ -88,4 +88,25 @@ object Curation {
       .select(col(groupCol), posexplode(col("kept")).as(Seq("r", "row")))
       .select(col(groupCol), col("row.id").as(idCol),
         (col("r") + 1).cast("long").as("rank"))
+
+  /** GPT-style sequence packing: concatenate every document's tokens in
+    * `idCol` order into one virtual stream and cut it into fixed
+    * `contextLen`-token training contexts. Each document gets its global
+    * `token_offset` (exclusive prefix sum of `tokensCol` — the scale
+    * path is [[Ranks.withGlobalPrefixSum]]'s zipWithIndex shape, ONE
+    * range shuffle at any corpus size, never a single-partition window)
+    * and the `chunk_start`/`chunk_end` context ids it lands in. Empty
+    * documents collapse to a degenerate [chunk_start, chunk_start]
+    * span. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      contextLen: Int): DataFrame =
+    Ranks.withGlobalPrefixSum(
+      df.withColumn("n_tokens", tokensCol.cast("long")),
+      Seq(col(idCol)), "n_tokens", "token_offset", exclusive = true)
+      .withColumn("chunk_start",
+        expr(s"token_offset div $contextLen"))
+      .withColumn("chunk_end",
+        when(col("n_tokens") > 0,
+          expr(s"(token_offset + n_tokens - 1) div $contextLen"))
+          .otherwise(col("chunk_start")))
 }

@@ -160,4 +160,60 @@ object Ranks {
     adjusted.unionByName(
       df.filter(!good).withColumn(outCol, lit(null).cast("double")))
   }
+
+  /** Global prefix sum of `valueCol` (LongType; NULL counts as 0) in
+    * `sortCols` order, attached as `outCol` — the [[withGlobalRank]]
+    * zipWithIndex shape generalized from counting rows to summing a
+    * value: one range shuffle, a numParts-row partial-sum collect, and
+    * a running-sum map over the SAME shuffle outputs. `exclusive` emits
+    * the sum of strictly-preceding rows (the natural spelling for
+    * offsets — e.g. a document's first-token position in a packed
+    * token stream); inclusive emits sum-through-current-row. Same
+    * single-physical-plan guarantee as withGlobalRank: the partial-sum
+    * job and the data job read one RDD instance, so the range sampler
+    * cannot disagree between them. */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String, exclusive: Boolean = false,
+      numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"withGlobalPrefixSum needs $valueCol as LongType")
+    val rdd = sorted.queryExecution.toRdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+      }
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val withSum = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bOff.value(pid)
+      val sumRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { row =>
+        val v = if (row.isNullAt(vIdx)) 0L else row.getLong(vIdx)
+        val out = if (exclusive) acc else acc + v
+        acc += v
+        sumRow.update(0, out)
+        joined(row, sumRow)
+      }
+    }
+    val outSchema = sorted.schema
+      .add(StructField(outCol, LongType, nullable = false))
+    GraftBridge.internalCreateDataFrame(spark,
+      withSum.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]],
+      outSchema)
+  }
 }

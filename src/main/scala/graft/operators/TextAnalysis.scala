@@ -165,4 +165,34 @@ object TextAnalysis {
       .withColumn("dup_gram_frac", element_at(col("_rep"), 2))
       .withColumn("n_grams", element_at(col("_rep"), 3).cast("long"))
       .drop("_rep")
+
+  /** PII patterns (the CCNet/Dolma-style scrub list). Kept RE2-safe —
+    * no lookaround, no backreferences — so the Java and RE2 regex
+    * engines find the same non-overlapping leftmost matches and the
+    * DuckDB oracle replays redaction exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhoneRe = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+  val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing for training corpora: count then redact emails,
+    * SSN-shaped ids, phone-shaped numbers and IPv4 literals with typed
+    * placeholder tags. Counts are taken on the ORIGINAL text; the
+    * replacement chain applies in a fixed order (email → ssn → phone →
+    * ip) so nested shapes resolve deterministically. Row-local regex
+    * kernels — zero shuffle, linear to 100 TB. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ssns", regexp_count(col(textCol), lit(SsnRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(IpRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+              SsnRe, "<SSN>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>"))
 }

@@ -1045,6 +1045,130 @@ object DomainQ2 {
       FROM sig
       ORDER BY sample_label, probe_id"""))
 
+  /** PII scrubbing end-to-end — TextAnalysis.redactPii: per-type counts
+    * on the original text + the fixed-order redaction chain (email →
+    * ssn → phone → ip). PII shapes are PLANTED deterministically on top
+    * of the natural document text by doc_id moduli, so every pattern
+    * branch (and absence) is exercised; patterns are RE2-safe, so the
+    * Java and DuckDB regex engines agree match-for-match. */
+  val q85 = Q(
+    "q85_pii_redaction",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" email user"), $"doc_id", lit("@ex"),
+              $"doc_id" % 5, lit(".org"))).otherwise(""),
+          when($"doc_id" % 4 === 0,
+            concat(lit(" ip "), $"doc_id" % 254 + 1, lit("."),
+              $"doc_id" % 200 + 3, lit("."), $"doc_id" % 100,
+              lit("."), $"doc_id" % 50)).otherwise(""),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" ssn "), $"doc_id" % 900 + 100, lit("-"),
+              $"doc_id" % 90 + 10, lit("-"),
+              $"doc_id" % 9000 + 1000)).otherwise(""),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call "), $"doc_id" % 700 + 200, lit("-"),
+              $"doc_id" % 600 + 300, lit("-"),
+              $"doc_id" % 8000 + 2000)).otherwise(""))
+          .as("text"))
+      graft.operators.TextAnalysis.redactPii(docs)
+        .select($"doc_id", $"n_emails", $"n_ssns", $"n_phones",
+          $"n_ips", $"redacted")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' email user' || CAST(doc_id AS VARCHAR)
+                            || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.org'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' ip ' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                            || '.' || CAST(doc_id % 200 + 3 AS VARCHAR)
+                            || '.' || CAST(doc_id % 100 AS VARCHAR)
+                            || '.' || CAST(doc_id % 50 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                            || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                            || '-' || CAST(doc_id % 9000 + 1000
+                                           AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call ' || CAST(doc_id % 700 + 200
+                                             AS VARCHAR)
+                            || '-' || CAST(doc_id % 600 + 300 AS VARCHAR)
+                            || '-' || CAST(doc_id % 8000 + 2000
+                                           AS VARCHAR)
+                       ELSE '' END AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
+             CAST(len(regexp_extract_all(text,
+               '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS INT)
+               AS n_phones,
+             CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS INT) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                 '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>',
+                 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS redacted
+      FROM docs
+      ORDER BY doc_id"""))
+
+  /** Sequence packing end-to-end — Curation.packSequences: whitespace
+    * token counts, global exclusive prefix-sum offsets in doc_id order
+    * (the distributed zipWithIndex shape — no single-partition window),
+    * and the fixed 512-token context span each document occupies. */
+  val q86 = Q(
+    "q86_sequence_packing",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.packSequences(t(s, d, "documents"),
+        "doc_id", size(graft.operators.TextAnalysis.tokens($"text")),
+        512)
+        .select($"doc_id", $"n_tokens", $"token_offset",
+          $"chunk_start", $"chunk_end")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), o AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS token_offset
+        FROM t
+      )
+      SELECT doc_id, n_tokens, token_offset,
+             token_offset // 512 AS chunk_start,
+             CASE WHEN n_tokens > 0
+                  THEN (token_offset + n_tokens - 1) // 512
+                  ELSE token_offset // 512 END AS chunk_end
+      FROM o ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+      q86)
 }

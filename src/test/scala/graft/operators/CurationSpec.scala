@@ -121,4 +121,45 @@ class CurationSpec extends SparkSpec {
     assert(tri.getAs[Double]("top_gram_frac") == 2.0 / 3)
     assert(tri.getAs[Double]("dup_gram_frac") == 2.0 / 3)
   }
+
+  test("packSequences: offsets are the exclusive token prefix sum") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens, offset 0, chunks [0,0]
+      (2L, "d e f g h"),        // 5 tokens, offset 3, spans the cut
+      (3L, ""),                 // split("") is [""] -> 1 token
+      (4L, "i j"))              // offset 9
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "doc_id",
+        size(split($"text", " ")), 4)
+      .select("doc_id", "n_tokens", "token_offset", "chunk_start",
+        "chunk_end")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L)))
+    assert(out(2L) == ((5L, 3L, 0L, 1L))) // crosses the 4-token cut
+    assert(out(3L) == ((1L, 8L, 2L, 2L)))
+    assert(out(4L) == ((2L, 9L, 2L, 2L)))
+  }
+
+  test("redactPii: counts on original text, fixed-order redaction") {
+    val docs = Seq(
+      (1L, "mail a.b@x.org and c@d.io now"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+      (3L, "v1.2.3.4 is a version, not 1.2.3.4 only"),
+      (4L, "clean"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ssns"),
+          r.getAs[Int]("n_phones"), r.getAs[Int]("n_ips"),
+          r.getAs[String]("redacted")))).toMap
+    assert(out(1L) == ((2, 0, 0, 0, "mail <EMAIL> and <EMAIL> now")))
+    assert(out(2L) ==
+      ((0, 1, 1, 1, "ssn <SSN> phone <PHONE> ip <IP>")))
+    // \b is a WORD boundary: 'v' and '1' are both word chars, so the
+    // quad inside "v1.2.3.4" does NOT match — only the standalone one
+    assert(out(3L)._4 == 1)
+    assert(out(4L) == ((0, 0, 0, 0, "clean")))
+  }
 }

@@ -62,6 +62,35 @@ class RanksSpec extends SparkSpec {
     assert(got.count() === 10000L)
   }
 
+  test("withGlobalPrefixSum equals the window running sum, both modes") {
+    val vals = base.withColumn("w", ($"k" * 31 % 11).cast("long"))
+    val win = Window.partitionBy(lit(0)).orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantIncl = vals.withColumn("s", sum($"w").over(win))
+    val gotIncl = Ranks.withGlobalPrefixSum(vals, Seq($"k"), "w", "s")
+    assert(gotIncl.except(wantIncl).isEmpty &&
+      wantIncl.except(gotIncl).isEmpty)
+    val wantExcl = vals.withColumn("s",
+      coalesce(sum($"w").over(Window.partitionBy(lit(0)).orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val gotExcl = Ranks.withGlobalPrefixSum(vals, Seq($"k"), "w", "s",
+      exclusive = true)
+    assert(gotExcl.except(wantExcl).isEmpty &&
+      wantExcl.except(gotExcl).isEmpty)
+  }
+
+  test("withGlobalPrefixSum treats NULL values as zero") {
+    val vals = base.withColumn("w",
+      when($"k" % 5 === 0, lit(null).cast("long"))
+        .otherwise(($"k" % 3).cast("long")))
+    val win = Window.partitionBy(lit(0)).orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = vals.withColumn("s",
+      coalesce(sum($"w").over(win), lit(0L)))
+    val got = Ranks.withGlobalPrefixSum(vals, Seq($"k"), "w", "s")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("bhAdjust of an empty frame is empty; singleton is min(1, p*1/1)") {
     val empty = spark.range(0).toDF("k").withColumn("p", lit(0.5))
     assert(Ranks.bhAdjust(empty, "p", "a").count() === 0L)
