@@ -37,28 +37,58 @@ object MixedLm {
       (0 until nGroups).map(g => groups.indices.filter(groups(_) == g)
         .toArray).toArray
 
-    // GLS for fixed rho: V⁻¹ = I − Z diag(rho/(1+rho·m_g)) Zᵀ blockwise
-    def gls(rho: Double): (DenseVector[Double], DenseMatrix[Double],
-        Double, Double) = {
-      // weighted cross-products via the block structure:
-      // XᵀV⁻¹X = XᵀX − Σ_g c_g (Σ_{i∈g} x_i)(Σ_{i∈g} x_i)ᵀ, c_g = ρ/(1+ρ m_g)
-      val xtx = x.t * x
-      val xty = x.t * y
-      var yty = y dot y
-      var logDetV = 0.0
-      for (g <- 0 until nGroups) {
+    // rho-INDEPENDENT sufficient statistics, computed once per probe:
+    // XᵀX, Xᵀy, yᵀy and the per-group row sums. Each golden-section
+    // evaluation then costs O(nGroups·p²) instead of re-walking the
+    // data — the search makes ~40 evaluations, so hoisting these is a
+    // ~n/nGroups-fold cut of the per-probe fit cost.
+    val xtx0 = x.t * x
+    val xty0 = x.t * y
+    val yty0 = y dot y
+    val gsums: Array[(Int, DenseVector[Double], Double)] =
+      Array.tabulate(nGroups) { g =>
         val idx = groupIdx(g)
-        val m = idx.length
-        val c = rho / (1.0 + rho * m)
-        logDetV += math.log(1.0 + rho * m)
         val xs = DenseVector.zeros[Double](p)
         var ys = 0.0
         idx.foreach { i => xs += x(i, ::).t; ys += y(i) }
+        (idx.length, xs, ys)
+      }
+
+    // GLS for fixed rho: V⁻¹ = I − Z diag(rho/(1+rho·m_g)) Zᵀ blockwise
+    // XᵀV⁻¹X = XᵀX − Σ_g c_g (Σ_{i∈g} x_i)(Σ_{i∈g} x_i)ᵀ, c_g = ρ/(1+ρ m_g)
+    def glsParts(rho: Double)
+        : (DenseMatrix[Double], DenseVector[Double], Double, Double) = {
+      val xtx = xtx0.copy
+      val xty = xty0.copy
+      var yty = yty0
+      var logDetV = 0.0
+      var g = 0
+      while (g < nGroups) {
+        val (m, xs, ys) = gsums(g)
+        val c = rho / (1.0 + rho * m)
+        logDetV += math.log(1.0 + rho * m)
         xtx -= (xs * xs.t) * c
         xty -= xs * (c * ys)
         yty -= c * ys * ys
+        g += 1
       }
-      val xtxInv = inv(xtx)
+      (xtx, xty, yty, logDetV)
+    }
+
+    // closed-form 2×2 inverse for the dominant intercept+covariate case
+    // (identical math to LAPACK inv up to ulps; avoids a JNI round trip
+    // per likelihood evaluation)
+    def invOf(xtx: DenseMatrix[Double]): DenseMatrix[Double] =
+      if (p == 2) {
+        val det = xtx(0, 0) * xtx(1, 1) - xtx(0, 1) * xtx(1, 0)
+        DenseMatrix((xtx(1, 1) / det, -xtx(0, 1) / det),
+          (-xtx(1, 0) / det, xtx(0, 0) / det))
+      } else inv(xtx)
+
+    def gls(rho: Double): (DenseVector[Double], DenseMatrix[Double],
+        Double, Double) = {
+      val (xtx, xty, yty, logDetV) = glsParts(rho)
+      val xtxInv = invOf(xtx)
       val beta = xtxInv * xty
       // SSE in the V metric: yᵀV⁻¹y − βᵀ XᵀV⁻¹y
       val sse = yty - (beta dot xty)
@@ -73,7 +103,10 @@ object MixedLm {
       var ll = -0.5 * (dof * math.log(sigma2) + logDetV + dof)
       if (reml) {
         // REML adjustment: −½ log|XᵀV⁻¹X| (xtxInv = (XᵀV⁻¹X)⁻¹)
-        val det = breeze.linalg.det(xtxInv)
+        val det =
+          if (p == 2)
+            xtxInv(0, 0) * xtxInv(1, 1) - xtxInv(0, 1) * xtxInv(1, 0)
+          else breeze.linalg.det(xtxInv)
         if (det <= 0) return Double.MaxValue
         ll += 0.5 * math.log(det)
       }

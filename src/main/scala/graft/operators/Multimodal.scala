@@ -424,6 +424,161 @@ object Multimodal {
       }
   }
 
+  /** REAL MP4 demuxer through the [[VideoDemuxer]] seam: MJPEG-in-MP4
+    * (ISO/IEC 14496-12 ISO base media file format, the public spec).
+    * Boxes are [u32 size BE][fourcc]; the sample tables under
+    * moov/trak/mdia/minf/stbl locate every sample: `stsd` declares the
+    * codec (accepted: 'jpeg'/'mjpa'/'mjpb' — each sample a standalone
+    * JPEG the JDK can decode), `stsz` the sample sizes, `stsc` the
+    * samples-per-chunk runs, `stco`/`co64` the chunk file offsets.
+    * Frames re-encode as PNG, the payload contract downstream decoders
+    * expect. VP8/H.264-in-MP4 still has no JDK decoder — those payloads
+    * correctly return None here and fall through. Not auto-registered:
+    * `registerVideoDemuxer(MjpegMp4Demuxer)` on the driver. */
+  object MjpegMp4Demuxer extends VideoDemuxer {
+    private def fourcc(b: Array[Byte], off: Long): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b, off.toInt, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def u32be(b: Array[Byte], off: Long): Long = {
+      val o = off.toInt
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    }
+
+    private def u64be(b: Array[Byte], off: Long): Long =
+      (u32be(b, off) << 32) | u32be(b, off + 4)
+
+    def canDemux(content: Array[Byte]): Boolean =
+      content.length >= 12 && fourcc(content, 4) == "ftyp"
+
+    /** Find the first child box named `name` inside [start, end);
+      * returns (payloadStart, payloadEnd). */
+    private def findBox(b: Array[Byte], start: Long, end: Long,
+        name: String): Option[(Long, Long)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz0 = u32be(b, off)
+        val id = fourcc(b, off + 4)
+        val (hdr, sz) =
+          if (sz0 == 1 && off + 16 <= end) (16L, u64be(b, off + 8))
+          else if (sz0 == 0) (8L, end - off)
+          else (8L, sz0)
+        if (sz < hdr) return None // corrupt size: stop walking
+        if (id == name) return Some((off + hdr, math.min(off + sz, end)))
+        off += sz
+      }
+      None
+    }
+
+    def demux(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+      try {
+        val fileEnd = content.length.toLong
+        val moov = findBox(content, 0, fileEnd, "moov").getOrElse {
+          return None
+        }
+        // walk every trak; use the first whose stsd codec is JPEG-ish
+        var trakStart = moov._1
+        while (trakStart < moov._2) {
+          findBox(content, trakStart, moov._2, "trak") match {
+            case None => trakStart = moov._2
+            case Some((ts, te)) =>
+              val stbl = for {
+                md <- findBox(content, ts, te, "mdia")
+                mi <- findBox(content, md._1, md._2, "minf")
+                st <- findBox(content, mi._1, mi._2, "stbl")
+              } yield st
+              val jpegish = stbl.flatMap { case (ss, se) =>
+                findBox(content, ss, se, "stsd").flatMap {
+                  case (ds, de) =>
+                    // ver/flags(4) + entry_count(4) + [size(4) format(4)]
+                    if (ds + 16 > de) None
+                    else {
+                      val fmt = fourcc(content, ds + 12)
+                      if (Set("jpeg", "mjpa", "mjpb")(fmt))
+                        Some((ss, se))
+                      else None
+                    }
+                }
+              }
+              jpegish match {
+                case Some((ss, se)) =>
+                  return demuxTrack(content, ss, se)
+                case None =>
+                  // skip past this trak, look for the next one
+                  trakStart = te
+              }
+          }
+        }
+        None
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    private def demuxTrack(b: Array[Byte], stblStart: Long,
+        stblEnd: Long): Option[IndexedSeq[Array[Byte]]] = {
+      val (szS, szE) = findBox(b, stblStart, stblEnd, "stsz")
+        .getOrElse(return None)
+      val fixedSize = u32be(b, szS + 4)
+      val nSamples = u32be(b, szS + 8).toInt
+      val sizes: Int => Long =
+        if (fixedSize != 0) _ => fixedSize
+        else i => u32be(b, szS + 12 + 4L * i)
+      val (scS, scE) = findBox(b, stblStart, stblEnd, "stsc")
+        .getOrElse(return None)
+      val nRuns = u32be(b, scS + 4).toInt
+      val runs = (0 until nRuns).map { i =>
+        (u32be(b, scS + 8 + 12L * i), // first_chunk (1-based)
+          u32be(b, scS + 12 + 12L * i)) // samples_per_chunk
+      }
+      val (offsets, nChunks) =
+        findBox(b, stblStart, stblEnd, "stco") match {
+          case Some((coS, _)) =>
+            val n = u32be(b, coS + 4).toInt
+            ((i: Int) => u32be(b, coS + 8 + 4L * i), n)
+          case None =>
+            val (coS, _) = findBox(b, stblStart, stblEnd, "co64")
+              .getOrElse(return None)
+            val n = u32be(b, coS + 4).toInt
+            ((i: Int) => u64be(b, coS + 8 + 8L * i), n)
+        }
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk = 0
+      while (chunk < nChunks && sample < nSamples) {
+        // samples in this chunk = the last stsc run whose first_chunk
+        // covers it (runs are ascending by first_chunk)
+        val spc = runs.takeWhile(_._1 <= chunk + 1).lastOption
+          .map(_._2.toInt).getOrElse(0)
+        var off = offsets(chunk)
+        var k = 0
+        while (k < spc && sample < nSamples) {
+          val sz = sizes(sample)
+          if (off + sz <= b.length && sz >= 2 &&
+            (b(off.toInt) & 0xff) == 0xff &&
+            (b(off.toInt + 1) & 0xff) == 0xd8) {
+            val jpeg = java.util.Arrays.copyOfRange(b, off.toInt,
+              (off + sz).toInt)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            if (img != null) {
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              frames += out.toByteArray
+            }
+          }
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      val out = frames.result()
+      if (out.nonEmpty) Some(out) else None
+    }
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame becomes a
     * frame row. Demux resolution order per payload: (1) registered
     * [[VideoDemuxer]]s (the MP4/WebM seam), (2) the built-in ImageIO

@@ -57,8 +57,15 @@ class MixedLmSpec extends SparkSpec {
     val betas = sheet.flatMap { m =>
       val s = m("sample_id")
       val base = if (m("grp") == "CASE") 0.7f else 0.3f
+      // cg2 is noise around 0.5 with IDENTICAL per-group noise
+      // multisets (group means equal by construction) — a constant 0.5
+      // would sit on the degenerate sse=0 knife edge where the fit
+      // correctly returns the NaN row (the reference's LinAlgError
+      // path, dm.py:67-69), which is not what this test is about
+      val noise = Map("a1" -> 1, "a2" -> -2, "a3" -> 3, "a4" -> -1,
+        "b1" -> 3, "b2" -> -1, "b3" -> 1, "b4" -> -2)
       Seq((s, "cg1", base + (m("rep").hashCode % 5) * 0.002f),
-        (s, "cg2", 0.5f))
+        (s, "cg2", 0.5f + noise(s) * 0.01f))
     }.toDF("sample_label", "probe_id", "beta")
     val dmp = Dm.computeDmpMixed(spark, betas, design, groups)
       .collect().map(r => r.getString(0) -> r).toMap

@@ -219,6 +219,77 @@ class MultimodalSpec extends SparkSpec {
     chunk("RIFF", body)
   }
 
+  /** Build a minimal-but-valid MJPEG-in-MP4: ftyp + mdat holding the
+    * JPEG samples + moov/trak/mdia/minf/stbl with stsd('jpeg'), a
+    * per-sample stsz, a single-run stsc and a one-chunk stco pointing
+    * into mdat — exactly the sample-table surface the demuxer walks. */
+  def mjpegMp4(n: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ name.getBytes("US-ASCII") ++ payload
+    val jpegs = (0 until n).map { i =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) g.setSample(x, y, 0, 20 * i)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0))
+    val mdat = box("mdat", jpegs.flatten.toArray)
+    val firstSampleOffset = ftyp.length + 8L // into mdat payload
+    val stsd = box("stsd", u32(0) ++ u32(1) ++
+      (u32(8) ++ "jpeg".getBytes("US-ASCII")))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(n.toLong) ++
+      jpegs.flatMap(j => u32(j.length.toLong)).toArray)
+    val stsc = box("stsc", u32(0) ++ u32(1) ++
+      u32(1) ++ u32(n.toLong) ++ u32(1))
+    val stco = box("stco", u32(0) ++ u32(1) ++ u32(firstSampleOffset))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("MJPEG-in-MP4 demuxes to real frames through the seam") {
+    Multimodal.registerVideoDemuxer(Multimodal.MjpegMp4Demuxer)
+    try {
+      val mp4 = mjpegMp4(4)
+      // declared n_frames is WRONG on purpose: the count must come
+      // from the sample tables, proving the stub chunker was not used
+      val rows = Seq(MediaRow(40, "video", mp4, 16, 12, 0, 99)).toDS()
+      val frames = sampleFrames(spark, rows, stride = 1).collect()
+        .sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+      for (f <- frames) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.content))
+        assert(img.getWidth == 16 && img.getHeight == 12)
+        val lum = img.getRaster.getSample(8, 6, 0)
+        assert(math.abs(lum - 20 * f.frame_idx) <= 2,
+          s"frame ${f.frame_idx}: got gray $lum")
+      }
+      val strided = sampleFrames(spark, rows, stride = 2).collect()
+      assert(strided.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+      // an MP4 with a non-JPEG codec (e.g. avc1): demux returns None
+      // and the row falls through to the stub chunker
+      val avc = {
+        val base = mjpegMp4(2)
+        val s = new String(base, "ISO-8859-1")
+        val i = s.indexOf("jpeg", s.indexOf("stsd"))
+        base.patch(i, "avc1".getBytes("US-ASCII"), 4).toArray
+      }
+      val rows2 = Seq(MediaRow(41, "video", avc, 4, 4, 0, 3)).toDS()
+      val stub = sampleFrames(spark, rows2, stride = 1).collect()
+      assert(stub.length == 3) // declared n_frames: stub path
+    } finally Multimodal.clearVideoDemuxers()
+  }
+
   test("MJPEG-in-AVI demuxes to real frames through the seam") {
     Multimodal.registerVideoDemuxer(Multimodal.MjpegAviDemuxer)
     try {
