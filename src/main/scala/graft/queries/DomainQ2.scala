@@ -1168,7 +1168,55 @@ object DomainQ2 {
                   ELSE token_offset // 512 END AS chunk_end
       FROM o ORDER BY doc_id"""))
 
+  /** A1/A2 end-to-end — Prep.meanIbIntensity + totalIbIntensity
+    * (Prep.scala:90,96, reference samples.py:1044-1072): the in-band
+    * cell extraction (type II reads (G, meth_g)/(R, unmeth_r); type I
+    * reads both own-channel cells), per-(sample, probe) totals with the
+    * 0→NULL rule, and the per-sample mean joined on. All integer
+    * arithmetic plus one exact division. */
+  val q87 = Q(
+    "q87_ib_intensity",
+    (s, d) => {
+      import s.implicits._
+      val sig = sigA(s, d)
+      graft.prep.Prep.totalIbIntensity(sig)
+        .join(graft.prep.Prep.meanIbIntensity(sig), Seq("sample_label"))
+        .select($"sample_label", $"probe_id", $"total_ib",
+          emit6($"mean_ib").as("mean_ib"))
+        .orderBy($"sample_label", $"probe_id")
+    },
+    Some(s"""
+      WITH sig AS ($sigSql
+      ), ib AS (
+        SELECT sample_label, probe_id,
+               CASE WHEN inf_type = 'II' THEN 'G' ELSE channel END
+                 AS ch,
+               CASE WHEN inf_type = 'II' THEN meth_g
+                    WHEN channel = 'G' THEN meth_g ELSE meth_r END AS v
+        FROM sig WHERE inf_type = 'II' OR channel IN ('G', 'R')
+        UNION ALL
+        SELECT sample_label, probe_id,
+               CASE WHEN inf_type = 'II' THEN 'R' ELSE channel END,
+               CASE WHEN inf_type = 'II' THEN unmeth_r
+                    WHEN channel = 'G' THEN unmeth_g ELSE unmeth_r END
+        FROM sig WHERE inf_type = 'II' OR channel IN ('G', 'R')
+      ), cells AS (
+        SELECT * FROM ib WHERE v IS NOT NULL
+      ), tot AS (
+        SELECT sample_label, probe_id,
+               CASE WHEN sum(CAST(v AS DOUBLE)) = 0 THEN NULL
+                    ELSE sum(CAST(v AS DOUBLE)) END AS total_ib
+        FROM cells GROUP BY sample_label, probe_id
+      ), mn AS (
+        SELECT sample_label, avg(CAST(v AS DOUBLE)) AS mean_ib
+        FROM cells GROUP BY sample_label
+      )
+      SELECT t.sample_label, t.probe_id, t.total_ib,
+             round(m.mean_ib, 6) + 0.0 AS mean_ib
+      FROM tot t JOIN mn m USING (sample_label)
+      ORDER BY sample_label, probe_id"""))
+
   val all: Seq[Q] =
     Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-      q86)
+      q86, q87)
 }
