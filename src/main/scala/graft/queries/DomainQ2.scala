@@ -1216,7 +1216,42 @@ object DomainQ2 {
       FROM tot t JOIN mn m USING (sample_label)
       ORDER BY sample_label, probe_id"""))
 
+  /** L8 driver surface — Cnv.segment (Cnv.scala:325, reference
+    * cnv.py:188-193 via the external linear_segment CBS): circular
+    * binary segmentation over per-chromosome bin tracks with planted
+    * gain plateaus. The permutation test (per-permutation
+    * splitmix-seeded java.util.Random Fisher-Yates inside
+    * data-dependent recursion) is NOT SQL-expressible, so this is the
+    * registry's one rows-only entry: the driver gates that the
+    * operator executes end-to-end on its data; exactness is covered by
+    * CnvSpec (incl. determinism under thread-pool contention) and
+    * PartitionInvarianceSpec (same segments at any shuffle setting).
+    * The fixture is deterministic: two chromosomes × 150 bins from
+    * `part`, cnv = ±small parity noise with a 0.9 plateau planted on
+    * bins 50-99 of chr1 — CBS must find it at any partitioning. */
+  val q88 = Q(
+    "q88_cnv_segmentation",
+    (s, d) => {
+      import s.implicits._
+      val bins = t(s, d, "part")
+        .filter($"p_partkey" <= 300)
+        .select(
+          when($"p_partkey" % 2 === 0, "chr1").otherwise("chr2")
+            .as("chrom"),
+          (($"p_partkey" / 2) * 50000L).cast("long").as("map_loc"),
+          (when($"p_partkey" % 4 < 2, 0.02).otherwise(-0.02) +
+            when($"p_partkey" % 2 === 0 &&
+              ($"p_partkey" / 2).between(50, 99), 0.9).otherwise(0.0))
+            .as("cnv"))
+      graft.cnv.Cnv.segment(s, bins, shuffles = 200,
+        pThreshold = 0.01)
+        .select($"chromosome", $"seg_id", $"start", $"end",
+          $"nb_bins", emit6($"mean_cnv").as("mean_cnv"))
+        .orderBy($"chromosome", $"seg_id")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-      q86, q87)
+      q86, q87, q88)
 }

@@ -50,4 +50,25 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(flags.contains((200L, 100L)))
     assert(!flags.exists(_._1 == 201L))
   }
+
+  test("redactPii composes with readStream (row-local, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = graft.operators.TextAnalysis.redactPii(in.toDF())
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(1, ts(10), "write to a@b.io from 10.0.0.7"),
+        Doc(2, ts(11), "nothing sensitive"))
+      q.processAllAvailable()
+      val out = spark.table("pii_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+            r.getAs[String]("redacted")))).toMap
+      assert(out(1L) == ((1, 1, "write to <EMAIL> from <IP>")))
+      assert(out(2L) == ((0, 0, "nothing sensitive")))
+    } finally q.stop()
+  }
 }
