@@ -29,11 +29,15 @@ object Q {
     * (`unix_micros`, watermarks, RANGE frames) all require LTZ. */
   def eventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(StringType) =>
+        // CSV-ish landing zones deliver ISO-8601 strings; the cast
+        // parses wall-clock in the session zone (UTC), like NTZ
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -50,4 +50,21 @@ class NtzGuardSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
+
+  test("events ingestion normalizes ISO-8601 STRING timestamps too") {
+    val dir = java.nio.file.Files.createTempDirectory("tstr").toString
+    val base = Q.t(spark, sf("sf0.001"), "events").limit(100)
+    base
+      .withColumn("ts",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .write.parquet(s"$dir/events.parquet")
+    val norm = Q.t(spark, dir, "events")
+    assert(norm.schema("ts").dataType == TimestampType)
+    // same instants as the native-timestamp read (UTC session)
+    val want = base.select(col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val got = norm.select(col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
 }
