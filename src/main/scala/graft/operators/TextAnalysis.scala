@@ -195,4 +195,53 @@ object TextAnalysis {
               SsnRe, "<SSN>"),
             PhoneRe, "<PHONE>"),
           IpRe, "<IP>"))
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020 score with a
+    * KenLM; here the LM is an add-k-smoothed word-bigram model trained
+    * distributed on the corpus itself — the "in-domain perplexity"
+    * variant). P(w2 | w1) = (C(w1,w2) + k) / (Cctx(w1) + k·V) where
+    * Cctx(w1) sums the bigram counts with w1 as context (proper
+    * normalization over the V-word vocabulary).
+    *
+    * Per doc: summed log-probability, per-bigram cross-entropy and
+    * perplexity — the CCNet head/middle/tail buckets are one threshold
+    * filter away. Docs with fewer than two tokens score NULL.
+    *
+    * Shape at 100 TB: bigram construction is row-local (slice +
+    * arrays_zip — no per-doc window); training is ONE groupBy over the
+    * exploded bigrams (map-side partial combine) plus a vocab-bounded
+    * context roll-up; scoring re-joins the bigram stream to the count
+    * tables on their natural keys and aggregates per doc. Zipf skew on
+    * frequent contexts stays inside the (w1, w2) composite key — the
+    * count tables, not the raw stream, carry the per-key hot spots, and
+    * AQE's skew-join handling covers the scoring join. Vocabulary size
+    * is the only driver scalar (a count). */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("l"))
+    val bgs = toks
+      .withColumn("a", slice($"l", lit(1), size($"l") - 1))
+      .withColumn("b", slice($"l", lit(2), size($"l") - 1))
+      .select(col(idCol), explode(arrays_zip($"a", $"b")).as("p"))
+      .select(col(idCol), $"p.a".as("w1"), $"p.b".as("w2"))
+    val bc = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cc = bc.groupBy("w1").agg(sum($"cb").as("cctx"))
+    // KB-scale driver scalar: |V| becomes a literal in the smoothing
+    // denominator (same boundary class as the ECDF partition counts).
+    val v = toks.select(explode($"l").as("tok"))
+      .agg(countDistinct($"tok")).head().getLong(0)
+    val scored = bgs
+      .join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(($"cb" + k) / ($"cctx" + k * v))).as("log_prob"))
+      .withColumn("xent", -$"log_prob" / $"n_bigrams")
+      .withColumn("ppl", exp($"xent"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce($"n_bigrams", lit(0L)))
+  }
 }

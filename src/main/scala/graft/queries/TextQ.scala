@@ -471,6 +471,56 @@ object TextQ {
       FROM corpus LEFT JOIN m USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** CCNet-style in-domain bigram-LM quality scoring
+    * (TextAnalysis.bigramLmScore): add-1-smoothed word-bigram LM trained
+    * distributed on the corpus, per-doc log-prob / cross-entropy /
+    * perplexity. The oracle retrains the identical LM in SQL — counts
+    * and the smoothing arithmetic are integer-exact, so only the ln
+    * summation order differs (absorbed by the emit6 rounding). */
+  val q89 = Q(
+    "q89_bigram_lm_ppl",
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.bigramLmScore(t(s, d, "documents"))
+        .select($"doc_id", $"n_bigrams",
+          DomainQ.emit6($"log_prob").as("log_prob"),
+          DomainQ.emit6($"xent").as("xent"),
+          DomainQ.emit6($"ppl").as("ppl"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      ), bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+        FROM toks
+      ), bgs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+      ), bc AS (
+        SELECT w1, w2, count(*) AS cb FROM bgs GROUP BY 1, 2
+      ), cc AS (
+        SELECT w1, sum(cb) AS cctx FROM bc GROUP BY 1
+      ), v AS (
+        SELECT count(DISTINCT tok) AS nv
+        FROM (SELECT unnest(l) AS tok FROM toks)
+      ), scored AS (
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               sum(ln((bc.cb + 1.0) / (cc.cctx + 1.0 * v.nv))) AS lp
+        FROM bgs g
+        JOIN bc USING (w1, w2)
+        JOIN cc USING (w1)
+        CROSS JOIN v
+        GROUP BY 1
+      )
+      SELECT d.doc_id,
+             coalesce(s.n_bigrams, 0) AS n_bigrams,
+             round(s.lp, 6) + 0.0 AS log_prob,
+             round(-s.lp / s.n_bigrams, 6) + 0.0 AS xent,
+             round(exp(-s.lp / s.n_bigrams), 6) + 0.0 AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89)
 }
