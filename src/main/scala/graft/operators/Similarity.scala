@@ -246,6 +246,45 @@ object Similarity {
     * work; `dfCap` drops degenerate buckets (e.g. the all-zeros sketch
     * of null-ish vectors) the way hot shingles are capped in text dedup.
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, compute pairwise cosine only INSIDE each cluster,
+    * and drop every row with a semantic duplicate (cos ≥ `minCos`) of
+    * smaller id — the paper's keep-one-per-duplicate-set policy made
+    * deterministic by the id order (the paper keeps a random member).
+    *
+    * Emits one row per corpus row: (idCol, cluster, n_sim_smaller,
+    * max_cos_smaller, keep).
+    *
+    * Scale shape: clustering is [[kMeans]] (row-local assignment, k×dim
+    * centroid round-trips). The quadratic pairwise stage — SemDeDup's
+    * defining cost — is confined to within-cluster pairs via ONE
+    * equi-shuffle on the cluster id per side; cluster count grows with
+    * the corpus so |cluster|² stays bounded (the paper runs k=50k on
+    * LAION). The verdict join is a per-id aggregate + left join. */
+  def semDedup(corpus: DataFrame, initClusterCol: String,
+      iters: Int = 1, minCos: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = kMeans(corpus, initClusterCol, iters, vecCol)
+    val vecs = assigned.select(col(idCol).as("id"),
+      col("ivf_cluster").as("cl"), asDouble(col(vecCol)).as("v"))
+    val pairs = vecs.select(col("id").as("id_a"), col("cl"),
+        col("v").as("v_a"))
+      .join(vecs.select(col("id").as("id_b"), col("cl"),
+        col("v").as("v_b")), Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+    val stats = pairs.groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_sim_smaller"),
+        max(col("cos")).as("max_cos_smaller"))
+    vecs.select(col("id"), col("cl").as("cluster"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_sim_smaller"), lit(0L)).as("n_sim_smaller"),
+        col("max_cos_smaller"),
+        col("n_sim_smaller").isNull.as("keep"))
+  }
+
   def srpNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64,
       bands: Int = 8, bandBits: Int = 8, minCos: Double = 0.3,

@@ -253,5 +253,58 @@ object SimilarityQ {
       ORDER BY id_a, id_b"""
     })
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44)
+  /** SemDeDup (Similarity.semDedup): one Lloyd iteration from the
+    * label seeds (same replay shape as q38's two-iteration oracle),
+    * within-cluster pairwise cosine, drop rows with a ≥0.35 duplicate
+    * of smaller id. The synthetic embeddings have no true near-dups
+    * (max within-cluster cos ≈ 0.51), so the threshold sits at the
+    * ~99.9th pair percentile to exercise the drop path. */
+  val q90 = Q(
+    "q90_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      Similarity.semDedup(t(s, d, "embeddings"), "label",
+          iters = 1, minCos = 0.35)
+        .select($"vec_id", $"cluster", $"n_sim_smaller",
+          DomainQ.emit6($"max_cos_smaller").as("max_cos_smaller"),
+          $"keep")
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+      ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      c0 AS (
+        SELECT CAST(label AS BIGINT) AS c, i, avg(e[i]) AS m
+        FROM emb CROSS JOIN dims GROUP BY 1, 2
+      ), c0v AS (SELECT c, list(m ORDER BY i) AS cv FROM c0 GROUP BY c),
+      a1 AS (
+        SELECT vec_id, c FROM (
+          SELECT emb.vec_id, c0v.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                     dd -> (e[dd] - cv[dd]) * (e[dd] - cv[dd]))), c0v.c)
+                   AS rn
+          FROM emb CROSS JOIN c0v) WHERE rn = 1
+      ), av AS (
+        SELECT a1.vec_id, a1.c, e.e FROM a1 JOIN emb e USING (vec_id)
+      ), hits AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               list_cosine_similarity(x.e, y.e) AS cos
+        FROM av x JOIN av y ON x.c = y.c AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.e, y.e) >= 0.35
+      ), st AS (
+        SELECT id_b AS vec_id, count(*) AS n_sim_smaller,
+               max(cos) AS mc
+        FROM hits GROUP BY 1
+      )
+      SELECT av.vec_id, av.c AS cluster,
+             coalesce(st.n_sim_smaller, 0) AS n_sim_smaller,
+             round(st.mc, 6) + 0.0 AS max_cos_smaller,
+             st.vec_id IS NULL AS keep
+      FROM av LEFT JOIN st USING (vec_id)
+      ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90)
 }

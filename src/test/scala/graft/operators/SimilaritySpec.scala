@@ -146,6 +146,31 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == ivf)
   }
 
+  test("semDedup: planted duplicate sets keep exactly the smallest id") {
+    // cluster 0: three copies of the same direction (+ one orthogonal),
+    // cluster 1: two copies — keep = smallest id of each duplicate set
+    val docs = Seq(
+      (10L, Array(1f, 0f, 0f, 0f), 0),
+      (11L, Array(2f, 0f, 0f, 0f), 0),  // dup of 10 (cos = 1)
+      (12L, Array(1f, 1e-4f, 0f, 0f), 0), // near-dup of 10
+      (13L, Array(0f, 0f, 1f, 0f), 0),  // orthogonal — kept
+      (20L, Array(0f, 1f, 0f, 0f), 1),
+      (21L, Array(0f, 3f, 0f, 0f), 1))  // dup of 20
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(docs, "label", iters = 1, minCos = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sim_smaller"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L) == ((0L, true)))
+    assert(out(11L)._2 == false && out(11L)._1 >= 1L)
+    assert(out(12L)._2 == false)
+    assert(out(13L) == ((0L, true)))
+    assert(out(20L) == ((0L, true)))
+    assert(out(21L) == ((1L, false)))
+    // cross-cluster pairs are never compared: 10 and 20 both survive
+    // even though the policy is global-greedy within clusters only
+    assert(out.values.count(_._2) == 3)
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
