@@ -109,4 +109,46 @@ object Curation {
         when(col("n_tokens") > 0,
           expr(s"(token_offset + n_tokens - 1) div $contextLen"))
           .otherwise(col("chunk_start")))
+
+  /** Temperature-weighted mixture sampling (the multilingual-LM
+    * rebalancing rule, e.g. XLM-R / mT5: target share ∝ w^α where w is
+    * a source's natural share). Down-sampling only — the smallest
+    * source keeps 100% and every source s keeps
+    * rate_s = (n_min / n_s)^(1-α), which makes the kept mixture
+    * exactly ∝ w^α with no upsampling. The keep decision reuses the
+    * stable [[hashBucket]] universe (bucket < round(rate·10000)), so
+    * kept sets are reproducible and never move when the corpus grows
+    * (beyond the rate shift a changed census implies).
+    *
+    * α = 0.5 is the bit-exact sweet spot: (n_min/n_s)^0.5 is one IEEE
+    * sqrt of an exact integer ratio, identical on every engine (the
+    * oracle replays it); other α go through pow (last-ulp variance
+    * across libms — fine in production, kept out of the hash gate).
+    *
+    * Scale: ONE map-side-combined census aggregation (KB: one row per
+    * source) round-trips the driver, then a zero-shuffle codegen'd
+    * filter. Emits (idCol, groupCol, bucket, rate_bp, keep). */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0,1]")
+    // KB-scale driver scalar boundary: one (source, count) row per source
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    val nMin = counts.map(_._2).min
+    val rateBp = counts.map { case (g, n) =>
+      val r =
+        if (alpha == 0.5) math.sqrt(nMin.toDouble / n)
+        else math.pow(nMin.toDouble / n, 1.0 - alpha)
+      g -> math.floor(r * Buckets + 0.5).toLong
+    }.sortBy(_._1)
+    val cut = rateBp.foldLeft(lit(Buckets.toLong)) {
+      case (acc, (g, bp)) =>
+        when(col(groupCol) === g, lit(bp)).otherwise(acc)
+    }
+    df.select(col(idCol), col(groupCol),
+      hashBucket(col(idCol)).as("bucket"))
+      .withColumn("rate_bp", cut)
+      .withColumn("keep", col("bucket") < col("rate_bp"))
+  }
 }

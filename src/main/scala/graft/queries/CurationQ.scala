@@ -156,5 +156,36 @@ object CurationQ {
       GROUP BY tf.doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56)
+  /** Temperature-weighted mixture sampling (Curation.temperatureSample,
+    * α = 0.5): keep rate per source = sqrt(n_min/n_s) — one IEEE sqrt
+    * of an exact integer ratio, so the basis-point cut and therefore
+    * the whole keep set are integer-exact across engines. The oracle
+    * re-derives the census, the rate and the splitmix bucket. */
+  val q91 = Q(
+    "q91_temperature_mixture",
+    (s, d) => {
+      import s.implicits._
+      Curation.temperatureSample(t(s, d, "documents"),
+          "doc_id", "source", alpha = 0.5)
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+      ), mn AS (SELECT min(n) AS nmin FROM c),
+      r AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 10000 + 0.5)
+                    AS BIGINT) AS rate_bp
+        FROM c CROSS JOIN mn
+      ), b AS (
+        SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket
+        FROM documents
+      )
+      SELECT b.doc_id, b.source, b.bucket, r.rate_bp,
+             b.bucket < r.rate_bp AS keep
+      FROM b JOIN r USING (source)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91)
 }

@@ -44,6 +44,29 @@ class CurationSpec extends SparkSpec {
     assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
   }
 
+  test("temperatureSample: kept mixture tracks w^alpha, smallest " +
+      "source keeps all") {
+    // sources with 4:1 natural imbalance
+    val df = spark.range(5000)
+      .select($"id", when($"id" % 5 === 0, "small").otherwise("big")
+        .as("src"))
+    val out = Curation.temperatureSample(df, "id", "src", alpha = 0.5)
+    val byS = out.filter($"keep").groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small (n=1000) keeps 100%
+    assert(byS("small") == 1000L)
+    // big (n=4000) keeps ~sqrt(1000/4000) = 50% → kept ratio big:small
+    // ≈ sqrt(4):1 = 2:1 (the α=0.5 target), ±5%
+    val ratio = byS("big").toDouble / byS("small")
+    assert(math.abs(ratio - 2.0) < 0.1, byS.toString)
+    // determinism: identical keep set on a rerun
+    val again = Curation.temperatureSample(df, "id", "src", alpha = 0.5)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // alpha = 1 keeps everything (natural mixture)
+    val nat = Curation.temperatureSample(df, "id", "src", alpha = 1.0)
+    assert(nat.filter(!$"keep").count() == 0L)
+  }
+
   test("capPerGroup equals the row_number window reference") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pr = Curation.splitmix($"doc_id")
