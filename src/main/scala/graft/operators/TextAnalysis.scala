@@ -196,6 +196,74 @@ object TextAnalysis {
             PhoneRe, "<PHONE>"),
           IpRe, "<IP>"))
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, the
+    * word-type formulation every production trainer uses): pre-tokenize
+    * to a (word, freq) table — the ONLY corpus-scale pass, one
+    * map-side-combined groupBy — then iterate: count adjacent symbol
+    * pairs weighted by word freq, take the (count DESC, pair ASC)
+    * argmax, splice the pair everywhere. Returns the ordered merge
+    * table (rank, lhs, rhs, merged, pair_count) — integers and strings
+    * end to end, no float anywhere.
+    *
+    * Symbols are encoded as SOH<sym>STX runs, which makes the
+    * merge application a single literal `replace`: the wrappers anchor
+    * both symbol boundaries, so no false substring matches and no
+    * shared characters between adjacent occurrences (greedy
+    * non-overlapping replace = correct BPE splice, identically in any
+    * engine's replace()).
+    *
+    * Scale: every per-merge pass runs over the word-TYPE table
+    * (O(vocab), not O(corpus)); the argmax is a TakeOrdered(1); merges
+    * round-trip the driver as KB scalars. Per-iteration
+    * localCheckpoint keeps the replayed-replace lineage flat. */
+  /** Symbol-boundary markers for the BPE encoding (SOH/STX — never in
+    * corpus text, which is printable by ingest contract). */
+  val SymL = "\u0001"
+  val SymR = "\u0002"
+
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = concat_ws("",
+      transform(split($"w", ""), c => concat(lit(SymL), c, lit(SymR))))
+    var cur = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", enc)
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= numMerges && !exhausted) {
+      val syms = split(
+        regexp_replace($"s", s"^$SymL|$SymR$$", ""), SymR + SymL)
+      val best = cur
+        .withColumn("syms", syms)
+        .withColumn("a", slice($"syms", lit(1), size($"syms") - 1))
+        .withColumn("b", slice($"syms", lit(2), size($"syms") - 1))
+        .select($"freq", explode(arrays_zip($"a", $"b")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, a, b, a + b, cnt))
+        val pat = s"$SymL$a$SymR$SymL$b$SymR"
+        val rep = s"$SymL$a$b$SymR"
+        cur = cur.withColumn("s", replace($"s", lit(pat), lit(rep)))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020 score with a
     * KenLM; here the LM is an add-k-smoothed word-bigram model trained
     * distributed on the corpus itself — the "in-domain perplexity"

@@ -521,6 +521,60 @@ object TextQ {
       FROM documents d LEFT JOIN scored s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Generated oracle for [[TextAnalysis.bpeTrain]]: each merge
+    * iteration i unrolls to three CTEs — pair counts p_i over w_{i-1},
+    * the (cnt DESC, pair ASC) argmax m_i, and the spliced word table
+    * w_i via the boundary-anchored replace. Integers and strings end
+    * to end: the replay is bit-exact, no rounding tier at all. */
+  private def bpeOracleSql(n: Int): String = {
+    val L = "chr(1)"; val R = "chr(2)"
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+        SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq, unnest(list_transform(range(1, len(syms)),
+            j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
+          FROM (SELECT freq,
+                string_split(s[2:length(s) - 1], $R || $L) AS syms
+                FROM w${i - 1}))
+        GROUP BY 1, 2
+      ), m$i AS (
+        SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+      ), w$i AS MATERIALIZED (
+        SELECT w, freq,
+               replace(s, $L || m$i.a || $R || $L || m$i.b || $R,
+                       $L || m$i.a || m$i.b || $R) AS s
+        FROM w${i - 1} CROSS JOIN m$i
+      )"""
+    }.mkString(", ")
+    val union = (1 to n).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs,
+          a || b AS merged, cnt AS pair_count FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT w, count(*) AS freq,
+               list_reduce(list_transform(string_split(w, ''),
+                 c -> $L || c || $R), (x, y) -> x || y) AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+      ), $iters
+      SELECT * FROM ($union) ORDER BY rank"""
+  }
+
+  /** Distributed BPE merge training (TextAnalysis.bpeTrain): the first
+    * 12 merges learned from the corpus word-type table, exact-gated —
+    * ranks, pairs and weighted pair counts all integer/string. */
+  val q92 = Q(
+    "q92_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, d, "documents"), numMerges = 12)
+        .orderBy($"rank")
+    },
+    Some(bpeOracleSql(12)))
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
+      q92)
 }

@@ -29,6 +29,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getLong(1) == 0L && r3.isNullAt(2) && r3.isNullAt(3))
   }
 
+  test("bpeTrain: hand-computed merges on the Sennrich toy corpus") {
+    // word freqs: low×5, lower×2, newest×6, widest×3 (one doc per copy)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // pair counts round 1: (e,s) 9, (s,t) 9, (e,w) 6, (n,e) 6, (l,o) 7,
+    // (o,w) 7, (w,e) 8, ... argmax ties (e,s)/(s,t) at 9 → lexicographic
+    // smaller pair (e,s) first
+    assert(merges(0) == ((1L, "e", "s", "es", 9L)))
+    // round 2: (es,t) 9 wins
+    assert(merges(1) == ((2L, "es", "t", "est", 9L)))
+    // round 3: w-e in newest is gone (n,e)(e,w) intact: (e,w) 6, (n,e) 6,
+    // (l,o) 7, (o,w) 7, (w,est) 3+6=9? newest = n e w est → (w,est) 6;
+    // widest = w i d est → (d,est) 3; so max is (l,o)/(o,w) at 7 →
+    // (l,o) lexicographically first
+    assert(merges(2) == ((3L, "l", "o", "lo", 7L)))
+    assert(merges(3) == ((4L, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeTrain: merge count capped by distinct pair supply") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // only one pair (a,b) exists; after merging it no pairs remain →
+    // training stops early instead of emitting degenerate rows
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 10).collect()
+    assert(merges.length == 1)
+  }
+
   test("bigramLmScore: smoothed probabilities sum to 1 over the vocab") {
     val docs = Seq((1L, "a b a c"), (2L, "b c a a")).toDF("doc_id", "text")
     // Σ_w2∈V P(w2|w1) = (Cctx(w1) + k·V) / (Cctx(w1) + k·V) = 1 by
