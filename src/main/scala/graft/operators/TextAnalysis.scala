@@ -264,6 +264,38 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Word separator for [[bpeEncode]]'s whole-document encoding (ETX —
+    * merges can never cross it: every merge pattern starts with SymL
+    * and ends with SymR, and across a word boundary the separator sits
+    * between them). */
+  val SymSep = "\u0003"
+
+  /** Apply a trained merge table (rank-ordered (lhs, rhs) pairs from
+    * [[bpeTrain]]) to every document: the standard BPE encoder. Each
+    * document becomes one boundary-marked string; each merge is ONE
+    * literal `replace` over it, in rank order — row-local codegen'd
+    * string work, zero shuffle, linear to 100 TB. Emits `n_tokens_bpe`
+    * (symbols after all merges) and `chars_per_token`. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val wrapped = transform(words, w => concat_ws("",
+      transform(split(w, ""), c => concat(lit(SymL), c, lit(SymR)))))
+    val joined = array_join(wrapped, SymSep)
+    val encoded = merges.foldLeft(joined) { case (acc, (a, b)) =>
+      replace(acc, lit(s"$SymL$a$SymR$SymL$b$SymR"),
+        lit(s"$SymL$a$b$SymR"))
+    }
+    docs.withColumn("_enc", encoded)
+      .withColumn("n_tokens_bpe",
+        (length(col("_enc")) -
+          length(replace(col("_enc"), lit(SymL), lit("")))).cast("long"))
+      .withColumn("chars_per_token",
+        length(col(textCol)).cast("double") /
+          nullif(col("n_tokens_bpe"), lit(0L)))
+      .drop("_enc")
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020 score with a
     * KenLM; here the LM is an add-k-smoothed word-bigram model trained
     * distributed on the corpus itself — the "in-domain perplexity"

@@ -562,6 +562,69 @@ object TextQ {
       SELECT * FROM ($union) ORDER BY rank"""
   }
 
+  /** Generated oracle for [[TextAnalysis.bpeEncode]]: re-learns the n
+    * merges with the same CTE chain as q92's oracle, then applies them
+    * to every document — each merge one scalar-CTE cross join + the
+    * identical boundary-anchored replace. The only float is
+    * chars_per_token, an exact single division rounded at 6. */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val L = "chr(1)"; val R = "chr(2)"; val Sep = "chr(3)"
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+        SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq, unnest(list_transform(range(1, len(syms)),
+            j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
+          FROM (SELECT freq,
+                string_split(s[2:length(s) - 1], $R || $L) AS syms
+                FROM w${i - 1}))
+        GROUP BY 1, 2
+      ), m$i AS (
+        SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+      ), w$i AS MATERIALIZED (
+        SELECT w, freq,
+               replace(s, $L || m$i.a || $R || $L || m$i.b || $R,
+                       $L || m$i.a || m$i.b || $R) AS s
+        FROM w${i - 1} CROSS JOIN m$i
+      )"""
+    }.mkString(", ")
+    val encs = (1 to n).map { i =>
+      s"""enc$i AS (
+        SELECT doc_id, n_chars_t,
+               replace(s, $L || m$i.a || $R || $L || m$i.b || $R,
+                       $L || m$i.a || m$i.b || $R) AS s
+        FROM enc${i - 1} CROSS JOIN m$i
+      )"""
+    }.mkString(", ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT w, count(*) AS freq,
+               list_reduce(list_transform(string_split(w, ''),
+                 c -> $L || c || $R), (x, y) -> x || y) AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+      ), $iters, enc0 AS MATERIALIZED (
+        SELECT doc_id, length(text) AS n_chars_t,
+               CASE WHEN len(wl) = 0 THEN ''
+                    ELSE list_reduce(list_transform(wl,
+                      w -> list_reduce(list_transform(string_split(w, ''),
+                        c -> $L || c || $R), (x, y) -> x || y)),
+                      (x, y) -> x || $Sep || y) END AS s
+        FROM (SELECT doc_id, text,
+              list_filter(string_split(text, ' '),
+                w -> length(w) > 0) AS wl
+              FROM documents)
+      ), $encs
+      SELECT doc_id,
+             CAST(length(s)
+               - length(replace(s, $L, '')) AS BIGINT) AS n_tokens_bpe,
+             round(CAST(n_chars_t AS DOUBLE)
+               / nullif(length(s) - length(replace(s, $L, '')), 0), 6)
+               + 0.0 AS chars_per_token
+      FROM enc$n
+      ORDER BY doc_id"""
+  }
+
   /** Distributed BPE merge training (TextAnalysis.bpeTrain): the first
     * 12 merges learned from the corpus word-type table, exact-gated —
     * ranks, pairs and weighted pair counts all integer/string. */
@@ -574,7 +637,26 @@ object TextQ {
     },
     Some(bpeOracleSql(12)))
 
+  /** BPE encoding under the learned vocabulary (TextAnalysis.bpeEncode
+    * after bpeTrain): per-document subword token counts + compression
+    * ratio — the corpus token-accounting pass a training pipeline runs
+    * before packing. */
+  val q93 = Q(
+    "q93_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val merges = TextAnalysis.bpeTrain(t(s, d, "documents"),
+          numMerges = 12)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(t(s, d, "documents"), merges)
+        .select($"doc_id", $"n_tokens_bpe",
+          DomainQ.emit6($"chars_per_token").as("chars_per_token"))
+        .orderBy($"doc_id")
+    },
+    Some(bpeEncodeOracleSql(12)))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92)
+      q92, q93)
 }

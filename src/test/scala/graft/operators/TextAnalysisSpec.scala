@@ -61,6 +61,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges.length == 1)
   }
 
+  test("bpeEncode: token counts shrink monotonically with merges and " +
+      "match hand-encoding") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges: (e,s)(es,t)(l,o)(lo,w) → low = [low] (1 tok),
+    // lower = [low, e, r] (3), newest = [n, e, w, est] (4),
+    // widest = [w, i, d, est] (4)
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .select("text", "n_tokens_bpe").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("low" -> 1L, "lower" -> 3L, "newest" -> 4L,
+      "widest" -> 4L))
+    // zero merges = character tokenization
+    val chars = TextAnalysis.bpeEncode(docs, Nil)
+      .select("text", "n_tokens_bpe").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chars("newest") == 6L && chars("low") == 3L)
+    // multi-word doc: counts add up per word, never merge across words
+    val two = Seq((1L, "low low")).toDF("doc_id", "text")
+    val e2 = TextAnalysis.bpeEncode(two, merges).head()
+    assert(e2.getAs[Long]("n_tokens_bpe") == 2L)
+  }
+
   test("bigramLmScore: smoothed probabilities sum to 1 over the vocab") {
     val docs = Seq((1L, "a b a c"), (2L, "b c a a")).toDF("doc_id", "text")
     // Σ_w2∈V P(w2|w1) = (Cctx(w1) + k·V) / (Cctx(w1) + k·V) = 1 by
