@@ -233,6 +233,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semDedup's within-cluster pair stage is an equi join on the " +
+      "cluster id (q90)") {
+    val p = plan(graft.queries.SimilarityQ.q90)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bigram LM training aggregate is partial before the shuffle; " +
+      "scoring joins are equi joins (q89)") {
+    val p = plan(graft.queries.TextQ.q89)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("BPE encode is shuffle-free row-local string work (q93 encode " +
+      "stage)") {
+    // encode with a FIXED merge table: the plan must contain no
+    // Exchange at all — pure project over the scan
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+    val enc = graft.operators.TextAnalysis.bpeEncode(docs,
+      Seq(("e", "s"), ("es", "t")))
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan→filter→project hot path") {
     // AQE finalizes the physical plan only after THIS df executes
     // (count() would spawn a separate query)
