@@ -110,6 +110,35 @@ object Curation {
           expr(s"(token_offset + n_tokens - 1) div $contextLen"))
           .otherwise(col("chunk_start")))
 
+  /** Sliding-window context chunking (the RAG / long-doc pretraining
+    * splitter): cut each document's token stream into windows of
+    * `window` tokens every `stride` tokens (overlap = window − stride).
+    * One row per chunk: (idCol, chunk_id, start_tok, end_tok, n_toks),
+    * end-exclusive, last chunk truncated at the document end; empty
+    * documents produce no chunks. Pure integer row-local `sequence` +
+    * `explode` — zero shuffle, linear to 100 TB. */
+  def chunkSpans(df: DataFrame, idCol: String, tokensCol: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    // last start = smallest stride multiple whose window reaches the
+    // end — no redundant tail chunk fully contained in its predecessor
+    val lastStart = when(col("n_tokens") > window,
+      expr(s"((n_tokens - $window + ${stride - 1}) div $stride)" +
+        s" * $stride"))
+      .otherwise(lit(0L))
+    df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), lastStart,
+          lit(stride.toLong))).as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(col("start_tok") + window, col("n_tokens")).as("end_tok"))
+      .withColumn("n_toks", col("end_tok") - col("start_tok"))
+  }
+
   /** Temperature-weighted mixture sampling (the multilingual-LM
     * rebalancing rule, e.g. XLM-R / mT5: target share ∝ w^α where w is
     * a source's natural share). Down-sampling only — the smallest

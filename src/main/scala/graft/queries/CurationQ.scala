@@ -187,5 +187,36 @@ object CurationQ {
       FROM b JOIN r USING (source)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91)
+  /** Sliding-window context chunking (Curation.chunkSpans, window 64 /
+    * stride 48 → 16-token overlap): integer spans end to end. */
+  val q94 = Q(
+    "q94_chunk_spans",
+    (s, d) => {
+      import s.implicits._
+      Curation.chunkSpans(t(s, d, "documents"), "doc_id",
+          size(split($"text", " ")), window = 64, stride = 48)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, n_tokens,
+               unnest(range(0,
+                 CASE WHEN n_tokens > 64
+                      THEN ((n_tokens - 64 + 47) // 48) * 48
+                      ELSE 0 END + 1, 48)) AS start_tok
+        FROM n WHERE n_tokens > 0
+      )
+      SELECT doc_id,
+             start_tok // 48 AS chunk_id,
+             start_tok,
+             least(start_tok + 64, n_tokens) AS end_tok,
+             least(start_tok + 64, n_tokens) - start_tok AS n_toks
+      FROM starts
+      ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94)
 }

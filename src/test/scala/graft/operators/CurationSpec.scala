@@ -67,6 +67,37 @@ class CurationSpec extends SparkSpec {
     assert(nat.filter(!$"keep").count() == 0L)
   }
 
+  test("chunkSpans: overlap coverage invariants") {
+    val df = Seq((1L, 100L), (2L, 64L), (3L, 65L), (4L, 0L), (5L, 1L))
+      .toDF("doc_id", "n")
+    val out = Curation.chunkSpans(df, "doc_id", $"n",
+      window = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok")))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (100 toks): chunks [0,64) and [48,100)
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 64L), (48L, 100L)))
+    // doc 2 (exactly one window): single chunk
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 64L)))
+    // doc 3 (65): second chunk starts at stride, truncated
+    assert(out.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 64L), (48L, 65L)))
+    // empty doc: no chunks; 1-token doc: one degenerate chunk
+    assert(!out.exists(_._1 == 4L))
+    assert(out.filter(_._1 == 5L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 1L)))
+    // every token position of every doc is covered by >= 1 chunk
+    for ((id, n) <- Seq((1L, 100L), (2L, 64L), (3L, 65L), (5L, 1L))) {
+      val spans = out.filter(_._1 == id).map(t => (t._3, t._4))
+      assert((0L until n).forall(p =>
+        spans.exists { case (s, e) => s <= p && p < e }), s"doc $id")
+    }
+    assertThrows[IllegalArgumentException](
+      Curation.chunkSpans(df, "doc_id", $"n", window = 4, stride = 5))
+  }
+
   test("capPerGroup equals the row_number window reference") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pr = Curation.splitmix($"doc_id")
