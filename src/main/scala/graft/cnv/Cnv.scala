@@ -361,39 +361,82 @@ object Cnv {
     * scans evaluate arcs on a stride grid (same grid on both sides keeps
     * the p-value comparison like-for-like) — the bounded-cost analogue of
     * DNAcopy's sampled permutations. */
+  /** Best arc of v: (t, i, j) with arc [i, j), 0 <= i < j <= n,
+    * excluding the full range; stride > 1 coarsens the candidate grid.
+    * Ties keep the first maximum in (i, j) scan order (strict >) —
+    * deterministic, and what the q95 oracle's (t DESC, i, j) argmax
+    * reproduces. */
+  private[cnv] def maxT(v: Array[Double], stride: Int)
+      : (Double, Int, Int) = {
+    val n = v.length
+    if (n < 4) return (0.0, 0, 0)
+    val s = new Array[Double](n + 1)
+    var k = 0
+    while (k < n) { s(k + 1) = s(k) + v(k); k += 1 }
+    val total = s(n)
+    var best = 0.0; var bi = 0; var bj = 0
+    var i = 0
+    while (i < n) {
+      var j = i + stride
+      while (j <= n) {
+        val m = j - i
+        if (m < n) {
+          val arc = s(j) - s(i)
+          val d = arc / m - (total - arc) / (n - m)
+          val t = math.abs(d) * math.sqrt(m.toDouble * (n - m) / n)
+          if (t > best) { best = t; bi = i; bj = j }
+        }
+        j += stride
+      }
+      i += stride
+    }
+    (best, bi, bj)
+  }
+
+  /** The CBS arc-statistic kernel ([[maxT]], stride 1) as a distributed
+    * driver surface: per chromosome, the argmax arc over the
+    * genome-ordered bin track, with its t, bounds and arc/rest means.
+    * One groupByKey shuffle; each task holds one chromosome's track —
+    * the same MB-scale bound [[segment]]'s per-chromosome evaluation
+    * already relies on. Unlike the full recursion (whose seeded
+    * permutation test is not SQL-expressible — q88 is rows-only), this
+    * kernel is deterministic arithmetic end to end, so it carries an
+    * EXACT oracle (q95): prefix sums accumulate left-to-right in both
+    * engines, every (i, j) candidate's t is computed with the identical
+    * operation order, and the tie-break matches scan order. */
+  def bestArcs(spark: SparkSession, signalBins: DataFrame): DataFrame = {
+    import spark.implicits._
+    signalBins
+      .select(col("chrom"), col("map_loc").cast("long"),
+        col("cnv").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (chrom, it) =>
+        val v = it.toArray.sortBy(_._2).map(_._3)
+        val (t, i, j) = maxT(v, 1)
+        val n = v.length
+        // prefix-difference arc mass, EXACTLY as maxT scored it (a
+        // direct slice sum would differ in the last ulp)
+        val s = new Array[Double](n + 1)
+        var k = 0
+        while (k < n) { s(k + 1) = s(k) + v(k); k += 1 }
+        val arc = s(j) - s(i)
+        val total = s(n)
+        val m = j - i
+        val (am, rm) =
+          if (m == 0 || m == n) (Double.NaN, Double.NaN)
+          else (arc / m, (total - arc) / (n - m))
+        (chrom, n.toLong, t, i.toLong, j.toLong, am, rm)
+      }
+      .toDF("chromosome", "n_bins", "best_t", "arc_start", "arc_end",
+        "arc_mean", "rest_mean")
+  }
+
   def cbs(values: Array[Double], shuffles: Int, pThreshold: Double,
       seed: Long): Seq[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
 
     val MaxScan = 2048
-
-    // best arc of v: (t, i, j) with arc [i, j), 0 <= i < j <= n,
-    // excluding the full range; stride > 1 coarsens the candidate grid
-    def maxT(v: Array[Double], stride: Int): (Double, Int, Int) = {
-      val n = v.length
-      if (n < 4) return (0.0, 0, 0)
-      val s = new Array[Double](n + 1)
-      var k = 0
-      while (k < n) { s(k + 1) = s(k) + v(k); k += 1 }
-      val total = s(n)
-      var best = 0.0; var bi = 0; var bj = 0
-      var i = 0
-      while (i < n) {
-        var j = i + stride
-        while (j <= n) {
-          val m = j - i
-          if (m < n) {
-            val arc = s(j) - s(i)
-            val d = arc / m - (total - arc) / (n - m)
-            val t = math.abs(d) * math.sqrt(m.toDouble * (n - m) / n)
-            if (t > best) { best = t; bi = i; bj = j }
-          }
-          j += stride
-        }
-        i += stride
-      }
-      (best, bi, bj)
-    }
 
     def strideOf(n: Int): Int = if (n <= MaxScan) 1 else n / MaxScan + 1
 

@@ -1251,7 +1251,89 @@ object DomainQ2 {
     },
     None)
 
+  /** L8 kernel gate — Cnv.bestArcs over q88's exact fixture: the CBS
+    * arc-statistic argmax (the deterministic core the permutation test
+    * wraps) carries a full EXACT oracle. Prefix sums accumulate
+    * left-to-right in both engines, each (i, j) candidate's t uses the
+    * identical operation order, ties resolve (t DESC, i, j) = the
+    * kernel's first-maximum scan order. The integer arc bounds are the
+    * hash-gate teeth; q88 stays rows-only for the full recursion. */
+  val q95 = Q(
+    "q95_cbs_arc_stat",
+    (s, d) => {
+      import s.implicits._
+      val bins = t(s, d, "part")
+        .filter($"p_partkey" <= 300)
+        .select(
+          when($"p_partkey" % 2 === 0, "chr1").otherwise("chr2")
+            .as("chrom"),
+          (($"p_partkey" / 2) * 50000L).cast("long").as("map_loc"),
+          (when($"p_partkey" % 4 < 2, 0.02).otherwise(-0.02) +
+            when($"p_partkey" % 2 === 0 &&
+              ($"p_partkey" / 2).between(50, 99), 0.9).otherwise(0.0))
+            .as("cnv"))
+      graft.cnv.Cnv.bestArcs(s, bins)
+        .select($"chromosome", $"n_bins",
+          emit6($"best_t").as("best_t"),
+          $"arc_start", $"arc_end",
+          emit6($"arc_mean").as("arc_mean"),
+          emit6($"rest_mean").as("rest_mean"))
+        .orderBy($"chromosome")
+    },
+    Some("""
+      WITH bins AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+                 AS chrom,
+               CAST(p_partkey * 25000 AS BIGINT) AS map_loc,
+               (CASE WHEN p_partkey % 4 < 2 THEN 0.02 ELSE -0.02 END +
+                CASE WHEN p_partkey % 2 = 0
+                      AND p_partkey BETWEEN 100 AND 198
+                     THEN 0.9 ELSE 0.0 END) AS cnv
+        FROM part WHERE p_partkey <= 300
+      ), ord AS (
+        SELECT chrom, cnv,
+               row_number() OVER (PARTITION BY chrom ORDER BY map_loc)
+                 AS r
+        FROM bins
+      ), nn AS (SELECT chrom, count(*) AS n FROM ord GROUP BY 1),
+      pre AS (
+        SELECT chrom, r AS k,
+               sum(cnv) OVER (PARTITION BY chrom ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM ord
+      ), ps AS (
+        SELECT chrom, 0 AS k, 0.0 AS s FROM nn
+        UNION ALL SELECT chrom, k, s FROM pre
+      ), tt AS (
+        SELECT p.chrom, p.s AS total
+        FROM ps p JOIN nn ON p.chrom = nn.chrom AND p.k = nn.n
+      ), scored AS (
+        SELECT a.chrom, a.k AS i, b.k AS j, b.k - a.k AS m, nn.n,
+               b.s - a.s AS arc, tt.total,
+               abs((b.s - a.s) / (b.k - a.k)
+                   - (tt.total - (b.s - a.s)) / (nn.n - (b.k - a.k)))
+                 * sqrt(CAST(b.k - a.k AS DOUBLE)
+                        * (nn.n - (b.k - a.k)) / nn.n) AS t
+        FROM ps a
+        JOIN ps b ON a.chrom = b.chrom AND b.k > a.k
+        JOIN nn ON nn.chrom = a.chrom
+        JOIN tt ON tt.chrom = a.chrom
+        WHERE b.k - a.k < nn.n
+      ), best AS (
+        SELECT *, row_number() OVER (PARTITION BY chrom
+          ORDER BY t DESC, i, j) AS rn
+        FROM scored
+      )
+      SELECT chrom AS chromosome, CAST(n AS BIGINT) AS n_bins,
+             round(t, 6) + 0.0 AS best_t,
+             CAST(i AS BIGINT) AS arc_start,
+             CAST(j AS BIGINT) AS arc_end,
+             round(arc / m, 6) + 0.0 AS arc_mean,
+             round((total - arc) / (n - m), 6) + 0.0 AS rest_mean
+      FROM best WHERE rn = 1
+      ORDER BY chromosome"""))
+
   val all: Seq[Q] =
     Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-      q86, q87, q88)
+      q86, q87, q88, q95)
 }

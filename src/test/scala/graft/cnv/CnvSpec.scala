@@ -98,6 +98,37 @@ class CnvSpec extends SparkSpec {
     assert(chr1.map(_.getAs[Int]("nb_bins")).sum == 40)
   }
 
+  test("bestArcs: argmax arc lands exactly on a planted plateau and " +
+      "matches the local kernel") {
+    val bins = (0 until 120).flatMap { i =>
+      val plateau = if (i >= 30 && i < 70) 1.0 else 0.0
+      Seq(("c1", i * 1000L, plateau + (if (i % 2 == 0) 0.01 else -0.01)),
+        ("c2", i * 1000L, if (i % 3 == 0) 0.05 else -0.02))
+    }.toDF("chrom", "map_loc", "cnv")
+    val arcs = Cnv.bestArcs(spark, bins).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // c1: the plateau arc [30, 70) must be the argmax, exactly
+    val c1 = arcs("c1")
+    assert(c1.getAs[Long]("arc_start") == 30L &&
+      c1.getAs[Long]("arc_end") == 70L, c1.toString)
+    assert(c1.getAs[Double]("arc_mean") > 0.9 &&
+      math.abs(c1.getAs[Double]("rest_mean")) < 0.1)
+    // both chromosomes: the distributed answer equals the local kernel
+    for (ch <- Seq("c1", "c2")) {
+      val v = (0 until 120).map { i =>
+        if (ch == "c1")
+          (if (i >= 30 && i < 70) 1.0 else 0.0) +
+            (if (i % 2 == 0) 0.01 else -0.01)
+        else if (i % 3 == 0) 0.05 else -0.02
+      }.toArray
+      val (t, i0, j0) = Cnv.maxT(v, 1)
+      val r = arcs(ch)
+      assert(r.getAs[Double]("best_t") == t)
+      assert(r.getAs[Long]("arc_start") == i0.toLong &&
+        r.getAs[Long]("arc_end") == j0.toLong)
+    }
+  }
+
   test("bin merge ramps to the minimum without collapsing uniform runs") {
     // 40 contiguous 50kb tiles with island-like clustered density
     // repeating [25, 25, 10] probes per tile (the reference's real
