@@ -316,32 +316,64 @@ object TextAnalysis {
     * count tables, not the raw stream, carry the per-key hot spots, and
     * AQE's skew-join handling covers the scoring join. Vocabulary size
     * is the only driver scalar (a count). */
-  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Double = 1.0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("l"))
-    val bgs = toks
-      .withColumn("a", slice($"l", lit(1), size($"l") - 1))
-      .withColumn("b", slice($"l", lit(2), size($"l") - 1))
-      .select(col(idCol), explode(arrays_zip($"a", $"b")).as("p"))
-      .select(col(idCol), $"p.a".as("w1"), $"p.b".as("w2"))
+  /** Row-local adjacent-bigram pairs (slice + arrays_zip — no per-doc
+    * window); `keep` columns ride along per emitted pair. */
+  private[graft] def bigramPairs(docs: DataFrame, idCol: String,
+      textCol: String, keep: Seq[String] = Nil): DataFrame = {
+    val l = split(col(textCol), " ")
+    docs
+      .withColumn("_a", slice(l, lit(1), size(l) - 1))
+      .withColumn("_b", slice(l, lit(2), size(l) - 1))
+      .select(col(idCol) +: keep.map(col) :+
+        explode(arrays_zip(col("_a"), col("_b"))).as("_p"): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        col("_p._a").as("w1") :+ col("_p._b").as("w2"): _*)
+  }
+
+  /** Train the add-k bigram LM on a corpus: returns the bigram count
+    * table (w1, w2, cb), the context count roll-up (w1, cctx), and the
+    * vocabulary size (a KB-scale driver scalar — the same boundary
+    * class as the ECDF partition counts). */
+  def trainBigramLm(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame, Long) = {
+    val bgs = bigramPairs(corpus, idCol, textCol)
     val bc = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cc = bc.groupBy("w1").agg(sum($"cb").as("cctx"))
-    // KB-scale driver scalar: |V| becomes a literal in the smoothing
-    // denominator (same boundary class as the ECDF partition counts).
-    val v = toks.select(explode($"l").as("tok"))
-      .agg(countDistinct($"tok")).head().getLong(0)
-    val scored = bgs
-      .join(bc, Seq("w1", "w2"))
-      .join(cc, Seq("w1"))
+    val cc = bc.groupBy("w1").agg(sum(col("cb")).as("cctx"))
+    val v = corpus
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    (bc, cc, v)
+  }
+
+  /** Per-bigram smoothed log-probability against trained counts: OOV
+    * pairs take cb = 0 and unseen contexts cctx = 0 (the add-k
+    * smoothing handles both — an unseen context scores ln(1/V)). */
+  private[graft] def bigramLogProb(k: Double, v: Long)
+      : org.apache.spark.sql.Column =
+    log((coalesce(col("cb"), lit(0L)) + k) /
+      (coalesce(col("cctx"), lit(0L)) + k * v))
+
+  /** Score documents against an ALREADY-TRAINED LM (left joins, so
+    * out-of-vocabulary bigrams smooth instead of vanishing). */
+  def scoreBigramLm(docs: DataFrame, bc: DataFrame, cc: DataFrame,
+      vocabSize: Long, k: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = bigramPairs(docs, idCol, textCol)
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(log(($"cb" + k) / ($"cctx" + k * v))).as("log_prob"))
-      .withColumn("xent", -$"log_prob" / $"n_bigrams")
-      .withColumn("ppl", exp($"xent"))
+        sum(bigramLogProb(k, vocabSize)).as("log_prob"))
+      .withColumn("xent", -col("log_prob") / col("n_bigrams"))
+      .withColumn("ppl", exp(col("xent")))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
-      .withColumn("n_bigrams", coalesce($"n_bigrams", lit(0L)))
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Double = 1.0): DataFrame = {
+    val (bc, cc, v) = trainBigramLm(docs, idCol, textCol)
+    scoreBigramLm(docs, bc, cc, v, k, idCol, textCol)
   }
 }

@@ -72,4 +72,34 @@ object DocumentStreams {
       .select(col(idCol), col("corpus_id"), col("hamming"))
       .dropDuplicates(idCol, "corpus_id")
   }
+
+  /** Streaming LM quality gate: score arriving documents against a
+    * STATIC bigram LM trained offline with
+    * [[graft.operators.TextAnalysis.trainBigramLm]] — the streaming
+    * face of the CCNet scorer (q89). Bigram explosion is row-local;
+    * the count lookups are stream-static left equi joins (no
+    * stream-stream join, no extra state store); the per-document sum
+    * is a windowed streaming aggregation whose watermark lets the
+    * state store evict closed windows — bounded state on an unbounded
+    * stream. Out-of-vocabulary bigrams smooth (an unseen context
+    * scores ln(1/V)) instead of vanishing, so drifting streams still
+    * score. Emits (window, idCol, n_bigrams, log_prob, xent, ppl) in
+    * append mode once the watermark passes each window. */
+  def lmScoreStream(stream: DataFrame, bc: DataFrame, cc: DataFrame,
+      vocabSize: Long, k: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes",
+      windowLen: String = "1 minute"): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bigramPairs(
+        stream.withWatermark(tsCol, watermark),
+        idCol, textCol, keep = Seq(tsCol))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(TextAnalysis.bigramLogProb(k, vocabSize)).as("log_prob"))
+      .withColumn("xent", -col("log_prob") / col("n_bigrams"))
+      .withColumn("ppl", exp(col("xent")))
+  }
 }

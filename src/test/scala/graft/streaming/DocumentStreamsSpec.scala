@@ -51,6 +51,50 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(!flags.exists(_._1 == 201L))
   }
 
+  test("lmScoreStream equals the batch scorer; OOV docs smooth to " +
+      "ln(1/V)") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark shuffles sort merge join"),
+      (2L, "spark shuffles hash join"),
+      (3L, "catalyst rewrites the plan"))
+      .toDF("doc_id", "text")
+    val (bc, cc, v) = TextAnalysis.trainBigramLm(corpus)
+    val arriving = Seq(
+      Doc(10, ts(10), "spark shuffles sort merge"),
+      Doc(11, ts(11), "catalyst rewrites the plan"),
+      Doc(12, ts(12), "zz qq yy")) // fully OOV
+    val in = MemoryStream[Doc]
+    val q = DocumentStreams.lmScoreStream(in.toDF(), bc, cc, v,
+        watermark = "1 second", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close the window
+      in.addData(Doc(99, ts(1000), "flush flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("lm_out")
+        .select("doc_id", "n_bigrams", "log_prob")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      val batch = TextAnalysis.scoreBigramLm(
+        arriving.map(dd => (dd.doc_id, dd.text)).toDF("doc_id", "text"),
+        bc, cc, v)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("log_prob")))
+        .toMap
+      for (id <- Seq(10L, 11L, 12L)) {
+        assert(got(id)._1 == batch(id)._1, s"doc $id n_bigrams")
+        assert(math.abs(got(id)._2 - batch(id)._2) < 1e-9, s"doc $id")
+      }
+      // fully-OOV doc: every bigram scores ln(1/V)
+      assert(math.abs(got(12L)._2 - 2 * math.log(1.0 / v)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("redactPii composes with readStream (row-local, stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
