@@ -32,4 +32,25 @@ object Store {
 
   def loadSheet(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/sheet")
+
+  /** Bucketed persistence for probe-keyed analytics — the 100 TB
+    * co-location path. `bucketBy(probe_id)` + in-bucket sort pays the
+    * probe shuffle ONCE at write time; every later probe-keyed join or
+    * aggregation between tables written with the SAME bucket count
+    * reads co-located buckets and plans NO Exchange at all (asserted
+    * by StoreSpec): the DMP/DMR/beta pipelines re-read signal and
+    * betas by probe far more often than they write them, so the
+    * amortization is immediate. Bucketed tables go through the session
+    * catalog (`saveAsTable` with an explicit external path) because
+    * bucket metadata lives in the table definition, not the files. */
+  def saveBucketedByProbe(df: DataFrame, table: String, path: String,
+      nBuckets: Int = 64): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "probe_id").sortBy("probe_id")
+      .option("path", path).format("parquet").saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata rides in via the
+    * catalog; plain `read.parquet` on the path would lose it). */
+  def loadBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -100,6 +100,44 @@ class IoSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/signal/sample_label=s1").exists())
   }
 
+  test("bucketed store: probe-keyed join and aggregation of bucketed " +
+      "tables plan no shuffle at all") {
+    val dir = java.nio.file.Files.createTempDirectory("bstore").toString
+    val sig = (1 to 500).map(i => (s"cg$i", s"s${i % 4}", i.toDouble))
+      .toDF("probe_id", "sample_label", "value")
+    val bet = (1 to 500).map(i => (s"cg$i", i / 500.0))
+      .toDF("probe_id", "beta")
+    Store.saveBucketedByProbe(sig, "bspec_sig", s"$dir/sig", nBuckets = 8)
+    Store.saveBucketedByProbe(bet, "bspec_bet", s"$dir/bet", nBuckets = 8)
+    // force the shuffle-join path (a KB fixture would otherwise
+    // broadcast): at 100 TB neither side broadcasts, which is exactly
+    // when bucket co-location matters
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // co-located probe join: bucket metadata makes the shuffle vanish
+      val j = Store.loadBucketed(spark, "bspec_sig")
+        .join(Store.loadBucketed(spark, "bspec_bet"), "probe_id")
+      assert(j.count() == 500)
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), jPlan.take(2000))
+      assert(jPlan.contains("Bucketed: true"), jPlan.take(2000))
+      // probe-keyed aggregation: likewise shuffle-free
+      val g = Store.loadBucketed(spark, "bspec_sig")
+        .groupBy("probe_id").count()
+      assert(g.count() == 500)
+      val gPlan = g.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("Exchange"), gPlan.take(2000))
+      // values survive the round trip
+      assert(j.filter($"probe_id" === "cg7").head().getAs[Double]("beta")
+        == 7 / 500.0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bspec_sig")
+      spark.sql("DROP TABLE IF EXISTS bspec_bet")
+    }
+  }
+
   test("sheet write round-trips through read, incl quoted cells") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sheetw").toString
