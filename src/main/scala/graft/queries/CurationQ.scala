@@ -218,5 +218,101 @@ object CurationQ {
       FROM starts
       ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94)
+  /** The full corpus-curation pipeline as ONE query — the chain a
+    * training-data team actually runs, integration-gated end to end:
+    *   1. quality gate (5 ≤ n_tokens ≤ 10000),
+    *   2. exact dedup (poly_hash64 fingerprint, keep smallest id),
+    *   3. benchmark decontamination (drop docs sharing any 5-gram with
+    *      the doc_id % 97 test split),
+    *   4. temperature mixture sampling (α = 0.5 on the SURVIVING
+    *      census — the rates reflect what earlier stages kept),
+    *   5. GPT-style sequence packing (global prefix-sum offsets).
+    * Integers end to end (the one float, the √ sampling rate, is
+    * integer-exact per q91). Every stage is one of the registry's
+    * already-gated operators — this row gates their COMPOSITION. */
+  val q96 = Q(
+    "q96_curation_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val nTok = size(graft.operators.TextAnalysis.tokens($"text"))
+      val s1 = docs.filter(nTok.between(5, 10000))
+      val keepers = s1
+        .groupBy(graft.functions.Expressions.polyHash64($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"))
+      val s2 = s1.join(keepers.select($"doc_id"), Seq("doc_id"))
+      val test = docs.filter($"doc_id" % 97 === 0)
+      val corpus2 = s2.filter($"doc_id" % 97 =!= 0)
+      val cleanIds = graft.operators.Dedup
+        .decontaminate(corpus2, test, "doc_id", "text", k = 5)
+        .filter(!$"contaminated").select($"doc_id")
+      val s3 = corpus2.join(cleanIds, Seq("doc_id"))
+      val sampledIds = Curation
+        .temperatureSample(s3, "doc_id", "source", alpha = 0.5)
+        .filter($"keep").select($"doc_id")
+      val s4 = s3.join(sampledIds, Seq("doc_id"))
+      Curation.packSequences(s4, "doc_id",
+          size(graft.operators.TextAnalysis.tokens($"text")), 512)
+        .select($"doc_id", $"source", $"n_tokens", $"token_offset",
+          $"chunk_start", $"chunk_end")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH n0 AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), s1 AS (
+        SELECT * FROM n0 WHERE n_tokens BETWEEN 5 AND 10000
+      ), fp AS (
+        SELECT doc_id, ${DuckOracle.phS("text")} AS fp FROM s1
+      ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+      ), s2 AS (
+        SELECT s1.* FROM s1 JOIN keepers USING (doc_id)
+      ), test_sh AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+            AS gram
+          FROM documents WHERE doc_id % 97 = 0) u
+      ), corpus2 AS (
+        SELECT * FROM s2 WHERE doc_id % 97 <> 0
+      ), contaminated AS (
+        SELECT DISTINCT c.doc_id FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+            AS gram
+          FROM corpus2) c
+        JOIN test_sh t USING (gram)
+      ), s3 AS (
+        SELECT corpus2.* FROM corpus2
+        ANTI JOIN contaminated USING (doc_id)
+      ), c AS (
+        SELECT source, count(*) AS n FROM s3 GROUP BY 1
+      ), mn AS (SELECT min(n) AS nmin FROM c),
+      r AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 10000 + 0.5)
+                    AS BIGINT) AS rate_bp
+        FROM c CROSS JOIN mn
+      ), s4 AS (
+        SELECT s3.* FROM s3 JOIN r USING (source)
+        WHERE ${bucketSql("doc_id")} < r.rate_bp
+      ), o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS token_offset
+        FROM s4
+      )
+      SELECT doc_id, source, n_tokens, token_offset,
+             token_offset // 512 AS chunk_start,
+             (token_offset + n_tokens - 1) // 512 AS chunk_end
+      FROM o
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96)
 }
