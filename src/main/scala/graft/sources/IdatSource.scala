@@ -11,13 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   In}
-import org.apache.spark.sql.types.{FloatType, IntegerType, ShortType,
-  StringType, StructField, StructType}
+import org.apache.spark.sql.types.{FloatType, IntegerType, LongType,
+  ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,9 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     reason) lets the reader seek to just the sections the query
   *     needs. Column pruning maps to sections: a
   *     `select(illumina_id, mean)` reads the ID + MEAN byte ranges and
-  *     never touches STD_DEV/NUM_BEADS/RUN_INFO; a bare `count()`
-  *     reads 4 bytes (NUM_SNPS_READ). On object stores each section is
-  *     one range request instead of a whole-object GET.
+  *     never touches STD_DEV/NUM_BEADS/RUN_INFO; a bare `count()` is
+  *     ANSWERED from the 4-byte NUM_SNPS_READ section via COUNT(*)
+  *     aggregate pushdown — one row per file, no per-probe row
+  *     iteration at all. On object stores each section is one range
+  *     request instead of a whole-object GET.
   *   - gzipped files have no random access: the reader detects the
   *     gzip magic and falls back to whole-file decode
   *     ([[Idat.decode]]), preserving behavior.
@@ -102,11 +107,27 @@ class IdatTable(paths: Seq[String]) extends Table with SupportsRead {
   * are exact, so Spark does not re-evaluate the pushed predicates. */
 class IdatScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = IdatTable.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pathKeep: Option[Set[String]] = None
   private var barcodeKeep: Option[Set[String]] = None
+  private var countStar = false
+
+  /** COUNT(*) pushdown (partial — Spark sums the per-file counts): the
+    * probe count IS the NUM_SNPS_READ header field, so a corpus-wide
+    * census reads 4 bytes per file instead of iterating a million
+    * emitted empty rows per file. Pushed filters compose: a barcode
+    * miss contributes 0 from its barcode section alone. Grouped or
+    * non-count aggregates stay in Spark. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countStar = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -137,7 +158,7 @@ class IdatScanBuilder(paths: Seq[String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new IdatScan(paths, required, pathKeep, barcodeKeep)
+    new IdatScan(paths, required, pathKeep, barcodeKeep, countStar)
 }
 
 /** Hadoop Configuration is not Serializable; the standard wrapper
@@ -159,9 +180,13 @@ case class IdatInputPartition(path: String) extends InputPartition
 
 class IdatScan(paths: Seq[String], required: StructType,
     pathKeep: Option[Set[String]] = None,
-    barcodeKeep: Option[Set[String]] = None)
+    barcodeKeep: Option[Set[String]] = None,
+    countStar: Boolean = false)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStar)
+      StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
 
   override def description(): String = {
@@ -169,8 +194,9 @@ class IdatScan(paths: Seq[String], required: StructType,
       o.map(s => s"$k IN ${s.mkString("(", ",", ")")}")
     val fs = Seq(fmt("path", pathKeep), fmt("barcode", barcodeKeep))
       .flatten.mkString(", ")
-    s"IdatScan PushedFilters: [$fs], " +
-      s"ReadSchema: ${required.simpleString}"
+    val agg = if (countStar) "PushedAggregation: [COUNT(*)], " else ""
+    s"IdatScan ${agg}PushedFilters: [$fs], " +
+      s"ReadSchema: ${readSchema().simpleString}"
   }
 
   /** One partition per file; globs and directories expand here on the
@@ -204,18 +230,100 @@ class IdatScan(paths: Seq[String], required: StructType,
     new IdatReaderFactory(required,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      barcodeKeep)
+      barcodeKeep, countStar)
 }
 
 class IdatReaderFactory(required: StructType,
     conf: SerializableHadoopConf,
-    barcodeKeep: Option[Set[String]] = None)
+    barcodeKeep: Option[Set[String]] = None,
+    countStar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new IdatPartitionReader(
+    if (countStar)
+      new IdatCountReader(
+        partition.asInstanceOf[IdatInputPartition].path,
+        conf.value, barcodeKeep)
+    else new IdatPartitionReader(
       partition.asInstanceOf[IdatInputPartition].path, required,
       conf.value, barcodeKeep)
+}
+
+/** COUNT(*)-pushdown reader: one row per file carrying the probe count
+  * from the 4-byte NUM_SNPS_READ section (plus the barcode section
+  * when a pushed barcode filter must be honored — a miss contributes
+  * 0). No data section is ever opened. Gzipped files fall back to
+  * whole-file decode (no random access), still emitting one row. */
+class IdatCountReader(pathStr: String, conf: Configuration,
+    barcodeKeep: Option[Set[String]] = None)
+    extends PartitionReader[InternalRow] {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private var emitted = false
+  private val count: Long = {
+    val hp = new Path(pathStr)
+    val fs = hp.getFileSystem(conf)
+    val len = fs.getFileStatus(hp).getLen
+    val in = fs.open(hp)
+    try {
+      val head = new Array[Byte](2)
+      in.readFully(0, head)
+      if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        require(len <= Int.MaxValue,
+          s"$pathStr: gzipped IDAT too large for whole-file decode")
+        val raw = new Array[Byte](len.toInt)
+        in.readFully(0, raw)
+        val d = Idat.decode(raw)
+        if (barcodeKeep.forall(_.contains(d.barcode))) d.nSnpsRead.toLong
+        else 0L
+      } else {
+        val header = new Array[Byte](16)
+        in.readFully(0, header)
+        val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](4)
+        hb.get(magic)
+        require(new String(magic, "US-ASCII") == "IDAT",
+          s"$pathStr: not an IDAT file")
+        require(hb.getLong == 3, s"$pathStr: unsupported IDAT version")
+        val numFields = hb.getInt
+        val dir = new Array[Byte](numFields * 10)
+        in.readFully(16, dir)
+        val db = ByteBuffer.wrap(dir).order(ByteOrder.LITTLE_ENDIAN)
+        val offsets = (0 until numFields).map { _ =>
+          val code = db.getShort & 0xffff
+          code -> db.getLong
+        }.toMap
+        def readAt(off: Long, size: Int): ByteBuffer = {
+          val a = new Array[Byte](size)
+          in.readFully(off, a)
+          ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+        }
+        val bcMatch = barcodeKeep.forall { k =>
+          // varint length + UTF-8 payload (barcodes are short)
+          val off = offsets(402)
+          val b = readAt(off, math.min(256L, len - off).toInt)
+          var numBytes = b.get & 0xff
+          var numChars = numBytes % 128
+          var shift = 0
+          while (numBytes / 128 == 1) {
+            numBytes = b.get & 0xff
+            shift += 7
+            numChars += (numBytes % 128) << shift
+          }
+          val arr = new Array[Byte](numChars)
+          b.get(arr, 0, numChars)
+          k.contains(new String(arr, "UTF-8"))
+        }
+        if (bcMatch) readAt(offsets(1000), 4).getInt.toLong else 0L
+      }
+    } finally in.close()
+  }
+
+  override def next(): Boolean =
+    if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
 }
 
 /** Reads exactly the sections the pruned schema needs, via seeks into

@@ -147,6 +147,51 @@ class IdatSpec extends SparkSpec {
     assert(byPath.count() == 4)
   }
 
+  test("COUNT(*) pushdown: answered from NUM_SNPS_READ without opening " +
+      "any data section; composes with the pushed barcode filter") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("idatcnt").toFile
+    val fa = new java.io.File(dir, "a_Grn.idat")
+    java.nio.file.Files.write(fa.toPath,
+      makeIdat(ids, means, stds, beads, barcode = "AAA"))
+    // file B: data sections corrupted past EOF, NUM_SNPS_READ intact —
+    // a count can only succeed if no data section is ever opened
+    val corrupt = makeIdat(ids, means, stds, beads, barcode = "BBB")
+    val bb = java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val numFields = bb.getInt(12)
+    for (i <- 0 until numFields) {
+      val entry = 16 + i * 10
+      val code = bb.getShort(entry) & 0xffff
+      if (Set(102, 103, 104, 107).contains(code))
+        bb.putLong(entry + 2, corrupt.length.toLong + 4096)
+    }
+    val fb = new java.io.File(dir, "b_Grn.idat")
+    java.nio.file.Files.write(fb.toPath, corrupt)
+
+    val df = spark.read.format("idat").load(dir.getAbsolutePath)
+    // the aggregate is pushed: the optimized plan's scan advertises it
+    val counted = df.groupBy().count()
+    val opt = counted.queryExecution.optimizedPlan.toString
+    // the relation's output IS the pushed count column — no probe rows
+    assert(opt.contains("RelationV2[count(*)"), opt.take(1500))
+    val exec = counted.queryExecution.executedPlan.toString
+    assert(exec.contains("PushedAggregation: [COUNT(*)]") ||
+      exec.contains("count(*)"), exec.take(1500))
+    // correct total even though B's data sections are unreadable
+    assert(df.count() == 8L)
+    // composes with the pushed barcode filter: B contributes its 4
+    // probes via barcode+NUM_SNPS_READ sections only
+    assert(df.filter(col("barcode") === "BBB").count() == 4L)
+    assert(df.filter(col("barcode") === "ZZZ").count() == 0L)
+    // a residual (non-pushable) filter disables the pushdown: Spark
+    // falls back to the row path, which must throw on B's corrupt
+    // data sections — proving count() above never took that path
+    intercept[org.apache.spark.SparkException] {
+      df.filter(col("illumina_id") > 0).count()
+    }
+  }
+
   test("distributed read emits one row per probe per file") {
     val dir = java.nio.file.Files.createTempDirectory("idat").toFile
     val grn = new java.io.File(dir, "s1_Grn.idat")
