@@ -46,11 +46,18 @@ object AsOfJoin {
     *                   (the matched row's time)
     * @param rightTieBreak extra right-side ordering columns for equal
     *                   timestamps (ascending; the LAST row wins)
+    * @param tolerance  optional staleness gate (pandas
+    *                   `merge_asof(tolerance=...)`): a predicate over
+    *                   (left ts, matched right ts) — when it returns
+    *                   false the match is DISCARDED (null payload, row
+    *                   kept). Evaluated row-locally after the forward
+    *                   fill; adds nothing to the shuffle.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
       strict: Boolean = true, prefix: String = "asof_",
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one column")
     val ts = "__asof_ts"
     val side = "__asof_side"
@@ -94,7 +101,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
-    carried.foldLeft(filled.filter(col(side) === leftSide)) { (df, c) =>
+    val gated = tolerance.fold(filled) { within =>
+      filled.withColumn(payload,
+        when(within(col(ts), col(payload)(prefix + rightTs)),
+          col(payload)))
+    }
+    carried.foldLeft(gated.filter(col(side) === leftSide)) { (df, c) =>
       df.withColumn(c, col(payload)(c))
     }.drop(ts, side, tie, payload)
   }

@@ -83,5 +83,48 @@ object EventTimeQ {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q43, q46)
+  /** As-of join with a staleness tolerance (pandas merge_asof
+    * tolerance semantics): LEFT rows always survive; a prior purchase
+    * older than 24 h is discarded (null enrichment). Same single
+    * union-tag + window shuffle as q43 — the gate is row-local. */
+  val q97 = Q(
+    "q97_asof_tolerance",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("pval"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("pval"),
+          tolerance = Some((l, r) =>
+            unix_micros(l) - unix_micros(r) <= 86400000000L))
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("click_us"),
+          unix_micros($"asof_ts").as("purchase_us"),
+          $"asof_pval".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+      ), c AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.event_id, c.user_id,
+             epoch_us(c.ts) AS click_us,
+             CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+                  THEN epoch_us(p.ts) END AS purchase_us,
+             CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+                  THEN p.pval END AS purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts > p.ts
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q43, q46, q97)
 }

@@ -77,6 +77,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.getDouble(got.fieldIndex("asof_y")) === 9.0)
   }
 
+  test("tolerance discards stale matches but keeps the left row") {
+    // long ts columns: tolerance predicate is plain arithmetic
+    val got = AsOfJoin.asOf(left, right, Seq("k"),
+        leftTs = "lts", rightTs = "rts", rightCols = Seq("payload"),
+        tolerance = Some((l, r) => l - r <= 5L))
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("asof_payload"))).toMap
+    // a@20: match rts=10 is 10 old > 5 → discarded; a@30: rts=25 is 5
+    // old → kept; b@15: rts=12 is 3 old → kept; c: never matched
+    assert(got(1L).isEmpty)  // a@10 strict: rts=10 not < 10
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains(200.0))
+    assert(got(5L).contains(300.0))
+    assert(got(6L).isEmpty)
+    // every left row survives regardless of tolerance
+    assert(got.size == 6)
+  }
+
   test("rightTieBreak picks the highest tie-break row at equal ts") {
     val dupRight = Seq(
       ("a", 10L, 1L, 111.0), ("a", 10L, 2L, 222.0)
