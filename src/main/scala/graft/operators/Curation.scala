@@ -110,6 +110,33 @@ object Curation {
           expr(s"(token_offset + n_tokens - 1) div $contextLen"))
           .otherwise(col("chunk_start")))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * the A-ES one-pass scheme): each row gets a deterministic uniform
+    * u ∈ (0,1) from splitmix64 of its id (low 53 bits + 0.5, over
+    * 2^53 — exact in double on any engine), a key ln(u)/w, and the k
+    * LARGEST keys are the sample — provably equivalent to drawing k
+    * rows one by one with probability ∝ weight, but embarrassingly
+    * parallel. Deterministic and reproducible: the same corpus always
+    * yields the same sample, and the DuckDB oracle replays it.
+    *
+    * Scale: one pass + one bounded-heap [[graft.functions.TopKAgg]]
+    * merge (≤ k rows per partition move) — no global sort, no
+    * single-partition window. Returns (idCol, es_key, rank). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val u = (splitmix(col(idCol)).bitwiseAND(lit((1L << 53) - 1))
+      .cast("double") + 0.5) / math.pow(2.0, 53)
+    val key = log(u) / weight
+    df.select(col(idCol).as("id"), key.as("key"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("key")).as("nk"), col("id").as("id")),
+        struct(col("id").as("id"), col("key").as("key")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col("hit.id").as(idCol), col("hit.key").as("es_key"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Sliding-window context chunking (the RAG / long-doc pretraining
     * splitter): cut each document's token stream into windows of
     * `window` tokens every `stride` tokens (overlap = window − stride).

@@ -314,5 +314,40 @@ object CurationQ {
       FROM o
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96)
+  /** Weighted sampling without replacement (Curation.weightedSample,
+    * A-ES keys ln(u)/w with w = n_chars, top 50): the uniform u is
+    * integer-exact on both engines (53-bit splitmix + 0.5 over 2^53);
+    * ln and the division differ at worst in the last bit — selection
+    * flips would need two keys within ulps, absent by construction. */
+  val q98 = Q(
+    "q98_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      Curation.weightedSample(t(s, d, "documents"), "doc_id",
+          $"n_chars", k = 50)
+        .select($"doc_id", DomainQ.emit6($"es_key").as("es_key"),
+          $"rank")
+        .orderBy($"rank")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               (CAST(${DuckOracle.mix(
+      s"(CAST(doc_id AS UHUGEINT) + $Gamma) % 18446744073709551616::UHUGEINT")}
+                  % 9007199254740992::UHUGEINT AS DOUBLE) + 0.5)
+                 / 9007199254740992 AS u
+        FROM documents
+      ), keyed AS (
+        SELECT doc_id, ln(u) / n_chars AS key FROM u
+      ), ranked AS (
+        SELECT doc_id, key,
+               row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        FROM keyed
+      )
+      SELECT doc_id, round(key, 6) + 0.0 AS es_key,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 50
+      ORDER BY rank"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96, q98)
 }

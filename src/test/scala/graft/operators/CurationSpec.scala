@@ -67,6 +67,31 @@ class CurationSpec extends SparkSpec {
     assert(nat.filter(!$"keep").count() == 0L)
   }
 
+  test("weightedSample: reproducible, matches the window reference, " +
+      "heavier rows sampled more") {
+    val df = spark.range(10000)
+      .select($"id", when($"id" % 10 === 0, 100.0).otherwise(1.0)
+        .as("w"))
+    val got = Curation.weightedSample(df, "id", $"w", k = 500)
+    // reproducible
+    val again = Curation.weightedSample(df, "id", $"w", k = 500)
+    assert(got.except(again).isEmpty && again.except(got).isEmpty)
+    // equals the brute-force window formulation
+    val u = (Curation.splitmix($"id").bitwiseAND(lit((1L << 53) - 1))
+      .cast("double") + 0.5) / math.pow(2.0, 53)
+    val ref = df.withColumn("key", log(u) / $"w")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"key".desc, $"id")).cast("long"))
+      .filter($"rank" <= 500)
+      .select($"id", $"key".as("es_key"), $"rank")
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    // heavy rows (10% of corpus, weight 100) dominate the sample:
+    // expected share 100/(100+9) ≈ 92%
+    val heavy = got.filter($"id" % 10 === 0).count()
+    assert(heavy > 400, s"heavy=$heavy of 500")
+  }
+
   test("chunkSpans: overlap coverage invariants") {
     val df = Seq((1L, 100L), (2L, 64L), (3L, 65L), (4L, 0L), (5L, 1L))
       .toDF("doc_id", "n")
