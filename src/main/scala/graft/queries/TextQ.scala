@@ -656,7 +656,56 @@ object TextQ {
     },
     Some(bpeEncodeOracleSql(12)))
 
+  /** Decontamination WITH span offsets (Dedup.decontaminate
+    * withSpans — q61's surface plus WHERE the contamination sits, so a
+    * pipeline can excise the span instead of dropping the document).
+    * The oracle recomputes matched-gram positions with ordinality:
+    * span_first = first matching shingle's word index, span_last =
+    * last matched word covered. Integers end to end. */
+  val q99 = Q(
+    "q99_decontaminate_spans",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", k = 5, withSpans = true)
+        .select($"doc_id", $"n_shared", $"contaminated",
+          $"span_first".cast("long").as("span_first"),
+          $"span_last".cast("long").as("span_last"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH test_sh AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+            AS gram
+          FROM documents WHERE doc_id % 97 = 0) u
+      ), cg AS (
+        SELECT doc_id, u.i AS i, u.g AS gram FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(sp) - 3),
+            i -> {'i': i, 'g': array_to_string(sp[i:i+4], ' ')})) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents WHERE doc_id % 97 <> 0))
+      ), m AS (
+        SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared,
+               min(c.i) - 1 AS span_first,
+               max(c.i) + 3 AS span_last
+        FROM cg c JOIN test_sh USING (gram)
+        GROUP BY 1
+      )
+      SELECT d.doc_id,
+             coalesce(m.n_shared, 0) AS n_shared,
+             coalesce(m.n_shared, 0) >= 1 AS contaminated,
+             m.span_first, m.span_last
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      LEFT JOIN m USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93)
+      q92, q93, q99)
 }
