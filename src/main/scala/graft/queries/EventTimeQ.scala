@@ -126,5 +126,37 @@ object EventTimeQ {
         ON c.user_id = p.user_id AND c.ts > p.ts
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q43, q46, q97)
+  /** Sliding event-time window counts — the BATCH shape of
+    * EventStreams.windowedCounts (10-minute windows sliding every 5):
+    * each event lands in exactly two epoch-aligned windows. The oracle
+    * re-derives the window assignment with integer microsecond
+    * arithmetic — exact end to end. */
+  val q100 = Q(
+    "q100_sliding_window_counts",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "10 minutes", "5 minutes"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"window.start").as("window_start_us"),
+          $"event_type", $"n")
+        .orderBy($"window_start_us", $"event_type")
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               unnest([
+                 (epoch_us(ts) // 300000000) * 300000000,
+                 (epoch_us(ts) // 300000000) * 300000000 - 300000000
+               ]) AS ws
+        FROM events
+      )
+      SELECT ws AS window_start_us, event_type, count(*) AS n
+      FROM assigned
+      WHERE us >= ws AND us < ws + 600000000
+      GROUP BY 1, 2
+      ORDER BY window_start_us, event_type"""))
+
+  val all: Seq[Q] = Seq(q43, q46, q97, q100)
 }
