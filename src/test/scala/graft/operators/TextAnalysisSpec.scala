@@ -89,6 +89,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e2.getAs[Long]("n_tokens_bpe") == 2L)
   }
 
+  test("text operators survive null and empty text rows") {
+    // a lakehouse lands dirty rows; row-local operators must pass
+    // them through (null/zero outputs), never throw
+    val docs = Seq((1L, "a b a"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLmScore(docs).orderBy("doc_id").collect()
+    assert(lm.length == 3)
+    assert(lm(0).getLong(1) == 2L)
+    assert(lm(1).getLong(1) == 0L && lm(2).getLong(1) == 0L)
+    // words are single chars here, so the (a,b) merge never applies
+    // (merges are intra-word): "a b a" stays 3 tokens
+    val enc = TextAnalysis.bpeEncode(docs, Seq(("a", "b")))
+      .orderBy("doc_id").collect()
+    assert(enc(0).getAs[Long]("n_tokens_bpe") == 3L)
+    assert(enc.length == 3) // null/empty rows pass through, no throw
+    val redacted = TextAnalysis.redactPii(docs).collect()
+    assert(redacted.length == 3)
+    val rep = TextAnalysis.repetitionStats(docs).collect()
+    assert(rep.length == 3)
+    val fp = docs.select(TextAnalysis.prefixFingerprint($"text"))
+      .collect()
+    assert(fp.length == 3)
+    // BPE training ignores null/empty rows
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 3)
+    assert(merges.count() >= 0L)
+  }
+
   test("bigramLmScore: smoothed probabilities sum to 1 over the vocab") {
     val docs = Seq((1L, "a b a c"), (2L, "b c a a")).toDF("doc_id", "text")
     // Σ_w2∈V P(w2|w1) = (Cctx(w1) + k·V) / (Cctx(w1) + k·V) = 1 by
