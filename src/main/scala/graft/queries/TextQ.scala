@@ -705,7 +705,57 @@ object TextQ {
       LEFT JOIN m USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Vocabulary coverage curve — what fraction of all corpus tokens
+    * the top-N vocabulary types cover (the tokenizer-budget question):
+    * term counts, GLOBAL frequency rank + running token total through
+    * the zipWithIndex scale path (Ranks.withGlobalRank /
+    * withGlobalPrefixSum — one range shuffle each, never a
+    * single-partition window), sampled at N ∈ {5, 10, 20, 30}. The
+    * oracle's plain window formulation is the semantic reference. */
+  val q101 = Q(
+    "q101_vocab_coverage",
+    (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"term").agg(count(lit(1)).as("n"))
+      val total = tf.agg(sum($"n")).head().getLong(0)
+      val ranked = graft.operators.Ranks.withGlobalRank(
+        tf, Seq($"n".desc, $"term".asc), "rank")
+      val cum = graft.operators.Ranks.withGlobalPrefixSum(
+        ranked, Seq($"rank".asc), "n", "cum_tokens")
+      cum.filter($"rank".isin(5L, 10L, 20L, 30L))
+        .select($"rank".as("top_n"), $"cum_tokens",
+          DomainQ.emit6($"cum_tokens".cast("double") / total)
+            .as("coverage"))
+        .orderBy($"top_n")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE length(term) > 0
+        GROUP BY term
+      ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf),
+      ranked AS (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS rank,
+               sum(n) OVER (ORDER BY n DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+        FROM tf
+      )
+      SELECT CAST(rank AS BIGINT) AS top_n,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             round(CAST(cum_tokens AS DOUBLE) / tot.total, 6) + 0.0
+               AS coverage
+      FROM ranked CROSS JOIN tot
+      WHERE rank IN (5, 10, 20, 30)
+      ORDER BY top_n"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99)
+      q92, q93, q99, q101)
 }
