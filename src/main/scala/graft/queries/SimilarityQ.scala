@@ -306,5 +306,48 @@ object SimilarityQ {
       FROM av LEFT JOIN st USING (vec_id)
       ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90)
+  /** Embedding-space QC report (the drift-monitoring pass a vector
+    * pipeline runs per batch): per label — member count, mean vector
+    * L2 norm, and mean cosine to the label centroid (cluster
+    * tightness). One centroid aggregation + one row-local kernel scan;
+    * scales like q38's index build. */
+  val q102 = Q(
+    "q102_embedding_qc",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          $"embedding".cast("array<double>").as("v"))
+      val cents = Similarity.centroids(
+        emb.withColumnRenamed("v", "embedding"), "label")
+      emb.join(cents, Seq("label"))
+        .select($"label",
+          Similarity.norm($"v").as("nrm"),
+          Similarity.cosine($"v", $"centroid").as("cc"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          DomainQ.emit6(avg($"nrm")).as("mean_norm"),
+          DomainQ.emit6(avg($"cc")).as("mean_cos_to_centroid"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+      ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      c0 AS (
+        SELECT label, i, avg(e[i]) AS m
+        FROM emb CROSS JOIN dims GROUP BY 1, 2
+      ), cv AS (SELECT label, list(m ORDER BY i) AS c FROM c0 GROUP BY 1)
+      SELECT emb.label, count(*) AS n,
+             round(avg(sqrt(list_sum(list_transform(range(1, 65),
+               dd -> e[dd] * e[dd])))), 6) + 0.0 AS mean_norm,
+             round(avg(list_cosine_similarity(e, cv.c)), 6) + 0.0
+               AS mean_cos_to_centroid
+      FROM emb JOIN cv USING (label)
+      GROUP BY emb.label
+      ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102)
 }
