@@ -266,6 +266,37 @@ object Dedup {
         jaccardPairs(df, idCol, textCol, k, threshold, dfCap)
     }
 
+  /** Incremental dedup against a HISTORICAL corpus via a Bloom filter —
+    * the mechanism that makes "drop what yesterday's 100 TB already
+    * has" affordable: the history is folded ONCE into a bits-bounded
+    * sketch (`DataFrameStatFunctions.bloomFilter`, a distributed
+    * aggregate), the sketch broadcasts with the job, and each arriving
+    * document tests row-locally — the history itself is never joined,
+    * shuffled or even read again.
+    *
+    * Semantics: NO false negatives (a fingerprint present in history
+    * always flags), false positives at the configured `fpp` — i.e. a
+    * small, tunable fraction of genuinely-new docs is dropped too,
+    * the standard trade every production incremental-dedup makes.
+    * Exactness when needed: route the flagged subset (a small slice)
+    * through an exact anti-join; the sketch pre-filter has already
+    * eliminated the bulk of the work.
+    *
+    * Returns `docs` plus `seen_before` (the row-local sketch verdict
+    * on [[graft.functions.Expressions.polyHash64]] of the text). */
+  def bloomDedup(docs: DataFrame, history: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val histFp = history.select(
+      Expressions.polyHash64(col(textCol)).as("fp"))
+    val bloom = histFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val seen = udf((fp: Long) => bc.value.mightContainLong(fp))
+    docs.withColumn("seen_before",
+      seen(Expressions.polyHash64(col(textCol))))
+  }
+
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 

@@ -142,6 +142,29 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, true))) // "alpha beta gamma delta"
   }
 
+  test("bloomDedup: no false negatives against history; FP rate near " +
+      "the configured bound; history never joined") {
+    val history = spark.range(20000)
+      .select(concat(lit("hist doc number "), $"id").as("text"))
+    // arriving batch: 1000 docs seen before + 5000 genuinely new
+    val seen = spark.range(1000)
+      .select($"id", concat(lit("hist doc number "), $"id").as("text"))
+    val fresh = spark.range(5000)
+      .select(($"id" + 1000000L).as("id"),
+        concat(lit("brand new doc "), $"id").as("text"))
+    val out = Dedup.bloomDedup(seen.unionByName(fresh), history,
+      expectedItems = 20000, fpp = 0.01).cache()
+    // every historical doc flags (no false negatives, guaranteed)
+    assert(out.filter($"id" < 1000000L && !$"seen_before").count() == 0L)
+    // false positives on the fresh side stay near 1%
+    val fp = out.filter($"id" >= 1000000L && $"seen_before").count()
+    assert(fp < 5000 * 0.03, s"false positives: $fp / 5000")
+    // the plan joins NOTHING: history folded into the broadcast sketch
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1000))
+    out.unpersist()
+  }
+
   test("decontaminate withSpans pinpoints the planted contaminated span") {
     // doc 1: 4 clean words, then the 6-word test span at words [4, 9],
     // then a clean tail; k = 3 → matching shingles at positions 4..7,
