@@ -755,7 +755,46 @@ object TextQ {
       WHERE rank IN (5, 10, 20, 30)
       ORDER BY top_n"""))
 
+  /** Incremental dedup against a historical corpus, the 100 TB shape:
+    * the history folds ONCE into a broadcast Bloom sketch
+    * (Dedup.bloomDedup — bits bounded by expectedItems/fpp, never
+    * joined or re-read), arrivals are flagged row-locally, and only the
+    * flagged slice — already pruned to dupes + the ~fpp false-positive
+    * tail — pays an exact semi-join confirmation. Because the sketch
+    * has no false negatives, flagged ∧ confirmed is EXACTLY the set of
+    * true duplicates, so the end-to-end output is hash-gated even
+    * though the sketch itself is approximate. History/arrival split is
+    * deterministic on doc_id so both sides derive it identically. */
+  val q103 = Q(
+    "q103_bloom_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val history = docs.filter($"doc_id" % 10 < 8)
+      val arrivals = docs.filter($"doc_id" % 10 >= 8)
+      val flagged = Dedup.bloomDedup(arrivals, history)
+        .filter($"seen_before")
+      val confirmed = flagged
+        .join(broadcast(history.select($"text").distinct()),
+          Seq("text"), "left_semi")
+        .select($"doc_id", lit(true).as("dup"))
+      arrivals.select($"doc_id")
+        .join(confirmed, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"dup", lit(false)).as("dup_in_history"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 8
+      )
+      SELECT a.doc_id,
+             EXISTS (SELECT 1 FROM hist h WHERE h.text = a.text)
+               AS dup_in_history
+      FROM documents a
+      WHERE a.doc_id % 10 >= 8
+      ORDER BY a.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101)
+      q92, q93, q99, q101, q103)
 }
