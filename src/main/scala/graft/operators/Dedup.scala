@@ -297,6 +297,36 @@ object Dedup {
       seen(Expressions.polyHash64(col(textCol))))
   }
 
+  /** Exact heavy hitters via a count-min-sketch prefilter — the other
+    * half of the sketch pair with [[bloomDedup]], and the 100 TB shape
+    * for boilerplate/stopword detection: a naive `groupBy(item).count`
+    * shuffles the ENTIRE stream (every token row) to count a handful
+    * of frequent items. Here the stream folds once into a broadcast
+    * CMS (commutative per-cell addition — partition-order invariant),
+    * every row tests its own estimate locally, and only rows whose
+    * estimate reaches `minCount` enter the exact `groupBy` — so the
+    * shuffle carries heavy candidates only. CMS never underestimates,
+    * so the candidate set is a superset of the true heavy hitters and
+    * the post-count `n >= minCount` filter makes the output EXACT
+    * (item + exact count), not approximate.
+    *
+    * `eps` bounds overestimation at `eps * N` stream rows (the width of
+    * the false-candidate tail that pays the shuffle needlessly), NOT
+    * output error — output counts come from the exact pass. */
+  def cmsHeavyHitters(items: DataFrame, itemCol: String, minCount: Long,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = items.sparkSession
+    val cms = items.stat.countMinSketch(itemCol, eps, confidence, seed)
+    val bc = spark.sparkContext.broadcast(cms)
+    val atLeast = udf((item: String) =>
+      bc.value.estimateCount(item) >= minCount)
+    items.filter(atLeast(col(itemCol)))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 

@@ -794,7 +794,39 @@ object TextQ {
       WHERE a.doc_id % 10 >= 8
       ORDER BY a.doc_id"""))
 
+  /** Heavy-hitter terms (boilerplate/stopword census) through the CMS
+    * prefilter (Dedup.cmsHeavyHitters): the token stream folds once
+    * into a broadcast count-min sketch, rows self-select by their own
+    * estimate, and only heavy candidates pay the groupBy shuffle.
+    * CMS never underestimates, so the exact-confirm pass makes the
+    * output exact — hash-gated against the plain HAVING oracle.
+    * Threshold is relative (0.2% of total tokens) so the query keeps
+    * teeth at every SF. */
+  val q104 = Q(
+    "q104_cms_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+      val minCount = math.ceil(toks.count() * 0.002).toLong
+      Dedup.cmsHeavyHitters(toks, "term", minCount)
+        .orderBy($"n".desc, $"term")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT term FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE length(term) > 0
+      ), tot AS (SELECT CAST(ceil(0.002 * count(*)) AS BIGINT) AS min_n
+                 FROM toks)
+      SELECT term, count(*) AS n
+      FROM toks
+      GROUP BY term
+      HAVING count(*) >= (SELECT min_n FROM tot)
+      ORDER BY n DESC, term"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101, q103)
+      q92, q93, q99, q101, q103, q104)
 }

@@ -165,6 +165,29 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("cmsHeavyHitters: exact output equals the declarative reference; " +
+      "only candidates pay the shuffle") {
+    // zipfian-ish stream: item k appears 2000/k times, k = 1..200
+    val stream = spark.range(1, 201)
+      .select(explode(expr("array_repeat(id, CAST(2000 / id AS INT))"))
+        .as("k"))
+      .select(concat(lit("item"), $"k").as("item"))
+    val minCount = 150L
+    val out = Dedup.cmsHeavyHitters(stream, "item", minCount).cache()
+    val exact = stream.groupBy($"item").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCount)
+    // exact equality with the full-shuffle reference: counts AND set
+    assert(out.unionByName(exact).except(out.intersect(exact)).count() == 0L)
+    assert(out.count() == exact.count())
+    // 2000/k >= 150 → k <= 13 heavy items
+    assert(out.count() == 13L)
+    // the aggregate's input is the sketch-filtered stream, not the raw
+    // one: a Filter sits below the partial aggregation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan.take(1000))
+    out.unpersist()
+  }
+
   test("decontaminate withSpans pinpoints the planted contaminated span") {
     // doc 1: 4 clean words, then the 6-word test span at words [4, 9],
     // then a clean tail; k = 3 → matching shingles at positions 4..7,
