@@ -297,6 +297,50 @@ object Dedup {
       seen(Expressions.polyHash64(col(textCol))))
   }
 
+  /** Corpus-self repeated-substring spans — the within-corpus sibling
+    * of [[decontaminate]]'s span mode, after the substring-dedup result
+    * that repeated long spans (boilerplate, licenses, templated
+    * headers) should be excised at SPAN granularity rather than
+    * dropping whole documents (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — reimplemented from
+    * the paper's published description, shingle-fingerprint
+    * formulation, not suffix arrays: a distributed hash census is the
+    * Spark-native shape where a suffix array is a single-machine one).
+    *
+    * A k-word shingle is "repeated" when it occurs in ≥ `minDocs`
+    * DISTINCT documents. Each document's matching positions merge into
+    * maximal spans: hits whose k-word coverages overlap or touch
+    * (gap ≤ k) fuse; output is one row per `[id, span_id]` with
+    * `span_first`/`span_last` word indices (0-based, inclusive) and
+    * the hit count.
+    *
+    * Scale shape: two equi shuffles on the shingle hash (census +
+    * hits join — the repeated set is corpus-wide, deliberately NOT
+    * broadcast) plus per-document windows bounded by document length.
+    * No pairwise document join anywhere — cost is O(shingles), not
+    * O(docs²). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol), posexplode(
+      Expressions.wordShingleHashesAt(col(textCol), k))
+      .as(Seq("pos", "h")))
+    val repeated = sh.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    sh.join(repeated, Seq("h"))
+      .select(col(idCol), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("span_first"),
+        (max(col("pos")) + (k - 1)).as("span_last"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Exact heavy hitters via a count-min-sketch prefilter — the other
     * half of the sketch pair with [[bloomDedup]], and the 100 TB shape
     * for boilerplate/stopword detection: a naive `groupBy(item).count`

@@ -826,7 +826,53 @@ object TextQ {
       HAVING count(*) >= (SELECT min_n FROM tot)
       ORDER BY n DESC, term"""))
 
+  /** Repeated-substring spans across the corpus (Dedup.repeatedSpans,
+    * k = 8, ≥ 2 distinct docs): the span-granular substring-dedup
+    * surface — maximal repeated 8-gram coverages per document, exactly
+    * the regions span-level dedup would excise. The oracle replays the
+    * census on shingle STRINGS (the engine runs on 64-bit shingle
+    * hashes — the exact-match gate doubles as a collision check) and
+    * the same overlap-or-touch merge via window lag + running sum. */
+  val q105 = Q(
+    "q105_repeated_spans",
+    (s, d) => {
+      import s.implicits._
+      Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+        .select($"doc_id", $"span_id".cast("long").as("span_id"),
+          $"span_first".cast("long").as("span_first"),
+          $"span_last".cast("long").as("span_last"), $"n_hits")
+        .orderBy($"doc_id", $"span_first")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, u.i AS i, u.g AS g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(sp) - 6),
+            i -> {'i': i, 'g': array_to_string(sp[i:i+7], ' ')})) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                FROM documents))
+      ), rep AS (
+        SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+      ), hits AS (
+        SELECT doc_id, i - 1 AS pos FROM sh JOIN rep USING (g)
+      ), flags AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                      ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+      ), seg AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flags
+      )
+      SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+             CAST(min(pos) AS BIGINT) AS span_first,
+             CAST(max(pos) + 7 AS BIGINT) AS span_last,
+             count(*) AS n_hits
+      FROM seg GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_first"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101, q103, q104)
+      q92, q93, q99, q101, q103, q104, q105)
 }

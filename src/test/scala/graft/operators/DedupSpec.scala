@@ -165,6 +165,39 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("repeatedSpans finds maximal cross-doc repeated k-gram spans, " +
+      "merges touching coverages, ignores within-doc-only repeats") {
+    // docs 1 and 2 share the 6-word run "r0 r1 r2 r3 r4 r5" (k = 3 →
+    // repeated shingles at word offsets 0..3 of the run); doc 3 is
+    // clean; doc 4 repeats a 3-gram only WITHIN itself (not repeated
+    // across docs → no span)
+    val corpus = Seq(
+      (1L, "r0 r1 r2 r3 r4 r5 u1 u2 u3 u4"),
+      (2L, "v1 v2 r0 r1 r2 r3 r4 r5 v3 v4"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "a b c x y z a b c q q q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3)
+      .select($"doc_id", $"span_first".cast("long"),
+        $"span_last".cast("long"), $"n_hits")
+      .orderBy($"doc_id", $"span_first")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: hits at pos 0..3, coverage [0, 5]; doc 2: pos 2..5 → [2, 7]
+    assert(out.toSeq == Seq((1L, 0L, 5L, 4L), (2L, 2L, 7L, 4L)))
+    // far-apart repeats do NOT merge: split the shared run across a gap
+    val gapped = Seq(
+      (1L, "r0 r1 r2 g g g g g s0 s1 s2"),
+      (2L, "r0 r1 r2 h h h h h s0 s1 s2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(gapped, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 1L).orderBy($"span_first")
+      .select($"span_first".cast("long"), $"span_last".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.toSeq == Seq((0L, 2L), (8L, 10L)))
+  }
+
   test("cmsHeavyHitters: exact output equals the declarative reference; " +
       "only candidates pay the shuffle") {
     // zipfian-ish stream: item k appears 2000/k times, k = 1..200
