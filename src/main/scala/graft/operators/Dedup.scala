@@ -325,8 +325,14 @@ object Dedup {
     val sh = docs.select(col(idCol), posexplode(
       Expressions.wordShingleHashesAt(col(textCol), k))
       .as(Seq("pos", "h")))
-    val repeated = sh.groupBy(col("h"))
-      .agg(count_distinct(col(idCol)).as("n_docs"))
+    // two-step census, not count_distinct: a boilerplate shingle present
+    // in millions of documents would concentrate its id-dedup on the one
+    // reducer owning h; the (h, id) distinct spreads a hot h across
+    // reducers (partial map-side dedup first), and the follow-up count
+    // per h only sees one row per (shingle, doc)
+    val repeated = sh.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
