@@ -349,5 +349,101 @@ object CurationQ {
       FROM ranked WHERE rank <= 50
       ORDER BY rank"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96, q98)
+  /** Quality-classifier training end-to-end (ml.Logistic): an IRLS
+    * logistic fit of a deterministic pseudo-label against two
+    * text-shape features (scaled word count; long-word fraction), the
+    * supervised-scoring step of fasttext-style curation pipelines. The
+    * query surface is the whole 6-iteration Newton trajectory; the
+    * oracle replays every iteration as a recursive CTE — per-row
+    * sigmoid against the carried coefficients, the 9 gradient/Hessian
+    * sums, and the SAME Cramer term grouping the Scala solver uses
+    * (transcribed verbatim from ml.Logistic), so the gate covers the
+    * full feedback loop, not just the last iterate. */
+  val q106 = Q(
+    "q106_quality_classifier",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+      val nWords = size(split($"text", " "))
+      val f1 = nWords.cast("double") / lit(10.0)
+      val f2 = size(filter(split($"text", " "), w => length(w) > 4))
+        .cast("double") / greatest(nWords, lit(1)).cast("double")
+      val y = when(($"doc_id" * 1000003L) % 100 <
+          lit(30) + lit(40) * when(nWords >= 12, 1).otherwise(0),
+          1.0).otherwise(0.0)
+      val feats = docs.select(f1.as("f1"), f2.as("f2"), y.as("y"))
+      val traj = graft.ml.Logistic.irlsFit2(
+        feats, $"f1", $"f2", $"y", iters = 6)
+      traj.toDF("iter", "b0", "b1", "b2")
+        .select($"iter".cast("long").as("iter"),
+          DomainQ.emit6($"b0").as("b0"),
+          DomainQ.emit6($"b1").as("b1"),
+          DomainQ.emit6($"b2").as("b2"))
+        .orderBy($"iter")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0 AS f1,
+               CAST(len(list_filter(string_split(text, ' '),
+                 w -> length(w) > 4)) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS f2,
+               CASE WHEN (doc_id * 1000003) % 100 <
+                 30 + 40 * (CASE WHEN len(string_split(text, ' ')) >= 12
+                            THEN 1 ELSE 0 END)
+                 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents WHERE text IS NOT NULL
+      ), it AS (
+        -- seed MUST be typed DOUBLE: a bare 0.0 is DECIMAL(2,1) and the
+        -- UNION ALL would coerce every carried iterate to one decimal
+        SELECT 0 AS iter, CAST(0.0 AS DOUBLE) AS b0,
+               CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2
+        UNION ALL
+        SELECT x.iter + 1,
+          x.b0 + (x.g0 * (x.h11 * x.h22 - x.h12 * x.h12)
+                - x.h01 * (x.g1 * x.h22 - x.h12 * x.g2)
+                + x.h02 * (x.g1 * x.h12 - x.h11 * x.g2))
+               / (x.h00 * (x.h11 * x.h22 - x.h12 * x.h12)
+                - x.h01 * (x.h01 * x.h22 - x.h12 * x.h02)
+                + x.h02 * (x.h01 * x.h12 - x.h11 * x.h02)),
+          x.b1 + (x.h00 * (x.g1 * x.h22 - x.h12 * x.g2)
+                - x.g0 * (x.h01 * x.h22 - x.h12 * x.h02)
+                + x.h02 * (x.h01 * x.g2 - x.g1 * x.h02))
+               / (x.h00 * (x.h11 * x.h22 - x.h12 * x.h12)
+                - x.h01 * (x.h01 * x.h22 - x.h12 * x.h02)
+                + x.h02 * (x.h01 * x.h12 - x.h11 * x.h02)),
+          x.b2 + (x.h00 * (x.h11 * x.g2 - x.g1 * x.h12)
+                - x.h01 * (x.h01 * x.g2 - x.g1 * x.h02)
+                + x.g0 * (x.h01 * x.h12 - x.h11 * x.h02))
+               / (x.h00 * (x.h11 * x.h22 - x.h12 * x.h12)
+                - x.h01 * (x.h01 * x.h22 - x.h12 * x.h02)
+                + x.h02 * (x.h01 * x.h12 - x.h11 * x.h02))
+        FROM (
+          SELECT r.iter, r.b0, r.b1, r.b2,
+                 sum(r.y - r.p) AS g0,
+                 sum((r.y - r.p) * r.f1) AS g1,
+                 sum((r.y - r.p) * r.f2) AS g2,
+                 sum(r.p * (1.0 - r.p)) AS h00,
+                 sum(r.p * (1.0 - r.p) * r.f1) AS h01,
+                 sum(r.p * (1.0 - r.p) * r.f2) AS h02,
+                 sum(r.p * (1.0 - r.p) * r.f1 * r.f1) AS h11,
+                 sum(r.p * (1.0 - r.p) * r.f1 * r.f2) AS h12,
+                 sum(r.p * (1.0 - r.p) * r.f2 * r.f2) AS h22
+          FROM (
+            SELECT s.iter, s.b0, s.b1, s.b2, dd.f1, dd.f2, dd.y,
+                   1.0 / (1.0 + exp(-(s.b0 + s.b1 * dd.f1
+                     + s.b2 * dd.f2))) AS p
+            FROM it s, d dd
+            WHERE s.iter < 6
+          ) r
+          GROUP BY r.iter, r.b0, r.b1, r.b2
+        ) x
+      )
+      SELECT CAST(iter AS BIGINT) AS iter,
+             round(b0, 6) + 0.0 AS b0,
+             round(b1, 6) + 0.0 AS b1,
+             round(b2, 6) + 0.0 AS b2
+      FROM it WHERE iter >= 1
+      ORDER BY iter"""))
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106)
 }
