@@ -58,6 +58,23 @@ object HashFuncs {
     h ^ (h >>> 31)
   }
 
+  /** Morton/Z-order interleave of the low `bits` bits of two longs:
+    * result bit 2i is bit i of `a`, bit 2i+1 is bit i of `b`. Range-
+    * clustering both dimensions at once is the layout trick behind
+    * Delta/Iceberg Z-ORDER table maintenance: parquet row-group min/max
+    * zone maps become selective for predicates on EITHER column. Pure
+    * shift/mask arithmetic — replayable bit-for-bit in any engine. */
+  def zorder2(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Byte offsets of space-separated token boundaries: returns an array
     * of 2·nTokens positions (start, end per token). Matches Spark's
     * split(text, " ") — consecutive separators yield empty tokens. */
@@ -623,6 +640,21 @@ object Expressions {
         r: Expression): VecSqDist = copy(left = l, right = r)
   }
 
+  /** zorder2(a, b, bits) — Morton interleave of the low `bits` bits
+    * (HashFuncs.zorder2): the clustering key for Z-ordered data layout.
+    * Codegen'd shift/mask loop; inputs cast to long at the column layer. */
+  case class ZOrder2(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashFuncs.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$hk.zorder2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): ZOrder2 = copy(left = l, right = r)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -665,6 +697,13 @@ object Expressions {
     column(SortedIntersectCount(expression(a), expression(b)))
   def vecSqDist(a: Column, b: Column): Column =
     column(VecSqDist(toAD(expression(a)), toAD(expression(b))))
+
+  /** Cast a SQL argument to long (the Z-order kernel is long-only). */
+  def toL(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  def zorder2(a: Column, b: Column, bits: Int): Column =
+    column(ZOrder2(toL(expression(a)), toL(expression(b)), bits))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
@@ -784,6 +823,11 @@ class GraftExtensions
       (es: Seq[Expression]) =>
         Expressions.VecSqDist(Expressions.toAD(es(0)),
           Expressions.toAD(es(1)))))
+    e.injectFunction((FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[Expressions.ZOrder2].getName, "zorder2"),
+      (es: Seq[Expression]) =>
+        Expressions.ZOrder2(Expressions.toL(es(0)), Expressions.toL(es(1)),
+          litInt(es(2)))))
   }
 
   /** Integer literal argument of a SQL call (k, numHashes, dim …). */

@@ -53,4 +53,25 @@ object Store {
     * catalog; plain `read.parquet` on the path would lose it). */
   def loadBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Z-ordered persistence (Delta/Iceberg `OPTIMIZE ZORDER BY` shape):
+    * range-partition + sort by the Morton interleave of two filter
+    * columns, so parquet row-group min/max zone maps become selective
+    * for predicates on EITHER column — a point/box query reads a few
+    * files instead of all of them (LayoutSpec measures the file-level
+    * pruning against a linear layout). The interleave is the codegen
+    * `zorder2` kernel; `bits` bounds both dimensions to [0, 2^bits).
+    * At 100 TB this is a one-off re-cluster job: one range shuffle,
+    * then every later scan with a selective predicate on either
+    * dimension prunes at the zone-map level. */
+  def saveZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, bits: Int = 16, nFiles: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.Expressions.zorder2(col(colA), col(colB), bits)
+    df.withColumn("_zkey", z)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }
