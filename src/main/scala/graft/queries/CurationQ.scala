@@ -445,5 +445,108 @@ object CurationQ {
       FROM it WHERE iter >= 1
       ORDER BY iter"""))
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106)
+  /** URL-canonicalization dedup (operators.Web): the corpus's crawl
+    * URLs are synthesized deterministically from (source, doc_id) in
+    * four raw spellings — host/scheme case + explicit default port,
+    * duplicate-slash path + fragment + tracking param, and
+    * shuffled-query variants — that all canonicalize to the same page
+    * URL. The query is the dedup census over the canonical key; the
+    * oracle replays the full RFC-3986-style normalization chain
+    * (Web.canonicalizeUrlSql) on the identical raw strings, so every
+    * rule — port strip, www strip, slash collapse, trailing slash,
+    * fragment drop, tracking-param filter, param sort — is hash-gated. */
+  val q107 = Q(
+    "q107_url_dedup",
+    (s, d) => {
+      import s.implicits._
+      val k = ($"doc_id" % 7).cast("string")
+      val v = $"doc_id" % 4
+      val raw = when(v === 0, concat(lit("https://www."), $"source",
+          lit(".example.com/p/"), k, lit("?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTPS://WWW."), upper($"source"),
+          lit(".EXAMPLE.COM:443/p/"), k, lit("?b=2&a=1")))
+        .when(v === 2, concat(lit("https://"), $"source",
+          lit(".example.com/p//"), k, lit("/?a=1&utm_source=x&b=2#sec")))
+        .otherwise(concat(lit("https://www."), $"source",
+          lit(".example.com:443/p/"), k, lit("?utm_campaign=z&ref=h&a=1&b=2")))
+      val docs = t(s, d, "documents").select($"doc_id", raw.as("url"))
+      graft.operators.Web.urlDedup(docs, "url", "doc_id")
+        .select($"canonical_url", $"n_dups", $"keep_id")
+        .orderBy($"canonical_url")
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://www.' || source || '.example.com/p/'
+                   || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2'
+                 WHEN 1 THEN 'HTTPS://WWW.' || upper(source)
+                   || '.EXAMPLE.COM:443/p/' || CAST(doc_id % 7 AS VARCHAR)
+                   || '?b=2&a=1'
+                 WHEN 2 THEN 'https://' || source || '.example.com/p//'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '/?a=1&utm_source=x&b=2#sec'
+                 ELSE 'https://www.' || source || '.example.com:443/p/'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '?utm_campaign=z&ref=h&a=1&b=2'
+               END AS url
+        FROM documents
+      ), canon AS (
+        SELECT doc_id,
+               ${graft.operators.Web.canonicalizeUrlSql("url")}
+                 AS canonical_url
+        FROM raw
+      )
+      SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM canon
+      GROUP BY canonical_url
+      ORDER BY canonical_url"""))
+
+  /** The DuckDB spelling of the Morton interleave (HashFuncs.zorder2):
+    * an explicit OR of the 2·bits shifted bit extractions. */
+  private def zorderSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
+  /** Z-order layout key (functions.Expressions.zorder2, the clustering
+    * key behind Store.saveZOrdered): Morton-interleave two bounded
+    * dimensions of the events table and aggregate per coarse z-bucket.
+    * The min/max spans per bucket ARE the zone-map story — the oracle
+    * gating them exactly shows every bucket bounds BOTH dimensions at
+    * once, which is why a Z-ordered rewrite makes parquet row-group
+    * min/max pruning selective for predicates on either column. The
+    * kernel is a codegen shift/mask loop; the oracle replays all 20 bit
+    * extractions as explicit arithmetic. */
+  val q108 = Q(
+    "q108_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(($"user_id" % 1024).as("a"), ($"event_id" % 1024).as("b"))
+      ev.select($"a", $"b",
+          graft.functions.Expressions.zorder2($"a", $"b", 10).as("zkey"))
+        .groupBy(shiftrightunsigned($"zkey", 10).as("zbucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min($"a").as("min_a"), max($"a").as("max_a"),
+          min($"b").as("min_b"), max($"b").as("max_b"))
+        .orderBy($"zbucket")
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT CAST(user_id % 1024 AS BIGINT) AS a,
+               CAST(event_id % 1024 AS BIGINT) AS b
+        FROM events
+      ), keyed AS (
+        SELECT a, b, ${zorderSql("a", "b", 10)} AS zkey FROM dims
+      )
+      SELECT zkey >> 10 AS zbucket, count(*) AS n_events,
+             min(a) AS min_a, max(a) AS max_a,
+             min(b) AS min_b, max(b) AS max_b
+      FROM keyed
+      GROUP BY zbucket
+      ORDER BY zbucket"""))
+
+  val all: Seq[Q] =
+    Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108)
 }
