@@ -52,13 +52,31 @@ object AsOfJoin {
     *                   false the match is DISCARDED (null payload, row
     *                   kept). Evaluated row-locally after the forward
     *                   fill; adds nothing to the shuffle.
+    * @param direction  pandas `merge_asof(direction=...)`: "backward"
+    *                   (default — most recent right row at/before the
+    *                   left time), "forward" (first right row at/after),
+    *                   or "nearest" (closer of the two candidates, gated
+    *                   per-candidate by `tolerance`, ties broken backward
+    *                   like pandas). All three run in the SAME single
+    *                   union-tag shuffle: forward is the mirrored carry
+    *                   (`first` over currentRow→following), nearest
+    *                   evaluates both frames in one WindowExec (same
+    *                   partitioning and ordering) and picks row-locally.
+    *                   "nearest" requires `strict = false`: exact-time
+    *                   matches surface through the backward frame at
+    *                   distance zero (pandas' allow_exact_matches=True).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
       strict: Boolean = true, prefix: String = "asof_",
       rightTieBreak: Seq[String] = Nil,
-      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+      tolerance: Option[(Column, Column) => Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(direction != "nearest" || !strict,
+      "direction=nearest requires strict=false (exact matches allowed)")
     val ts = "__asof_ts"
     val side = "__asof_side"
     val tie = "__asof_tie"
@@ -73,9 +91,16 @@ object AsOfJoin {
     require(outClashes.isEmpty,
       s"left columns collide with prefixed output columns " +
         s"${outClashes.mkString(", ")}; pass a different prefix")
-    // Right rows must sort before left rows at equal ts for inclusive
-    // semantics, after them for strict.
-    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+    // Side ordering encodes strictness: for backward fills (frame ending
+    // at currentRow) an equal-ts right row is visible iff it sorts BEFORE
+    // the left row; for forward fills (frame starting at currentRow) iff
+    // it sorts AFTER. "nearest" uses the backward-inclusive ordering —
+    // the forward frame then misses equal-ts rights, which is harmless
+    // because the backward candidate already matches them at distance 0.
+    val (leftSide, rightSide) = direction match {
+      case "forward" => if (strict) (1, 0) else (0, 1)
+      case _         => if (strict) (0, 1) else (1, 0)
+    }
 
     // All carried columns travel in ONE struct so the forward-fill cannot
     // mix fields from different right rows: a right row with a null payload
@@ -96,15 +121,43 @@ object AsOfJoin {
       .withColumn(payload, lit(null).cast(r.schema(payload).dataType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
-    val gated = tolerance.fold(filled) { within =>
-      filled.withColumn(payload,
-        when(within(col(ts), col(payload)(prefix + rightTs)),
-          col(payload)))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gated = direction match {
+      case "backward" | "forward" =>
+        val fill = if (direction == "backward")
+          last(col(payload), ignoreNulls = true).over(wBack)
+        else first(col(payload), ignoreNulls = true).over(wFwd)
+        val filled = unioned.withColumn(payload, fill)
+        tolerance.fold(filled) { within =>
+          filled.withColumn(payload,
+            when(within(col(ts), col(payload)(prefix + rightTs)),
+              col(payload)))
+        }
+      case "nearest" =>
+        // Both frames share partitioning + ordering → ONE WindowExec,
+        // each fill computed once, then a row-local projection picks.
+        // Tolerance gates each candidate BEFORE the choice (pandas:
+        // nearest within tolerance); the timestamp distance compares as
+        // double (seconds for timestamps, the raw value for numerics).
+        def gate(p: Column): Column = tolerance.fold(p)(within =>
+          when(within(col(ts), p(prefix + rightTs)), p))
+        val bc = "__asof_bwd"
+        val fc = "__asof_fwd"
+        val twoFills = unioned
+          .withColumn(bc, last(col(payload), ignoreNulls = true).over(wBack))
+          .withColumn(fc, first(col(payload), ignoreNulls = true).over(wFwd))
+        val b = gate(col(bc))
+        val f = gate(col(fc))
+        val bDist =
+          abs(col(ts).cast("double") - b(prefix + rightTs).cast("double"))
+        val fDist =
+          abs(col(ts).cast("double") - f(prefix + rightTs).cast("double"))
+        twoFills.withColumn(payload,
+            when(b.isNotNull && (f.isNull || bDist <= fDist), b).otherwise(f))
+          .drop(bc, fc)
     }
     carried.foldLeft(gated.filter(col(side) === leftSide)) { (df, c) =>
       df.withColumn(c, col(payload)(c))

@@ -158,5 +158,98 @@ object EventTimeQ {
       GROUP BY 1, 2
       ORDER BY window_start_us, event_type"""))
 
-  val all: Seq[Q] = Seq(q43, q46, q97, q100)
+  /** Forward as-of join (pandas merge_asof direction='forward'): each
+    * click is joined to the SAME user's first purchase AT or AFTER the
+    * click (inclusive). Same single union-tag shuffle as q43, mirrored
+    * carry; the oracle is DuckDB's native ASOF with the inequality
+    * flipped. */
+  val q109 = Q(
+    "q109_asof_forward",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("pval"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("pval"),
+          strict = false, direction = "forward")
+        .filter($"asof_ts".isNotNull)
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("click_us"),
+          unix_micros($"asof_ts").as("purchase_us"),
+          $"asof_pval".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+      ), c AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.event_id, c.user_id,
+             epoch_us(c.ts) AS click_us,
+             epoch_us(p.ts) AS purchase_us,
+             p.pval AS purchase_value
+      FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY event_id"""))
+
+  /** Nearest as-of join with tolerance (pandas merge_asof
+    * direction='nearest'): each click matches the SAME user's closest
+    * purchase within 12 h either way, ties broken backward. One
+    * union-tag shuffle; both frames evaluate in one WindowExec. The
+    * oracle spells nearest as a ranked candidate join (quadratic per
+    * user — fine for an oracle, the thing the engine side avoids). */
+  val q110 = Q(
+    "q110_asof_nearest",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("pval"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("pval"),
+          strict = false, direction = "nearest",
+          tolerance = Some((l, r) =>
+            abs(unix_micros(l) - unix_micros(r)) <= 43200000000L))
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("click_us"),
+          unix_micros($"asof_ts").as("purchase_us"),
+          $"asof_pval".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+      ), c AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+      ), cand AS (
+        SELECT c.event_id, epoch_us(p.ts) AS pus, p.pval,
+               row_number() OVER (
+                 PARTITION BY c.event_id
+                 ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                          CASE WHEN epoch_us(p.ts) <= epoch_us(c.ts)
+                               THEN 0 ELSE 1 END) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id
+        WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 43200000000
+      )
+      SELECT c.event_id, c.user_id,
+             epoch_us(c.ts) AS click_us,
+             cand.pus AS purchase_us,
+             cand.pval AS purchase_value
+      FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rn = 1
+      ORDER BY c.event_id"""))
+
+  val all: Seq[Q] = Seq(q43, q46, q97, q100, q109, q110)
 }

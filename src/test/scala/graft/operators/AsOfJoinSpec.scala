@@ -106,4 +106,73 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().head
     assert(got.getDouble(got.fieldIndex("asof_payload")) === 222.0)
   }
+
+  /** Brute-force forward reference: argmin over rts passing the
+    * predicate. */
+  private def referenceFwd(strict: Boolean) = {
+    val pred = if (strict) $"rts" > $"lts" else $"rts" >= $"lts"
+    left.join(right, left("k") === right("k") && pred, "left")
+      .groupBy(left("k").as("k"), $"lts", $"lid")
+      .agg(min(struct($"rts", $"payload")).as("m"))
+      .select($"k", $"lts", $"lid",
+        $"m.rts".as("asof_rts"), $"m.payload".as("asof_payload"))
+  }
+
+  test("forward as-of equals brute-force argmin, both strictness modes") {
+    for (strict <- Seq(true, false)) {
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+          Seq("payload"), strict = strict, direction = "forward")
+        .select($"k", $"lts", $"lid", $"asof_rts", $"asof_payload")
+      val want = referenceFwd(strict)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"forward strict=$strict")
+    }
+    // inclusive: left (a,10) matches right (a,10); strict: skips to (a,25)
+    def at(strict: Boolean) = AsOfJoin.asOf(left.filter($"lid" === 1L),
+        right, Seq("k"), "lts", "rts", Seq("payload"),
+        strict = strict, direction = "forward")
+      .collect().head.getAs[Long]("asof_rts")
+    assert(at(strict = false) == 10L && at(strict = true) == 25L)
+  }
+
+  test("nearest as-of picks the closer side, ties backward, tolerance gates") {
+    // a@10: bwd=10 (d=0) wins over fwd=25; a@20: bwd=10 (d=10) vs
+    // fwd=25 (d=5) → forward wins; a@30: only bwd=25 (d=5);
+    // b@15: bwd=12 (d=3), no fwd; c: nothing
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+        Seq("payload"), strict = false, direction = "nearest")
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("asof_rts")).map(_.toLong)).toMap
+    assert(got(1L).contains(10L))
+    assert(got(2L).contains(25L))
+    assert(got(3L).contains(25L))
+    assert(got(4L).contains(12L))
+    assert(got(5L).contains(12L))
+    assert(got(6L).isEmpty)
+    // equidistant candidates break backward (pandas): lts=17 vs 12/22
+    val tie = Seq(("b", 17L, 9L)).toDF("k", "lts", "lid")
+    val r2 = Seq(("b", 12L, 1.0), ("b", 22L, 2.0)).toDF("k", "rts", "payload")
+    val tgot = AsOfJoin.asOf(tie, r2, Seq("k"), "lts", "rts",
+        Seq("payload"), strict = false, direction = "nearest")
+      .collect().head
+    assert(tgot.getLong(tgot.fieldIndex("asof_rts")) == 12L)
+    // tolerance gates each side BEFORE the pick: a@20 with tol 4 has
+    // bwd d=10 and fwd d=5 both out → null; tol 5 admits fwd only
+    def tol(limit: Long) = AsOfJoin.asOf(left.filter($"lid" === 2L),
+        right, Seq("k"), "lts", "rts", Seq("payload"),
+        strict = false, direction = "nearest",
+        tolerance = Some((l, r) => abs(l - r) <= limit))
+      .collect().head
+    assert(tol(4L).isNullAt(tol(4L).fieldIndex("asof_rts")))
+    assert(tol(5L).getLong(tol(5L).fieldIndex("asof_rts")) == 25L)
+  }
+
+  test("nearest plans ONE window exchange (both frames share the sort)") {
+    val plan = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+        Seq("payload"), strict = false, direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("- Window ")) == 1,
+      s"expected a single WindowExec:\n$plan")
+  }
 }
