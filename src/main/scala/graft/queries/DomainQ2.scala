@@ -472,10 +472,14 @@ object DomainQ2 {
           .as("beta"))
         .select($"l_suppkey".cast("string").as("sample_label"),
           $"l_partkey".cast("string").as("probe_id"), $"beta")
-      val eligible = betasAll.groupBy("probe_id")
-        .agg(count(lit(1)).as("n_obs")).filter($"n_obs" >= 8)
-        .drop("n_obs")
-      val betas = betasAll.join(eligible, "probe_id")
+      // eligibility (≥8 obs) as a count window on probe_id, not a
+      // separate agg + join: the window's hash partitioning on probe_id
+      // is exactly what computeDmpMixed's groupBy(probe_id) requires, so
+      // the whole chain runs on ONE probe-keyed exchange
+      val betas = betasAll
+        .withColumn("n_obs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")))
+        .filter($"n_obs" >= 8).drop("n_obs")
       val sheetRows = t(s, d, "supplier")
         .select($"s_suppkey".cast("string")).collect().map { r =>
           val k = r.getString(0)
