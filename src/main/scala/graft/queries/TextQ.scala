@@ -872,7 +872,141 @@ object TextQ {
       FROM seg GROUP BY doc_id, span_id
       ORDER BY doc_id, span_first"""))
 
+  /** Corpus snapshot diff (dataset versioning): v2 is derived from the
+    * corpus deterministically — drop doc_id%17, revise doc_id%13, add a
+    * shifted copy of doc_id%11 — and the diff classifies every id as
+    * added/removed/changed/unchanged. ONE full-outer hash join on the id;
+    * presence tests use the join keys (not the payload), and the payload
+    * compare is null-safe, so null-text documents diff correctly. The
+    * incremental path at 100 TB: content hashes instead of raw text make
+    * the shuffled payload 8 bytes per side. */
+  val q111 = Q(
+    "q111_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val v1 = t(s, d, "documents").select($"doc_id", $"text")
+      val base = t(s, d, "documents")
+      val v2 = base.filter($"doc_id" % 17 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0, concat($"text", lit(" [rev2]")))
+            .otherwise($"text").as("text"))
+        .unionByName(base.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val a = v1.as("a")
+      val b = v2.as("b")
+      a.join(b, $"a.doc_id" === $"b.doc_id", "full_outer")
+        .select(coalesce($"a.doc_id", $"b.doc_id").as("doc_id"),
+          when($"a.doc_id".isNull, "added")
+            .when($"b.doc_id".isNull, "removed")
+            .when($"a.text" <=> $"b.text", "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, text FROM documents
+      ), v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+      )
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.text IS NOT DISTINCT FROM v2.text
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY doc_id"""))
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct word 8-grams they share — the corpus-level
+    * overlap report run before mixing crawl snapshots. The engine works
+    * on shingle HASHES (wordShingleHashes → one distinct per (source,
+    * hash) → hash-keyed self-join with source_a < source_b); per-shingle
+    * fan-out is bounded by sources², so the join never goes quadratic in
+    * documents. The oracle replays it on shingle STRINGS — a
+    * hash-collision check like q105's. */
+  val q112 = Q(
+    "q112_source_overlap",
+    (s, d) => {
+      import s.implicits._
+      val sh = t(s, d, "documents")
+        .select($"source", explode(
+          graft.functions.Expressions.wordShingleHashes($"text", 8))
+          .as("h"))
+        .distinct()
+      sh.as("a").join(sh.as("b"),
+          $"a.h" === $"b.h" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT source, g FROM (
+          SELECT source, unnest(list_transform(range(1, len(sp) - 6),
+            i -> array_to_string(sp[i:i+7], ' '))) AS g
+          FROM (SELECT source, string_split(text, ' ') AS sp
+                FROM documents WHERE text IS NOT NULL))
+      )
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_shingles
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Per-source corpus datasheet ("datasheets for datasets" report):
+    * document/char/token counts, null-text count, language spread, and
+    * the dominant language per source (window rank, deterministic
+    * tie-break). Two grouped aggregations + one join — a report, not a
+    * pipeline, but the thing every corpus release ships with. */
+  val q113 = Q(
+    "q113_corpus_datasheet",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val agg = docs.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"text".isNull, 1)).as("n_null_text"),
+        sum(length($"text")).cast("long").as("total_chars"),
+        sum(size(split($"text", " ")).cast("long")).as("total_tokens"),
+        countDistinct($"lang").as("n_langs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc, $"lang".desc)
+      val top = docs.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"source", $"lang".as("top_lang"), $"n".as("top_lang_docs"))
+      agg.join(top, "source").orderBy($"source")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT source, count(*) AS n_docs,
+               count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source
+      ), top AS (
+        SELECT source, lang AS top_lang, n AS top_lang_docs FROM (
+          SELECT source, lang, count(*) AS n,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang DESC) AS rk
+          FROM documents GROUP BY source, lang)
+        WHERE rk = 1
+      )
+      SELECT agg.source, n_docs, n_null_text, total_chars, total_tokens,
+             n_langs, top_lang, top_lang_docs
+      FROM agg JOIN top ON agg.source = top.source
+      ORDER BY agg.source"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101, q103, q104, q105)
+      q92, q93, q99, q101, q103, q104, q105, q111, q112, q113)
 }
