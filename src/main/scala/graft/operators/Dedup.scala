@@ -698,4 +698,37 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Edit-distance-1 pairs via deletion-neighborhood hashing (the
+    * FastSS / SymSpell candidate trick): each string is keyed by itself
+    * plus every single-character deletion; two strings within one edit
+    * (substitution, insertion, or deletion) necessarily share a key, so
+    * candidates come from an EQUI join on the key — O(n·len) index rows
+    * instead of the O(n²) cross compare — and a `levenshtein ≤ 1`
+    * verification removes the same-key false positives (deletions at
+    * different positions, e.g. "ab"/"ba"). The key-cure join is the
+    * scale path: identifier-like columns (URLs, usernames, SKUs) at
+    * 100 TB pair in one shuffle keyed by short strings, with per-key
+    * fan-out bounded by the collision-group size.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, one row per pair. */
+  def editDistancePairs(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      explode(expr(
+        s"""array_union(
+              array($strCol),
+              transform(sequence(1, greatest(length($strCol), 1)),
+                i -> concat(substr($strCol, 1, i - 1),
+                            substr($strCol, i + 1, length($strCol)))))"""))
+        .as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

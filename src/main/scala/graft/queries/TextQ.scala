@@ -1006,7 +1006,33 @@ object TextQ {
       FROM agg JOIN top ON agg.source = top.source
       ORDER BY agg.source"""))
 
+  /** Edit-distance-1 pairing (Dedup.editDistancePairs): typo-level
+    * near-dup detection over identifier-like strings — FastSS/SymSpell
+    * deletion-neighborhood candidates + levenshtein verify, an EQUI join
+    * where the oracle runs the O(n²) cross compare. The two algorithms
+    * are independent (candidate-generation vs exhaustive), so agreement
+    * gates both the neighborhood completeness claim (every ed≤1 pair
+    * shares a deletion key) and the verifier. */
+  val q114 = Q(
+    "q114_edit_distance_pairs",
+    (s, d) => {
+      import s.implicits._
+      val names = t(s, d, "customer").filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey".as("id"), $"c_name".as("nm"))
+      Dedup.editDistancePairs(names, "id", "nm")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH n AS (
+        SELECT c_custkey AS id, c_name AS nm
+        FROM customer WHERE c_custkey % 5 = 0
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM n a JOIN n b ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101, q103, q104, q105, q111, q112, q113)
+      q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114)
 }

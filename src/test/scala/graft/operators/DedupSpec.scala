@@ -353,4 +353,34 @@ class DedupSpec extends SparkSpec {
         r.getAs[String]("text")).toMap
     assert(w(1L) == "same line\nsame line\nother")
   }
+
+  test("editDistancePairs: all single-edit kinds found, ed=2 excluded") {
+    val names = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparks"),                 // insertion vs 1
+      (4L, "park"),                   // deletion vs 1
+      (5L, "spark"),                  // exact duplicate of 1
+      (6L, "ab"), (7L, "ba"),         // shared deletion set, ed=2
+      (8L, "zzzzz")                   // unrelated
+    ).toDF("id", "nm")
+    val got = Dedup.editDistancePairs(names, "id", "nm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 3L)) == 1L)
+    assert(got((1L, 4L)) == 1L)
+    assert(got((1L, 5L)) == 0L)
+    assert(!got.contains((6L, 7L))) // levenshtein verify kills it
+    assert(!got.keySet.exists { case (a, b) => a == 8L || b == 8L })
+    // completeness: equals the brute-force cross compare on real names
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select($"c_custkey".as("id"), $"c_name".as("nm"))
+    val fast = Dedup.editDistancePairs(cust, "id", "nm")
+    val brute = cust.as("a").join(cust.as("b"), $"a.id" < $"b.id")
+      .withColumn("dist", levenshtein($"a.nm", $"b.nm").cast("long"))
+      .filter($"dist" <= 1)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"dist")
+    assert(fast.count() > 0)
+    assert(fast.except(brute).isEmpty && brute.except(fast).isEmpty)
+  }
 }
