@@ -251,5 +251,125 @@ object EventTimeQ {
       FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rn = 1
       ORDER BY c.event_id"""))
 
-  val all: Seq[Q] = Seq(q43, q46, q97, q100, q109, q110)
+  /** Ordered conversion funnel (view → click → purchase): each user's
+    * first view, first click within 24 h after that view, first purchase
+    * within 24 h after that click — the order-sensitive windowed funnel,
+    * not three independent existence tests. Three chained conditional-min windows
+    * over the SAME user partitioning = one exchange, three WindowExec,
+    * then a per-stage user count. The oracle derives each stage as a
+    * grouped min over a join with the previous stage. */
+  val q115 = Q(
+    "q115_conversion_funnel",
+    (s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      val staged = t(s, d, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"us")).over(wu))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"us" >= $"t1" &&
+            $"us" <= $"t1" + 86400000000L, $"us")).over(wu))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"us" >= $"t2" &&
+            $"us" <= $"t2" + 86400000000L, $"us")).over(wu))
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+      staged.select($"user_id",
+          when($"t3".isNotNull, 3).when($"t2".isNotNull, 2)
+            .when($"t1".isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END) AS t1
+        FROM events GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + 86400000000
+        GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+          AND epoch_us(e.ts) <= s2.t2 + 86400000000
+        GROUP BY e.user_id
+      ), staged AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id
+      )
+      SELECT stage, count(*) AS n_users
+      FROM staged GROUP BY stage ORDER BY stage"""))
+
+  /** Cohort retention matrix: users grouped by first-active day, distinct
+    * active users per (cohort_day, day_offset). The cohort assignment is
+    * a min window over the user partitioning (one exchange), the matrix
+    * one distinct aggregation — integer day arithmetic end to end. */
+  val q116 = Q(
+    "q116_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      t(s, d, "events")
+        .withColumn("day", (unix_micros($"ts") / 86400000000L)
+          .cast("long"))
+        .withColumn("cohort_day", min($"day").over(wu))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some("""
+      WITH act AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+      ), coh AS (
+        SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+      )
+      SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""))
+
+  /** Event transition matrix (the sankey/path report): per user, events
+    * in (ts, event_id) order, lag gives the previous type; counts per
+    * (prev_type, event_type) pair. One user-keyed window + one grouped
+    * count; '∅' marks session starts. Deterministic because the
+    * ordering key (ts, event_id) is unique. */
+  val q117 = Q(
+    "q117_event_transitions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us".asc, $"event_id".asc)
+      t(s, d, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_type",
+          coalesce(lag($"event_type", 1).over(w), lit("START")))
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev_type", $"event_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               coalesce(lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id), 'START') AS prev_type
+        FROM events
+      )
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq GROUP BY 1, 2
+      ORDER BY prev_type, event_type"""))
+
+  val all: Seq[Q] = Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117)
 }
