@@ -74,4 +74,29 @@ object Store {
       .drop("_zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** MERGE INTO semantics (the Delta/Iceberg upsert shape) as one
+    * full-outer hash join: matched + delete-flag → row dropped, matched →
+    * the WHOLE update row replaces the base row (per-column coalesce
+    * would resurrect base values under legitimate update NULLs), not
+    * matched on the base side → insert, not matched on the update side →
+    * base row unchanged. At 100 TB this is the merge-on-read compaction
+    * pass: one shuffle of base+updates on the key — and when the base is
+    * bucketed by the key ([[saveBucketedByProbe]] shape) the join plans
+    * with zero base-side Exchange. `updates` carries the base's columns
+    * plus a boolean `deleteFlag`. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, key: String,
+      deleteFlag: String = "is_delete"): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, not, when}
+    require(updates.columns.contains(deleteFlag),
+      s"updates must carry the $deleteFlag column")
+    val dataCols = base.columns.filter(_ != key).toSeq
+    val b = base.as("mb")
+    val u = updates.as("mu")
+    b.join(u, col(s"mb.$key") === col(s"mu.$key"), "full_outer")
+      .filter(col(s"mu.$deleteFlag").isNull || not(col(s"mu.$deleteFlag")))
+      .select(coalesce(col(s"mb.$key"), col(s"mu.$key")).as(key) +:
+        dataCols.map(c => when(col(s"mu.$key").isNotNull, col(s"mu.$c"))
+          .otherwise(col(s"mb.$c")).as(c)): _*)
+  }
 }

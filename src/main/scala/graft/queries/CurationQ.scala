@@ -547,6 +547,54 @@ object CurationQ {
       GROUP BY zbucket
       ORDER BY zbucket"""))
 
+  /** MERGE INTO / upsert (Store.mergeUpsert): a deterministic change
+    * batch — revisions (doc_id%9, unless deleted), deletions (doc_id%31),
+    * inserts (doc_id%13 shifted) — merged into the corpus snapshot with
+    * ONE full-outer key join. Whole-row replacement semantics are part
+    * of the gate: an update row REPLACES the base row even where its
+    * payload is null. */
+  val q118 = Q(
+    "q118_merge_upsert",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"doc_id", $"text", $"lang", $"source")
+      val upd = base.filter($"doc_id" % 31 === 0 || $"doc_id" % 9 === 0)
+        .select($"doc_id",
+          when($"doc_id" % 31 === 0, $"text")
+            .otherwise(concat($"text", lit(" [v2]"))).as("text"),
+          $"lang", $"source", ($"doc_id" % 31 === 0).as("is_delete"))
+        .unionByName(base.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang",
+            $"source", lit(false).as("is_delete")))
+      graft.io.Store.mergeUpsert(base, upd, "doc_id")
+        .select($"doc_id", $"text", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, lang, source FROM documents
+      ), u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN text
+                    ELSE text || ' [v2]' END AS text,
+               lang, source, doc_id % 31 = 0 AS is_delete
+        FROM documents WHERE doc_id % 31 = 0 OR doc_id % 9 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text, lang, source, false
+        FROM documents WHERE doc_id % 13 = 0
+      )
+      SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+             CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END
+               AS text,
+             CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE b.lang END
+               AS lang,
+             CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source
+               END AS source
+      FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id
+      WHERE u.is_delete IS NULL OR NOT u.is_delete
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108)
+    Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118)
 }

@@ -371,5 +371,103 @@ object EventTimeQ {
       FROM seq GROUP BY 1, 2
       ORDER BY prev_type, event_type"""))
 
-  val all: Seq[Q] = Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117)
+  /** SCD Type-2 dimension build: each user's event-type "status" becomes
+    * validity intervals — change rows only (lag filter), valid_to from
+    * lead, null valid_to marks the current row. Both windows share the
+    * user partitioning and the unique (us, event_id) ordering, and the
+    * change filter preserves sort order, so the second window plans with
+    * NO new exchange or sort. */
+  val q119 = Q(
+    "q119_scd2_intervals",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      t(s, d, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .select($"user_id", $"event_type".as("status"),
+          $"us".as("valid_from_us"),
+          lead($"us", 1).over(Window.partitionBy($"user_id")
+            .orderBy($"us", $"event_id")).as("valid_to_us"))
+        .orderBy($"user_id", $"valid_from_us")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+      ), chg AS (
+        SELECT user_id, event_type, us, event_id FROM seq
+        WHERE prev IS NULL OR prev <> event_type
+      )
+      SELECT user_id, event_type AS status, us AS valid_from_us,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS valid_to_us
+      FROM chg
+      ORDER BY user_id, valid_from_us"""))
+
+  /** Robust anomaly flags: the Iglewicz-Hoaglin modified z-score
+    * 0.6745·(v − median)/MAD per event_type, flag |z| > 3.5. Two grouped
+    * exact percentiles (median, then median absolute deviation) with the
+    * KB-sized stats broadcast back — the corpus never shuffles twice.
+    *
+    * Exactness: `value` is 2-decimal, so the whole computation runs in
+    * INTEGER space — a = value·100, m2 = 2·median(a), d4 = 2·median(|2a −
+    * m2|) are exact BIGINTs (interpolated medians of integers are
+    * half-integers; the ×2 restores integrality), and the z-score is the
+    * exact rational 1349·(2a − m2) / (1000·d4), emitted as numerator +
+    * denominator with the >3.5 gate as an integer compare. A first cut
+    * emitted round(z, 4) and died on a TRUE half-boundary at sf0.1
+    * (z = 3.85225 exactly — engines' round() split); rationals have no
+    * boundary to sit on. */
+  val q120 = Q(
+    "q120_mad_anomalies",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_id", $"event_type", $"value",
+          round($"value" * 100, 0).cast("long").as("a"))
+      val med = ev.groupBy($"event_type")
+        .agg(round(percentile($"a", lit(0.5)) * 2, 0).cast("long")
+          .as("m2"))
+      val wm = ev.join(broadcast(med), "event_type")
+      val mad = wm.groupBy($"event_type")
+        .agg(round(percentile(abs($"a" * 2 - $"m2"), lit(0.5)) * 2, 0)
+          .cast("long").as("d4"))
+      wm.join(broadcast(mad), "event_type")
+        .withColumn("mz_num", lit(1349L) * ($"a" * 2 - $"m2"))
+        .filter(abs($"mz_num") * 2 > lit(7000L) * $"d4")
+        .select($"event_id", $"event_type",
+          round($"value", 6).as("value"), $"mz_num",
+          (lit(1000L) * $"d4").as("mz_den"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS a
+        FROM events
+      ), med AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(a, 0.5) * 2) AS BIGINT) AS m2
+        FROM ev GROUP BY event_type
+      ), mad AS (
+        SELECT e.event_type,
+               CAST(round(quantile_cont(abs(e.a * 2 - m.m2), 0.5) * 2)
+                 AS BIGINT) AS d4
+        FROM ev e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+      )
+      SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+             1349 * (e.a * 2 - m.m2) AS mz_num,
+             1000 * d.d4 AS mz_den
+      FROM ev e JOIN med m USING (event_type)
+                JOIN mad d USING (event_type)
+      WHERE abs(1349 * (e.a * 2 - m.m2)) * 2 > 7000 * d.d4
+      ORDER BY e.event_id"""))
+
+  val all: Seq[Q] =
+    Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120)
 }

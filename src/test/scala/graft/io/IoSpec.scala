@@ -189,4 +189,28 @@ class IoSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(idat.toPath)) ===
       "GSM123_Grn.idat bytes")
   }
+
+  test("mergeUpsert: whole-row replace, delete, insert, untouched") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("one"), Option("en")),
+      (2L, Option("two"), Option("en")),
+      (3L, Option("three"), Option("de")),
+      (4L, Option("four"), Option("fr"))
+    ).toDF("id", "text", "lang")
+    val updates = Seq(
+      // update with a NULL payload column: must REPLACE, not coalesce
+      (2L, Option.empty[String], Option("es"), false),
+      (3L, Option("drei"), Option("de"), true), // delete
+      (9L, Option("nine"), Option("en"), false) // insert
+    ).toDF("id", "text", "lang", "is_delete")
+    val out = Store.mergeUpsert(base, updates, "id")
+      .orderBy($"id").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        Option(r.getString(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 9L))      // 3 deleted
+    assert(out(1L) == ((Some("one"), Some("en")))) // untouched
+    assert(out(2L) == ((None, Some("es"))))        // null REPLACES
+    assert(out(9L) == ((Some("nine"), Some("en"))))
+  }
 }
