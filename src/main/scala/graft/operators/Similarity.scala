@@ -314,4 +314,51 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Product quantization (Jégou, Douze, Schmid 2011): the vector is
+    * split into `m` contiguous subspaces and each subspace gets its OWN
+    * k-means codebook ([[kMeans]], deterministic `id % initMod` seeds);
+    * a vector's code is the m-tuple of nearest-codeword ids, so the
+    * corpus compresses from dim doubles to m small ints per row — the
+    * memory trick behind IVF-PQ indexes at billion-vector scale (the
+    * codebooks are m·k·(dim/m) doubles, KB-sized, broadcast into the
+    * encode expression; distance tables against them replace full
+    * vectors at query time).
+    *
+    * Each subspace trains independently (same iteration shape the q38
+    * oracle replays); the final encode is ONE corpus pass with all m
+    * codebooks baked into row-local argmin expressions — no join, no
+    * shuffle. Returns the encoded frame (`pq_code_s` per subspace plus
+    * `recon_err`, the summed squared quantization error) and the
+    * codebooks. */
+  def pqTrain(corpus: DataFrame, m: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initMod: Int = 16)
+      : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(asDouble(col(vecCol)), s * sub + 1, sub).as("subvec"),
+        pmod(col(idCol), lit(initMod.toLong)).as("pq_init"))
+      kMeans(sliced, "pq_init", iters, "subvec", "pq_code")._2
+    }
+    val encoded = (0 until m).foldLeft(corpus) { (df, s) =>
+      val sv = slice(asDouble(col(vecCol)), s * sub + 1, sub)
+      val scored = books(s).map { case (cid, c) =>
+        struct(
+          graft.functions.Expressions.vecSqDist(sv, typedlit(c.toSeq))
+            .as("d"),
+          lit(cid).as("c"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      df.withColumn(s"pq_code_$s", best.getField("c"))
+        .withColumn(s"__pq_err_$s", best.getField("d"))
+    }
+    val err = (0 until m).map(s => col(s"__pq_err_$s"))
+      .reduceLeft(_ + _)
+    (encoded.withColumn("recon_err", err)
+      .drop((0 until m).map(s => s"__pq_err_$s"): _*), books)
+  }
 }

@@ -349,5 +349,83 @@ object SimilarityQ {
       GROUP BY emb.label
       ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102)
+  /** Product-quantization training + encode (Similarity.pqTrain): four
+    * 16-dim subspaces, 16 codewords each, two Lloyd iterations per
+    * subspace from `vec_id % 16` seeds, then a fresh assignment against
+    * the final codebooks plus the summed squared reconstruction error.
+    * The oracle re-derives every subspace's full iteration sequence (the
+    * q38 replay shape ×4) — codes are integers, so the only float gate
+    * is recon_err whose per-dimension accumulation order matches on both
+    * sides. */
+  val q121 = Q(
+    "q121_pq_codes", {
+      (s, d) => {
+        import s.implicits._
+        val (encoded, _) = Similarity.pqTrain(
+          t(s, d, "embeddings"), m = 4, iters = 2)
+        encoded.select($"vec_id", $"pq_code_0", $"pq_code_1",
+            $"pq_code_2", $"pq_code_3",
+            round($"recon_err", 6).as("recon_err"))
+          .orderBy($"vec_id")
+      }
+    },
+    Some {
+      def sub(s: Int): String = {
+        val lo = s * 16
+        def d(cv: String) =
+          s"""list_sum(list_transform(range(1, 17),
+              dd -> (e[$lo + dd] - $cv[dd]) * (e[$lo + dd] - $cv[dd])))"""
+        s"""c0_$s AS (
+        SELECT CAST(vec_id % 16 AS BIGINT) AS c, i, avg(e[$lo + i]) AS m
+        FROM emb CROSS JOIN dims16 GROUP BY 1, 2
+      ), c0v_$s AS (
+        SELECT c, list(m ORDER BY i) AS cv FROM c0_$s GROUP BY c
+      ), a1_$s AS (
+        SELECT vec_id, c FROM (
+          SELECT emb.vec_id, k.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY ${d("k.cv")}, k.c) AS rn
+          FROM emb CROSS JOIN c0v_$s k) WHERE rn = 1
+      ), c1_$s AS (
+        SELECT a1_$s.c, i, avg(e[$lo + i]) AS m
+        FROM a1_$s JOIN emb USING (vec_id) CROSS JOIN dims16
+        GROUP BY 1, 2
+      ), c1v_$s AS (
+        SELECT c, list(m ORDER BY i) AS cv FROM c1_$s GROUP BY c
+      ), a2_$s AS (
+        SELECT vec_id, c FROM (
+          SELECT emb.vec_id, k.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY ${d("k.cv")}, k.c) AS rn
+          FROM emb CROSS JOIN c1v_$s k) WHERE rn = 1
+      ), c2_$s AS (
+        SELECT a2_$s.c, i, avg(e[$lo + i]) AS m
+        FROM a2_$s JOIN emb USING (vec_id) CROSS JOIN dims16
+        GROUP BY 1, 2
+      ), c2v_$s AS (
+        SELECT c, list(m ORDER BY i) AS cv FROM c2_$s GROUP BY c
+      ), enc_$s AS (
+        SELECT vec_id, c, dd FROM (
+          SELECT emb.vec_id, k.c, ${d("k.cv")} AS dd,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY ${d("k.cv")}, k.c) AS rn
+          FROM emb CROSS JOIN c2v_$s k) WHERE rn = 1
+      )"""
+      }
+      s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), dims16 AS (SELECT unnest(generate_series(1, 16)) AS i),
+      ${(0 until 4).map(sub).mkString(",\n      ")}
+      SELECT e0.vec_id,
+             e0.c AS pq_code_0, e1.c AS pq_code_1,
+             e2.c AS pq_code_2, e3.c AS pq_code_3,
+             round(e0.dd + e1.dd + e2.dd + e3.dd, 6) AS recon_err
+      FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+                    JOIN enc_2 e2 USING (vec_id)
+                    JOIN enc_3 e3 USING (vec_id)
+      ORDER BY e0.vec_id"""
+    })
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102, q121)
 }
