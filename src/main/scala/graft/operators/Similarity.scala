@@ -361,4 +361,51 @@ object Similarity {
     (encoded.withColumn("recon_err", err)
       .drop((0 until m).map(s => s"__pq_err_$s"): _*), books)
   }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes — the query-time half
+    * of [[pqTrain]]: each query builds an m×k distance TABLE against the
+    * codebooks (queries × codewords, a KB-sized broadcast frame), and a
+    * corpus row's approximate distance is the sum of m table LOOKUPS on
+    * its codes — the full vectors never participate, which is the whole
+    * point of PQ at billion-vector scale (the scan touches m bytes per
+    * row plus a shared table).
+    *
+    * The per-subspace lookups join in a FIXED order and the distance is
+    * the left-to-right sum d_0 + … + d_{m−1} (a grouped sum would
+    * re-associate nondeterministically); rank ties break by id. */
+  def pqAdcTopK(encoded: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val sub = books.head.head._2.length
+    val bookRows = for {
+      s <- 0 until m
+      (cid, c) <- books(s)
+    } yield (s, cid, c.toSeq)
+    val bdf = bookRows.toDF("s", "code", "centroid")
+    val q = queries.select(col(queryIdCol),
+      asDouble(col(vecCol)).as("qv"))
+    val base = encoded
+      .select(col(idCol) +: (0 until m).map(s => col(s"pq_code_$s")): _*)
+      .crossJoin(broadcast(q.select(col(queryIdCol))))
+    val looked = (0 until m).foldLeft(base) { (df, s) =>
+      val tbl = q.join(broadcast(bdf.filter(col("s") === s)))
+        .select(col(queryIdCol), col("code").as(s"pq_code_$s"),
+          graft.functions.Expressions.vecSqDist(
+            slice(col("qv"), s * sub + 1, sub), col("centroid"))
+            .as(s"__adc_$s"))
+      df.join(broadcast(tbl), Seq(queryIdCol, s"pq_code_$s"))
+    }
+    val adc = (0 until m).map(s => col(s"__adc_$s")).reduceLeft(_ + _)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adc").asc, col(idCol).asc)
+    looked.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -370,12 +370,30 @@ object SimilarityQ {
       }
     },
     Some {
-      def sub(s: Int): String = {
-        val lo = s * 16
-        def d(cv: String) =
-          s"""list_sum(list_transform(range(1, 17),
-              dd -> (e[$lo + dd] - $cv[dd]) * (e[$lo + dd] - $cv[dd])))"""
-        s"""c0_$s AS (
+      s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), dims16 AS (SELECT unnest(generate_series(1, 16)) AS i),
+      ${(0 until 4).map(pqSubChain).mkString(",\n      ")}
+      SELECT e0.vec_id,
+             e0.c AS pq_code_0, e1.c AS pq_code_1,
+             e2.c AS pq_code_2, e3.c AS pq_code_3,
+             round(e0.dd + e1.dd + e2.dd + e3.dd, 6) AS recon_err
+      FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+                    JOIN enc_2 e2 USING (vec_id)
+                    JOIN enc_3 e3 USING (vec_id)
+      ORDER BY e0.vec_id"""
+    })
+
+  /** The q121/q122 oracle's per-subspace PQ chain: init means from
+    * vec_id%16 seeds, two Lloyd iterations, final encode assignment with
+    * its quantization distance. */
+  private def pqSubChain(s: Int): String = {
+    val lo = s * 16
+    def d(cv: String) =
+      s"""list_sum(list_transform(range(1, 17),
+          dd -> (e[$lo + dd] - $cv[dd]) * (e[$lo + dd] - $cv[dd])))"""
+    s"""c0_$s AS (
         SELECT CAST(vec_id % 16 AS BIGINT) AS c, i, avg(e[$lo + i]) AS m
         FROM emb CROSS JOIN dims16 GROUP BY 1, 2
       ), c0v_$s AS (
@@ -411,21 +429,70 @@ object SimilarityQ {
                    ORDER BY ${d("k.cv")}, k.c) AS rn
           FROM emb CROSS JOIN c2v_$s k) WHERE rn = 1
       )"""
+  }
+
+  /** ADC search over the PQ codes (Similarity.pqAdcTopK): queries build
+    * m×k distance tables against the codebooks; a corpus row scores as
+    * the fixed-order sum of m table lookups on its codes — the scan
+    * never touches full vectors. The oracle extends the q121 chains with
+    * per-subspace query tables and the same lookup-join + rank. */
+  val q122 = Q(
+    "q122_pq_adc_topk", {
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val (encoded, books) = Similarity.pqTrain(emb, m = 4, iters = 2)
+        val q = emb.filter($"vec_id".isin(0, 1, 2))
+          .select($"vec_id".as("query_id"), $"embedding")
+        Similarity.pqAdcTopK(encoded, books, q, k = 10)
+          .select($"query_id", $"vec_id", round($"adc", 6).as("adc"),
+            $"rank")
+          .orderBy($"query_id", $"rank")
+      }
+    },
+    Some {
+      def tb(s: Int): String = {
+        val lo = s * 16
+        s"""tb_$s AS (
+        SELECT q.query_id, k.c AS code,
+               list_sum(list_transform(range(1, 17),
+                 dd -> (qv[$lo + dd] - k.cv[dd])
+                       * (qv[$lo + dd] - k.cv[dd]))) AS d
+        FROM q CROSS JOIN c2v_$s k
+      )"""
       }
       s"""
       WITH emb AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       ), dims16 AS (SELECT unnest(generate_series(1, 16)) AS i),
-      ${(0 until 4).map(sub).mkString(",\n      ")}
-      SELECT e0.vec_id,
-             e0.c AS pq_code_0, e1.c AS pq_code_1,
-             e2.c AS pq_code_2, e3.c AS pq_code_3,
-             round(e0.dd + e1.dd + e2.dd + e3.dd, 6) AS recon_err
-      FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
-                    JOIN enc_2 e2 USING (vec_id)
-                    JOIN enc_3 e3 USING (vec_id)
-      ORDER BY e0.vec_id"""
+      ${(0 until 4).map(pqSubChain).mkString(",\n      ")},
+      q AS (
+        SELECT vec_id AS query_id, e AS qv FROM emb
+        WHERE vec_id IN (0, 1, 2)
+      ),
+      ${(0 until 4).map(tb).mkString(",\n      ")},
+      adcs AS (
+        SELECT t0.query_id, e0.vec_id,
+               t0.d + t1.d + t2.d + t3.d AS adc
+        FROM enc_0 e0
+        JOIN enc_1 e1 USING (vec_id)
+        JOIN enc_2 e2 USING (vec_id)
+        JOIN enc_3 e3 USING (vec_id)
+        JOIN tb_0 t0 ON t0.code = e0.c
+        JOIN tb_1 t1 ON t1.code = e1.c AND t1.query_id = t0.query_id
+        JOIN tb_2 t2 ON t2.code = e2.c AND t2.query_id = t0.query_id
+        JOIN tb_3 t3 ON t3.code = e3.c AND t3.query_id = t0.query_id
+      ), ranked AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc, vec_id) AS rank
+        FROM adcs
+      )
+      SELECT query_id, vec_id, round(adc, 6) AS adc,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102, q121)
+  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122)
 }
