@@ -88,6 +88,36 @@ object ExtraQ {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))
 
+  /** CUBE grouping sets — q45's sibling with ALL four grouping
+    * combinations (including the column-2-only marginals ROLLUP skips),
+    * still ONE shuffle through the Expand node. grouping() distinguishes
+    * a cube NULL from a data NULL on both engines. */
+  val q123 = Q(
+    "q123_cube",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"g_rf", $"g_ls", $"n", $"sum_qty")
+        .orderBy($"rf", $"ls")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
   /** R2 — unpivot/melt to long form (the reference's pd.melt,
     * visualizations.py:2117): three measure columns become (metric, v)
     * rows via the native unpivot operator (an Expand node — no shuffle
@@ -1170,5 +1200,6 @@ object ExtraQ {
       ORDER BY probe_id, sample_label"""))
 
   val all: Seq[Q] =
-    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63, q64)
+    Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63, q64,
+      q123)
 }
