@@ -1032,7 +1032,88 @@ object TextQ {
       FROM n a JOIN n b ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** Dedup-pipeline evaluation harness: plant known near-duplicates
+    * (every doc_id%5 doc gets a mutant with every 7th word dropped),
+    * run the PRODUCTION high-threshold path (jaccardDedup → prefix
+    * filter), and emit the full outer of found vs planted pairs with
+    * flags — the precision/recall surface an operator owner actually
+    * watches. The oracle replays the mutation and the jaccard pair
+    * derivation on shingle strings, so the gate covers the planted
+    * transform, the prefix-filter completeness at θ=0.5, and the flag
+    * logic in one row set. */
+  val q124 = Q(
+    "q124_dedup_eval",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").filter($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val mutants = base.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          expr("array_join(filter(split(text, ' '), " +
+            "(w, i) -> (i + 1) % 7 != 0), ' ')").as("text"))
+      val corpus = base.unionByName(mutants)
+      val found = Dedup.jaccardDedup(corpus, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      val truth = base.filter($"doc_id" % 5 === 0)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 3000000L).as("id_b"),
+          lit(true).as("is_planted"))
+      found.as("f").join(truth.as("t"), Seq("id_a", "id_b"), "full_outer")
+        .select($"id_a", $"id_b", $"jaccard".isNotNull.as("found"),
+          coalesce($"is_planted", lit(false)).as("is_planted"),
+          $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      ), mut AS (
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_filter(string_split(text, ' '),
+                 (w, i) -> i % 7 <> 0), ' ') AS text
+        FROM base WHERE doc_id % 5 = 0
+      ), corpus AS (
+        SELECT * FROM base UNION ALL SELECT * FROM mut
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM corpus)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), found AS (
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+      ), truth AS (
+        SELECT doc_id AS id_a, doc_id + 3000000 AS id_b,
+               true AS is_planted
+        FROM base WHERE doc_id % 5 = 0
+      )
+      SELECT coalesce(f.id_a, t.id_a) AS id_a,
+             coalesce(f.id_b, t.id_b) AS id_b,
+             f.jaccard IS NOT NULL AS found,
+             coalesce(t.is_planted, false) AS is_planted,
+             f.jaccard
+      FROM found f FULL OUTER JOIN truth t
+        ON f.id_a = t.id_a AND f.id_b = t.id_b
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
-      q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114)
+      q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
+      q124)
 }
