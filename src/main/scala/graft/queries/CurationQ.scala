@@ -595,6 +595,57 @@ object CurationQ {
       WHERE u.is_delete IS NULL OR NOT u.is_delete
       ORDER BY doc_id"""))
 
+  /** Incremental statistics maintenance: the corpus arrives as two
+    * shards (old/new by doc_id parity); each shard reduces to mergeable
+    * per-source state (n, Σchars, Σchars², Σtokens) INDEPENDENTLY, the
+    * states merge by addition, and the merged state derives mean and
+    * sample variance — never rescanning the first shard. The gate: the
+    * oracle computes the same statistics DIRECTLY over the whole corpus,
+    * so state mergeability is proven exactly (integer sums; the only
+    * floats are the final two divisions, identical arithmetic both
+    * sides). This is the contract that lets 100 TB stats update from a
+    * 1 GB delta. */
+  val q125 = Q(
+    "q125_incremental_stats",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+        .select($"source", length($"text").cast("long").as("c"),
+          size(split($"text", " ")).cast("long").as("tk"),
+          ($"doc_id" % 2).as("shard"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"source").agg(count(lit(1)).as("n"),
+          sum($"c").as("s1"), sum($"c" * $"c").as("s2"),
+          sum($"tk").as("st"))
+      val merged = state(docs.filter($"shard" === 0))
+        .unionByName(state(docs.filter($"shard" === 1)))
+        .groupBy($"source")
+        .agg(sum($"n").as("n"), sum($"s1").as("s1"),
+          sum($"s2").as("s2"), sum($"st").as("st"))
+      merged.select($"source", $"n", $"st".as("total_tokens"),
+          round($"s1".cast("double") / $"n".cast("double"), 6)
+            .as("mean_chars"),
+          round(($"s2".cast("double") - $"s1".cast("double")
+              * $"s1".cast("double") / $"n".cast("double"))
+            / ($"n" - 1).cast("double"), 6).as("var_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source, count(*) AS n,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+             round(CAST(sum(length(text)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_chars,
+             round((CAST(sum(length(text) * length(text)) AS DOUBLE)
+                    - CAST(sum(length(text)) AS DOUBLE)
+                      * CAST(sum(length(text)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                   / CAST(count(*) - 1 AS DOUBLE), 6) AS var_chars
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
-    Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118)
+    Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
+      q125)
 }

@@ -1112,8 +1112,67 @@ object TextQ {
         ON f.id_a = t.id_a AND f.id_b = t.id_b
       ORDER BY id_a, id_b"""))
 
+  /** Per-document keyword extraction: top-3 terms by tf·idf (idf =
+    * ln(N/df), document frequency over distinct term-doc pairs), rank
+    * ties broken by term. One posting explode, one df aggregation
+    * broadcast back, one doc-keyed window — the topic-tagging pass of a
+    * curation pipeline. tf and df are integers; the single ln is
+    * computed from the same integer ratio on both engines. */
+  val q126 = Q(
+    "q126_doc_keywords",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+      val nDocs = docs.count()
+      val posts = docs.select($"doc_id",
+          explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = posts.groupBy($"term")
+        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      posts.join(broadcast(dfreq), "term")
+        .withColumn("tfidf",
+          $"tf".cast("double") *
+            log(lit(nDocs.toDouble) / $"df".cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk".cast("long").as("rk"), $"term",
+          $"tf", round($"tfidf", 6).as("tfidf"))
+        .orderBy($"doc_id", $"rk")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      ), n AS (SELECT count(*) AS nd FROM docs),
+      posts AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM docs)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+      ), dfreq AS (
+        SELECT term, count(*) AS df FROM posts GROUP BY term
+      ), scored AS (
+        SELECT p.doc_id, p.term, p.tf,
+               CAST(p.tf AS DOUBLE)
+                 * ln(CAST(n.nd AS DOUBLE) / CAST(f.df AS DOUBLE))
+                 AS tfidf
+        FROM posts p JOIN dfreq f USING (term) CROSS JOIN n
+      ), ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+      )
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf,
+             round(tfidf, 6) AS tfidf
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124)
+      q124, q126)
 }
