@@ -27,6 +27,22 @@ object EventStreams {
         col("window.end").as("w_end"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming anomaly gate: score arriving events against STATIC
+    * per-type robust stats (the q120 med/MAD surface, computed in batch
+    * over history and broadcast into the stream as a stream-static
+    * join). The modified z-score and the |z| > threshold flag are
+    * row-local, so the stream plan has no stateful operator at all —
+    * history-derived statistics updating daily while events score
+    * continuously is exactly how a 100 TB anomaly monitor runs. `stats`
+    * carries (event_type, med, mad). */
+  def anomalyGate(stream: DataFrame, stats: DataFrame,
+      threshold: Double = 3.5): DataFrame =
+    stream.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mz",
+        lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .withColumn("is_anomaly", abs(col("mz")) > threshold)
+      .drop("med", "mad")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 

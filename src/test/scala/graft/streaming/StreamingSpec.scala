@@ -106,4 +106,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getDouble(r.fieldIndex("state_value")) === 5.0))
   }
+
+  test("streaming anomaly gate scores equal the batch computation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val med = events.groupBy($"event_type")
+      .agg(round(percentile($"value", lit(0.5)), 4).as("med"))
+    val stats = events.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(round(percentile(abs($"value" - $"med"), lit(0.5)), 4)
+        .as("mad"))
+      .join(med, "event_type")
+    // stream the same events through the gate from a memory source
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "event_type", "value")
+    val gated = EventStreams.anomalyGate(stream, stats)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    val sample = events.select($"event_id", $"event_type", $"value")
+      .limit(300).as[(Long, String, Double)].collect()
+    mem.addData(sample.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom_out")
+      .select($"event_id", round($"mz", 6).as("mz"), $"is_anomaly")
+    val batch = EventStreams.anomalyGate(
+        events.select($"event_id", $"event_type", $"value")
+          .limit(300), stats)
+      .select($"event_id", round($"mz", 6).as("mz"), $"is_anomaly")
+    assert(got.count() == 300)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
 }
