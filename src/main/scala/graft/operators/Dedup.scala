@@ -616,6 +616,24 @@ object Dedup {
       Expressions.minHashSig(col(textCol), k, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Group-level (mergeable) MinHash sketch: a group's signature is the
+    * element-wise MIN of its documents' signatures — which equals the
+    * signature of the group's shingle UNION, because min(min(A), min(B))
+    * = min(A ∪ B). That mergeability is the scale property: corpus-level
+    * similarity between sources reduces to one row-local signature pass
+    * + one tiny (groups × numHashes) aggregation, never a doc-pair join;
+    * sketches from new data batches fold in the same way. */
+  def groupMinHash(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(groupCol),
+        Expressions.minHashSig(col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(groupCol), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos")).agg(min(col("v")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "x -> x.m)").as("sig"))
+
   /** MinHash-LSH near-duplicate candidate pairs: band the signature into
     * `bands` chunks and bucket on (band_idx, raw band values) — grouping
     * on the slice itself needs no band-hash and cannot collide. Pairs

@@ -1171,8 +1171,67 @@ object TextQ {
       FROM ranked WHERE rk <= 3
       ORDER BY doc_id, rk"""))
 
+  /** Source-level MinHash sketches (Dedup.groupMinHash): a source's
+    * signature is the element-wise min of its docs' signatures = the
+    * signature of the source's shingle UNION (min is mergeable), so
+    * corpus-level similarity needs one row-local pass + a
+    * (sources × 32) aggregation — never a doc-pair join. Pairwise
+    * estimated Jaccard is the integer match count / 32. The oracle
+    * replays the whole affine hash family (DuckOracle.mixPairs) and the
+    * element-wise min. */
+  val q127 = Q(
+    "q127_source_minhash",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.groupMinHash(
+        t(s, d, "documents"), "source", "text")
+      val nMatch = aggregate(
+        zip_with($"a.sig", $"b.sig",
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, e) => acc + e)
+      sigs.as("a").join(sigs.as("b"), $"a.source" < $"b.source")
+        .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+          nMatch.as("n_match"),
+          (nMatch.cast("double") / 32.0).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some {
+      val affine = DuckOracle.toSigned(
+        "(p.a * h + p.b) % 18446744073709551616::UHUGEINT")
+      s"""
+      WITH tk AS (
+        SELECT source, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), hs AS (
+        SELECT source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> ${DuckOracle.phU(
+                   "array_to_string(list_slice(t, i, i + 2), ' ')")})) AS hs
+        FROM tk WHERE len(t) >= 3
+      ), sig AS (
+        SELECT source,
+               list_transform(${DuckOracle.mixPairs(32)},
+                 p -> list_min(list_transform(hs, h -> $affine))) AS sig
+        FROM hs
+      ), mins AS (
+        SELECT source, i, min(sig[i]) AS m
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i)
+        GROUP BY source, i
+      ), ssig AS (
+        SELECT source, list(m ORDER BY i) AS sig FROM mins GROUP BY source
+      )
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(len(list_filter(range(1, 33),
+               i -> a.sig[i] = b.sig[i])) AS BIGINT) AS n_match,
+             CAST(len(list_filter(range(1, 33),
+               i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32.0
+               AS est_jaccard
+      FROM ssig a JOIN ssig b ON a.source < b.source
+      ORDER BY source_a, source_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126)
+      q124, q126, q127)
 }
