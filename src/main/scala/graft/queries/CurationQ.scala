@@ -645,7 +645,53 @@ object CurationQ {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Length-bucketed batching efficiency: docs grouped into
+    * power-of-two token-length buckets (the dynamic-batching scheme
+    * inference servers use), with the padding waste each bucket pays
+    * when every sequence pads to the bucket size. All integers —
+    * bucket = 2^ceil(log2(tokens)) computed by bit arithmetic, not
+    * floating log. */
+  val q128 = Q(
+    "q128_length_buckets",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+        .select(size(split($"text", " ")).cast("long").as("tk"))
+        .filter($"tk" >= 1)
+      // smallest 2^k >= tk as an integer comparison chain — floating
+      // log2 would sit exactly on a boundary at every power of two
+      val bucket = (0 to 20).map(k => 1L << k)
+        .foldRight(lit(1L << 21): org.apache.spark.sql.Column) {
+          (p, acc) => when($"tk" <= p, lit(p)).otherwise(acc)
+        }
+      docs.withColumn("bucket", bucket)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
+          (count(lit(1)) * first($"bucket")).as("capacity"))
+        .select($"bucket", $"n_docs", $"total_tokens",
+          ($"capacity" - $"total_tokens").as("padding_waste"))
+        .orderBy($"bucket")
+    },
+    Some {
+      val chain = (0 to 20).map(k => 1L << k)
+        .map(p => s"WHEN tk <= $p THEN CAST($p AS BIGINT)")
+        .mkString("CASE ", " ", s" ELSE CAST(${1L << 21} AS BIGINT) END")
+      s"""
+      WITH tk AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        FROM documents WHERE text IS NOT NULL
+          AND len(string_split(text, ' ')) >= 1
+      ), b AS (
+        SELECT tk, $chain AS bucket FROM tk
+      )
+      SELECT bucket, count(*) AS n_docs,
+             sum(tk) AS total_tokens,
+             count(*) * bucket - sum(tk) AS padding_waste
+      FROM b GROUP BY bucket
+      ORDER BY bucket"""
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125)
+      q125, q128)
 }
