@@ -468,6 +468,42 @@ object EventTimeQ {
       WHERE abs(1349 * (e.a * 2 - m.m2)) * 2 > 7000 * d.d4
       ORDER BY e.event_id"""))
 
+  /** Cumulative distinct-users growth curve: first-active day per user
+    * (ONE distinct-shuffle — the dedup-then-cumsum trick; a
+    * distinct-over-expanding-window would be quadratic), new users per
+    * day, cumulative total via the partition-offset prefix sum
+    * (Ranks.withGlobalPrefixSum — no single-partition window even
+    * though the day frame is small). */
+  val q129 = Q(
+    "q129_user_growth",
+    (s, d) => {
+      import s.implicits._
+      val firstDay = t(s, d, "events")
+        .select($"user_id", (unix_micros($"ts") / 86400000000L)
+          .cast("long").as("day"))
+        .groupBy($"user_id").agg(min($"day").as("day"))
+      val perDay = firstDay.groupBy($"day")
+        .agg(count(lit(1)).as("new_users"))
+      graft.operators.Ranks.withGlobalPrefixSum(
+          perDay, Seq($"day".asc), "new_users", "cum_users")
+        .select($"day", $"new_users", $"cum_users")
+        .orderBy($"day")
+    },
+    Some("""
+      WITH fd AS (
+        SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        FROM events GROUP BY user_id
+      ), pd AS (
+        SELECT day, count(*) AS new_users FROM fd GROUP BY day
+      )
+      SELECT day, new_users,
+             sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_users
+      FROM pd
+      ORDER BY day"""))
+
   val all: Seq[Q] =
-    Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120)
+    Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
+      q129)
 }
