@@ -190,6 +190,32 @@ class IoSpec extends SparkSpec {
       "GSM123_Grn.idat bytes")
   }
 
+  test("mergeUpsert on a bucketed base plans no base-side Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("bmerge").toString
+    val base = (1 to 400).map(i => (s"cg$i", i.toDouble))
+      .toDF("probe_id", "value")
+    Store.saveBucketedByProbe(base, "bmerge_base", s"$dir/base",
+      nBuckets = 8)
+    val updates = (1 to 50).map(i => (s"cg$i", i * 2.0, i % 10 == 0))
+      .toDF("probe_id", "value", "is_delete")
+    val prevThresh =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Store.mergeUpsert(
+        Store.loadBucketed(spark, "bmerge_base"), updates, "probe_id")
+      assert(merged.count() == 395) // 5 deletes, no inserts
+      // the base side reads its buckets in place; only the (small)
+      // update side pays an Exchange
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+        plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("mergeUpsert: whole-row replace, delete, insert, untouched") {
     import spark.implicits._
     val base = Seq(
