@@ -103,6 +103,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Asymmetric shingle containment C(a→b) = |A∩B| / |A| — the
+    * sub-document-duplication detector Jaccard misses: a short doc
+    * pasted verbatim inside a much longer one has containment ≈ 1 from
+    * the short side but Jaccard ≈ |A|/|B| (tiny). CCNet/Dolma-style
+    * pipelines use this to drop quotes/boilerplate-embedded copies that
+    * symmetric dedup keeps.
+    *
+    * Emits ORDERED pairs (both directions of each co-occurring pair)
+    * with containment ≥ threshold. Same single co-occurrence shuffle as
+    * [[jaccardPairs]] — the symmetric (id_a < id_b) intersection counts
+    * are computed once, then mirrored row-locally; `dfCap` bounds hot
+    * shingles identically. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      dfCap: Option[Int] = None): DataFrame = {
+    val inv = groupedPostings(df, idCol, textCol, k)
+      .filter(size(col("ds")) >= 2)
+    val capped = dfCap.map(c => inv.filter(size(col("ds")) <= c))
+      .getOrElse(inv)
+    val sym = expandPairs(capped)
+      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+        col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+    sym.select(col("id_a"), col("id_b"), col("n_a"), col("n_common"))
+      .unionByName(sym.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("n_b").as("n_a"), col("n_common")))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("containment"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs (AllPairs / PPJoin prefix
     * filtering, Bayardo et al. WWW'07): identical output to
     * [[jaccardPairs]], different candidate generation. Any pair with

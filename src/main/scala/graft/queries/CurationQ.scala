@@ -691,7 +691,107 @@ object CurationQ {
       ORDER BY bucket"""
     })
 
+  /** Snapshot distribution drift: source-mix shift between two corpus
+    * snapshots (old = even doc_id, new = odd — the deterministic stand-in
+    * for "last month's crawl vs this month's"), reported as per-source
+    * shares plus each source's KL-divergence contribution
+    * p_new·ln(p_new/p_old). The drift monitor every recurring ingest
+    * pipeline runs before a training mix is rebuilt. ONE conditional-agg
+    * pass over the corpus; the per-source count frame is KB-scale and
+    * the two totals broadcast back. Counts are exact integers; the only
+    * floats are two divisions and one ln per source row. */
+  val q132 = Q(
+    "q132_source_drift",
+    (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .groupBy($"source")
+        .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+      val tot = counts.agg(sum($"n_old").as("tot_old"),
+        sum($"n_new").as("tot_new"))
+      counts.crossJoin(broadcast(tot))
+        .select($"source", $"n_old", $"n_new",
+          round($"n_old" / $"tot_old", 6).as("p_old"),
+          round($"n_new" / $"tot_new", 6).as("p_new"),
+          when($"n_old" > 0 && $"n_new" > 0,
+            round(($"n_new" / $"tot_new") *
+              log(($"n_new" * $"tot_old") / ($"n_old" * $"tot_new")), 6))
+            .otherwise(lit(null)).as("kl_term"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_old,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new
+        FROM documents GROUP BY source
+      ), tt AS (
+        SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+               CAST(sum(n_new) AS BIGINT) AS tot_new FROM c
+      )
+      SELECT source, n_old, n_new,
+             round(n_old / tot_old, 6) AS p_old,
+             round(n_new / tot_new, 6) AS p_new,
+             CASE WHEN n_old > 0 AND n_new > 0 THEN
+               round((n_new / tot_new)
+                 * ln((n_new * tot_old) / (n_old * tot_new)), 6)
+             ELSE NULL END AS kl_term
+      FROM c, tt
+      ORDER BY source"""))
+
+  /** Heuristic-score calibration curve: the stopword-hit quality score
+    * (q30's signal) bucketed into deciles, with the observed fraction
+    * of actually-English docs per bucket — the reliability diagram that
+    * tells you whether a cheap filter's score is trustworthy before
+    * gating a 100 TB corpus on it. Bucket = (hits·10) div tokens is
+    * INTEGER arithmetic (a floating decile would sit on boundaries);
+    * one grouped conditional-agg pass. */
+  val q133 = Q(
+    "q133_score_calibration",
+    (s, d) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      t(s, d, "documents").filter($"text".isNotNull)
+        .select($"lang",
+          TextAnalysis.hitCount(toks, TextAnalysis.stopwords("en"))
+            .cast("long").as("hits"),
+          size(split($"text", " ")).cast("long").as("tk"))
+        .filter($"tk" >= 1)
+        .withColumn("bucket",
+          expr("least((hits * 10) div tk, cast(9 as bigint))"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+        .select($"bucket", $"n_docs", $"n_en",
+          round($"n_en" / $"n_docs", 6).as("frac_en"))
+        .orderBy($"bucket")
+    },
+    Some {
+      def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+      s"""
+      WITH f AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN (${inList(TextAnalysis.stopwords("en"))})))
+                 AS BIGINT) AS hits,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        FROM documents WHERE text IS NOT NULL
+      ), b AS (
+        SELECT lang, least((hits * 10) // tk, 9) AS bucket
+        FROM f WHERE tk >= 1
+      )
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_en,
+             round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) / count(*), 6) AS frac_en
+      FROM b GROUP BY bucket ORDER BY bucket"""
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128)
+      q125, q128, q132, q133)
 }

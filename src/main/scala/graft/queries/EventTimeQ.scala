@@ -503,7 +503,68 @@ object EventTimeQ {
       FROM pd
       ORDER BY day"""))
 
+  /** Time-decayed user activity score: Σ value·2^(−age_days), age
+    * measured back from each user's LAST event, with the decay
+    * truncated at 20 days (weight < 1e-6 ≈ 0 — the truncated-EWMA
+    * standard). The recency-weighted engagement metric feature stores
+    * serve, as one corpus pass.
+    *
+    * Exactness: value is 2-decimal → a = 100·value is an exact BIGINT,
+    * day age k is integer division, and the weight is the exact power
+    * of two 2^(20−k) by bit shift — so the score accumulates as a
+    * BIGINT Σ a·2^(20−k) (≤ 1e11/event: no overflow below ~10^7 events
+    * per 2^63), order-independent, and the only float is one final
+    * division by 2^20·100. No pow(), no float summation drift.
+    *
+    * Plan: ONE shuffle — the per-user window max hash-partitions on
+    * user_id and the groupBy reuses that partitioning (no second
+    * Exchange). No broadcast of a per-user frame (which would break at
+    * 10^8 users). */
+  val q131 = Q(
+    "q131_time_decay_score",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"),
+          round($"value" * 100, 0).cast("long").as("a"))
+        .withColumn("k",
+          expr("(max(us) OVER (PARTITION BY user_id) - us) div 86400000000"))
+        .withColumn("last_us", max($"us").over(w))
+        .withColumn("f", expr(
+          "CASE WHEN k <= 20 THEN shiftleft(cast(1 as bigint), cast(20 - k as int)) ELSE cast(0 as bigint) END"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"last_us").as("last_us"),
+          sum($"a" * $"f").as("score_num"))
+        .select($"user_id", $"n_events", $"last_us", $"score_num",
+          round($"score_num" / 104857600.0, 6).as("decayed_score"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS a
+        FROM events
+      ), wm AS (
+        SELECT user_id, us, a,
+               max(us) OVER (PARTITION BY user_id) AS last_us,
+               (max(us) OVER (PARTITION BY user_id) - us) // 86400000000
+                 AS k
+        FROM ev
+      )
+      SELECT user_id, count(*) AS n_events, max(last_us) AS last_us,
+             CAST(sum(CASE WHEN k <= 20
+               THEN a * (CAST(1 AS BIGINT) << CAST(20 - k AS INTEGER))
+               ELSE 0 END) AS BIGINT) AS score_num,
+             round(CAST(sum(CASE WHEN k <= 20
+               THEN a * (CAST(1 AS BIGINT) << CAST(20 - k AS INTEGER))
+               ELSE 0 END) AS BIGINT) / 104857600.0, 6)
+               AS decayed_score
+      FROM wm
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129)
+      q129, q131)
 }

@@ -1230,8 +1230,48 @@ object TextQ {
       ORDER BY source_a, source_b"""
     })
 
+  /** Asymmetric shingle containment (Dedup.containmentPairs): ordered
+    * pairs where ≥ 60% of doc A's 3-shingles also appear in doc B —
+    * the sub-document-duplication gate Jaccard misses (a short doc
+    * pasted inside a longer one scores containment ≈ 1 from the short
+    * side, Jaccard ≈ |A|/|B|). Containment is one exact integer
+    * division; the oracle replays the shingle join by string. */
+  val q130 = Q(
+    "q130_containment_pairs",
+    (s, d) => {
+      import s.implicits._
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.6)
+        .select($"id_a", $"id_b", $"n_common", $"containment")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM documents)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                          AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b, n_common,
+             CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.6
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127)
+      q124, q126, q127, q130)
 }

@@ -383,4 +383,24 @@ class DedupSpec extends SparkSpec {
     assert(fast.count() > 0)
     assert(fast.except(brute).isEmpty && brute.except(fast).isEmpty)
   }
+
+  test("containment pairs are asymmetric: sub-document scores 1 one way") {
+    // doc 11 is a verbatim sub-span of the much longer doc 10
+    val sub = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "wholly unrelated text about columnar shuffles and joins"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(sub, "doc_id", "text", k = 3,
+        threshold = 0.1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // short side fully contained; long side only partially
+    assert(got((11L, 10L)) == 1.0)
+    assert(got((10L, 11L)) < 0.5 && got((10L, 11L)) > 0.0)
+    assert(!got.keySet.exists { case (a, b) => a == 12L || b == 12L })
+    // exact value: doc 11 has 6 shingles, doc 10 has 18, all 6 shared
+    assert(got((10L, 11L)) == 6.0 / 18.0)
+  }
 }
