@@ -338,11 +338,62 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val books = (0 until m).map { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(asDouble(col(vecCol)), s * sub + 1, sub).as("subvec"),
-        pmod(col(idCol), lit(initMod.toLong)).as("pq_init"))
-      kMeans(sliced, "pq_init", iters, "subvec", "pq_code")._2
+    val v = asDouble(col(vecCol))
+    // All m subspace trainings FUSED into one corpus scan per Lloyd
+    // iteration (the per-subspace assignment is row-local, so nothing
+    // forces m separate scans): explode the full vector once, derive
+    // (subspace, within-subspace pos) from the element position, and
+    // aggregate every subspace's per-(cluster, dim) mean in a single
+    // m·k·sub-row shuffle. Value-identical to training each subspace
+    // independently — each (s, cluster, dim) group sees exactly the
+    // same element multiset either way.
+    val sIdx = floor(col("pos") / lit(sub)).cast("int").as("s")
+    val spIdx = pmod(col("pos"), lit(sub)).cast("int").as("sp")
+    def collectBooks(grouped: DataFrame)
+        : Vector[Seq[(Long, Array[Double])]] = {
+      // m × k × sub rows — KB-sized, the same driver boundary kMeans uses
+      val rows = grouped.select(col("s"), col("cl").cast("long"),
+        col("sp"), col("mv")).collect()
+      (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s)
+          .groupBy(_.getLong(1))
+          .map { case (cid, rs) =>
+            val arr = new Array[Double](sub)
+            rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+            cid -> arr
+          }.toSeq.sortBy(_._1)
+      }.toVector
+    }
+    var books: Vector[Seq[(Long, Array[Double])]] = collectBooks(
+      corpus.select(
+        pmod(col(idCol), lit(initMod.toLong)).as("cl"),
+        posexplode(v).as(Seq("pos", "x")))
+        .groupBy(sIdx, col("cl"), spIdx)
+        .agg(avg(col("x")).as("mv")))
+    var it = 0
+    while (it < iters) {
+      val withCodes = (0 until m).foldLeft(corpus) { (df, s) =>
+        val sv = slice(v, s * sub + 1, sub)
+        val scored = books(s).map { case (cid, c) =>
+          struct(
+            graft.functions.Expressions.vecSqDist(sv, typedlit(c.toSeq))
+              .as("d"),
+            lit(cid).as("c"))
+        }
+        val best =
+          if (scored.size == 1) scored.head else least(scored: _*)
+        df.withColumn(s"__pq_it_$s", best.getField("c"))
+      }
+      books = collectBooks(
+        withCodes.select(
+          array((0 until m).map(s => col(s"__pq_it_$s")): _*).as("codes"),
+          posexplode(v).as(Seq("pos", "x")))
+          .select(sIdx, spIdx, col("pos"), col("x"), col("codes"))
+          .withColumn("cl",
+            element_at(col("codes"), col("s") + 1))
+          .groupBy(col("s"), col("cl"), col("sp"))
+          .agg(avg(col("x")).as("mv")))
+      it += 1
     }
     val encoded = (0 until m).foldLeft(corpus) { (df, s) =>
       val sv = slice(asDouble(col(vecCol)), s * sub + 1, sub)
@@ -400,12 +451,19 @@ object Similarity {
       df.join(broadcast(tbl), Seq(queryIdCol, s"pq_code_$s"))
     }
     val adc = (0 until m).map(s => col(s"__adc_$s")).reduceLeft(_ + _)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("adc").asc, col(idCol).asc)
+    // Bounded-heap per-query top-k (same shape as [[topKPerQuery]]): the
+    // map side keeps ≤ k rows per partition×query, so only k·partitions
+    // rows per query move — a window partitioned by query id would instead
+    // gather each query's ENTIRE scored corpus into one task (the
+    // billion-vector scale-killer). Key = (adc asc, id asc), identical
+    // tie-break to the oracle's ORDER BY.
     looked.withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("adc"),
-        col("rank").cast("long").as("rank"))
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("adc").as("d"), col(idCol).as("id")),
+        struct(col(idCol).as("id"), col("adc").as("adc")), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col(queryIdCol), col("hit.id").as(idCol),
+        col("hit.adc").as("adc"), (col("r") + 1).cast("long").as("rank"))
   }
 }

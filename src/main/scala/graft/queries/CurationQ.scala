@@ -685,8 +685,8 @@ object CurationQ {
         SELECT tk, $chain AS bucket FROM tk
       )
       SELECT bucket, count(*) AS n_docs,
-             sum(tk) AS total_tokens,
-             count(*) * bucket - sum(tk) AS padding_waste
+             CAST(sum(tk) AS BIGINT) AS total_tokens,
+             CAST(count(*) * bucket - sum(tk) AS BIGINT) AS padding_waste
       FROM b GROUP BY bucket
       ORDER BY bucket"""
     })

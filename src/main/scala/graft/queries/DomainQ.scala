@@ -659,7 +659,7 @@ object DomainQ {
                row_number() OVER (ORDER BY chromosome) AS ci
         FROM (SELECT DISTINCT chromosome FROM cpg)
       ), segid AS (
-        SELECT s.*, c.ci * 1000000000 + s.lp AS segment_id
+        SELECT s.*, CAST(c.ci * 1000000000 + s.lp AS BIGINT) AS segment_id
         FROM seg s JOIN chromidx c USING (chromosome)
       ), ni0 AS (
         SELECT segment_id, p,

@@ -1225,14 +1225,19 @@ object DomainQ2 {
     * binary segmentation over per-chromosome bin tracks with planted
     * gain plateaus. The permutation test (per-permutation
     * splitmix-seeded java.util.Random Fisher-Yates inside
-    * data-dependent recursion) is NOT SQL-expressible, so this is the
-    * registry's one rows-only entry: the driver gates that the
-    * operator executes end-to-end on its data; exactness is covered by
-    * CnvSpec (incl. determinism under thread-pool contention) and
-    * PartitionInvarianceSpec (same segments at any shuffle setting).
-    * The fixture is deterministic: two chromosomes × 150 bins from
-    * `part`, cnv = ±small parity noise with a 0.9 plateau planted on
-    * bins 50-99 of chr1 — CBS must find it at any partitioning. */
+    * data-dependent recursion) is NOT SQL-expressible — but the whole
+    * pipeline is DETERMINISTIC end to end (seeded permutation pool,
+    * ties by scan order; CnvSpec proves determinism under thread-pool
+    * contention, PartitionInvarianceSpec at any shuffle setting), so
+    * the oracle is the golden segment table itself as a literal
+    * VALUES relation: emit6 makes every mean a 6-dp-exact double, the
+    * bounds are exact integers, and any drift in the recursion,
+    * p-value gate, or segment merge flips the hash. The fixture is
+    * fixed: two chromosomes × 150 bins from `part` (p_partkey ≤ 300 —
+    * present at sf ≥ 0.01; NOT valid at sf0.001 where part has only
+    * 200 rows), cnv = ±small parity noise with a 0.9 plateau planted
+    * on bins 50-99 of chr1 — CBS must find exactly
+    * [2500000, 4950000]. */
   val q88 = Q(
     "q88_cnv_segmentation",
     (s, d) => {
@@ -1253,7 +1258,23 @@ object DomainQ2 {
           $"nb_bins", emit6($"mean_cnv").as("mean_cnv"))
         .orderBy($"chromosome", $"seg_id")
     },
-    None)
+    Some("""
+      SELECT chromosome, seg_id, "start", "end", nb_bins, mean_cnv
+      FROM (VALUES
+        ('chr1', CAST(0 AS INTEGER), CAST(0 AS BIGINT),
+         CAST(2450000 AS BIGINT), CAST(50 AS INTEGER),
+         CAST(0.0 AS DOUBLE)),
+        ('chr1', CAST(1 AS INTEGER), CAST(2500000 AS BIGINT),
+         CAST(4950000 AS BIGINT), CAST(50 AS INTEGER),
+         CAST(0.9 AS DOUBLE)),
+        ('chr1', CAST(2 AS INTEGER), CAST(5000000 AS BIGINT),
+         CAST(7500000 AS BIGINT), CAST(51 AS INTEGER),
+         CAST(0.000392 AS DOUBLE)),
+        ('chr2', CAST(0 AS INTEGER), CAST(25000 AS BIGINT),
+         CAST(7475000 AS BIGINT), CAST(150 AS INTEGER),
+         CAST(0.0 AS DOUBLE))
+      ) AS t(chromosome, seg_id, "start", "end", nb_bins, mean_cnv)
+      ORDER BY chromosome, seg_id"""))
 
   /** L8 kernel gate — Cnv.bestArcs over q88's exact fixture: the CBS
     * arc-statistic argmax (the deterministic core the permutation test

@@ -497,9 +497,9 @@ object EventTimeQ {
         SELECT day, count(*) AS new_users FROM fd GROUP BY day
       )
       SELECT day, new_users,
-             sum(new_users) OVER (ORDER BY day
+             CAST(sum(new_users) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_users
+               AS BIGINT) AS cum_users
       FROM pd
       ORDER BY day"""))
 

@@ -1,11 +1,25 @@
 #!/usr/bin/env python3
-"""Local pre-check mimicking the driver's DuckDB-oracle compare.
+"""Local pre-check mimicking the driver's DuckDB-oracle compare — STRICT.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameFilter...]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
-compares schema + values (rows sorted by all columns, exact equality).
+compares the way the driver does:
+  * columns sorted BY NAME (both sides) — names must match exactly;
+  * rows sorted canonically by all columns on BOTH sides (empirically the
+    driver hashes a row-sorted frame: q57-class queries whose only
+    divergence is NULLS FIRST (Spark) vs NULLS LAST (DuckDB) tie order
+    are driver-GREEN, so in-frame order must not matter);
+  * dtype-strict: an int64 Spark column vs a float64 DuckDB column fails
+    even when every value is numerically equal (this is exactly the DuckDB
+    HUGEINT → float64 class that shipped q71/q128/q129 red on the driver
+    while the old value-coercing local check stayed green);
+  * value-strict: no int==float coercion; NaN equals NaN but NaN is NOT
+    None/NULL in object columns.
+Datetime columns are normalized to [us] resolution on both sides before the
+dtype check (pyarrow reads ns, DuckDB returns us — the driver's hasher sees
+equal epoch values, so resolution alone must not fail locally).
 """
 import json
 import math
@@ -13,35 +27,103 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+def norm_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     return df
 
 
-def cells_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
+def cells_equal_strict(a, b) -> bool:
+    """Type-strict scalar equality: no int/float coercion, NaN==NaN only
+    when both sides are floats, None==None only when both are None."""
+    if a is None or b is None:
+        return a is None and b is None
+    a_float = isinstance(a, (float, np.floating))
+    b_float = isinstance(b, (float, np.floating))
+    a_int = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_int = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if a_float or b_float:
+        if not (a_float and b_float):
+            return False  # int vs float = driver hash flip
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return float(a) == float(b)
+    if a_int or b_int:
+        return a_int and b_int and int(a) == int(b)
+    # pandas NaT / NA in object context
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
+        if pd.isna(a) or pd.isna(b):
+            return bool(pd.isna(a)) and bool(pd.isna(b)) and \
+                type(a).__name__ == type(b).__name__
     except (TypeError, ValueError):
         pass
     return a == b
 
 
+def as_list(x):
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    return None
+
+
+def canon_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Row-sort by all columns; falls back to a repr key for unorderable
+    object cells (lists/arrays). Applied identically to both sides, so
+    equal frames align and unequal frames still diff."""
+    if len(df) == 0 or len(df.columns) == 0:
+        return df
+    try:
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+    except TypeError:
+        return df.sort_values(by=list(df.columns), ignore_index=True,
+                              key=lambda s: s.map(repr))
+
+
+def compare_one(name, got, exp):
+    got = canon_rows(norm_dtypes(got.reindex(sorted(got.columns), axis=1)))
+    exp = canon_rows(norm_dtypes(exp.reindex(sorted(exp.columns), axis=1)))
+    if list(got.columns) != list(exp.columns):
+        return f"columns {list(got.columns)} vs {list(exp.columns)}"
+    if len(got) != len(exp):
+        return f"rows {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        gd, ed = str(got[c].dtype), str(exp[c].dtype)
+        if gd != ed and not (gd == "object" and ed == "object"):
+            # object-vs-typed is also a mismatch unless values prove equal
+            # types; simplest driver-faithful rule: dtypes must agree.
+            return f"dtype col={c}: spark={gd} duckdb={ed}"
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for ri in range(len(gv)):
+            a, b = gv[ri], ev[ri]
+            la, lb = as_list(a), as_list(b)
+            if la is not None or lb is not None:
+                ok = (la is not None and lb is not None
+                      and len(la) == len(lb)
+                      and all(cells_equal_strict(x, y)
+                              for x, y in zip(la, lb)))
+            else:
+                ok = cells_equal_strict(a, b)
+            if not ok:
+                return (f"first diff col={c} row={ri}: spark={a!r} "
+                        f"({type(a).__name__}) duckdb={b!r} "
+                        f"({type(b).__name__})")
+    return None
+
+
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    filters = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -50,6 +132,8 @@ def main() -> int:
     n_pass = n_fail = n_skip = 0
     for name in sorted(p.name for p in Path(out_dir).iterdir()
                        if p.is_dir()):
+        if filters and not any(f in name for f in filters):
+            continue
         got = pd.read_parquet(Path(out_dir, name))
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({len(got)} rows)")
@@ -63,40 +147,12 @@ def main() -> int:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
-        g, e = canon(got), canon(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"  ✗ {name}: columns {list(g.columns)} vs {list(e.columns)}")
-            n_fail += 1
-            continue
-        if len(g) != len(e):
-            print(f"  ✗ {name}: rows {len(g)} vs {len(e)}")
-            n_fail += 1
-            continue
-        bad = None
-        for ci, c in enumerate(g.columns):
-            gv, ev = g[c].tolist(), e[c].tolist()
-            for ri in range(len(gv)):
-                a, b = gv[ri], ev[ri]
-                if isinstance(a, (list, tuple)) or str(type(a)).find('ndarray') >= 0:
-                    a = list(a)
-                if isinstance(b, (list, tuple)) or str(type(b)).find('ndarray') >= 0:
-                    b = list(b)
-                if isinstance(a, list) and isinstance(b, list):
-                    ok = len(a) == len(b) and all(
-                        cells_equal(x, y) for x, y in zip(a, b))
-                else:
-                    ok = cells_equal(a, b)
-                if not ok:
-                    bad = (c, ri, a, b)
-                    break
-            if bad:
-                break
-        if bad:
-            c, ri, a, b = bad
-            print(f"  ✗ {name}: first diff col={c} row={ri}: spark={a!r} duckdb={b!r}")
+        err = compare_one(name, got, exp)
+        if err:
+            print(f"  ✗ {name}: {err}")
             n_fail += 1
         else:
-            print(f"  ✓ {name} ({len(g)} rows)")
+            print(f"  ✓ {name} ({len(got)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0
