@@ -63,7 +63,14 @@ object HashFuncs {
     * clustering both dimensions at once is the layout trick behind
     * Delta/Iceberg Z-ORDER table maintenance: parquet row-group min/max
     * zone maps become selective for predicates on EITHER column. Pure
-    * shift/mask arithmetic — replayable bit-for-bit in any engine. */
+    * shift/mask arithmetic — replayable bit-for-bit in any engine.
+    *
+    * `bits` is validated in [1, 32] at expression-construction time
+    * ([[Expressions.ZOrder2]]): two 33-bit lanes can't interleave into
+    * one long, and Java wraps shift counts mod 64 so bits > 32 would
+    * SILENTLY scatter bits into wrong positions rather than fail. Input
+    * bits at position >= `bits` are ignored (values alias mod 2^bits) —
+    * callers clustering wider domains must pre-scale into the box. */
   def zorder2(a: Long, b: Long, bits: Int): Long = {
     var z = 0L
     var i = 0
@@ -645,6 +652,9 @@ object Expressions {
     * Codegen'd shift/mask loop; inputs cast to long at the column layer. */
   case class ZOrder2(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
+    require(bits >= 1 && bits <= 32,
+      s"zorder2 bits must be in [1,32], got $bits (shift counts wrap " +
+        "mod 64 above 32, silently corrupting the interleave)")
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any =
       HashFuncs.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)

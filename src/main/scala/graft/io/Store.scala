@@ -60,13 +60,18 @@ object Store {
     * for predicates on EITHER column — a point/box query reads a few
     * files instead of all of them (LayoutSpec measures the file-level
     * pruning against a linear layout). The interleave is the codegen
-    * `zorder2` kernel; `bits` bounds both dimensions to [0, 2^bits).
+    * `zorder2` kernel; `bits` (≤ 32) sets the box [0, 2^bits) — input
+    * bits above it are IGNORED (values alias mod 2^bits), so wider
+    * domains must be pre-scaled into the box.
     * At 100 TB this is a one-off re-cluster job: one range shuffle,
     * then every later scan with a selective predicate on either
     * dimension prunes at the zone-map level. */
   def saveZOrdered(df: DataFrame, path: String, colA: String,
       colB: String, bits: Int = 16, nFiles: Int = 32): Unit = {
     import org.apache.spark.sql.functions.col
+    require(bits >= 1 && bits <= 32,
+      s"bits must be in [1,32], got $bits — values outside [0, 2^bits) " +
+        "alias into the box (high bits ignored); pre-scale wider domains")
     val z = graft.functions.Expressions.zorder2(col(colA), col(colB), bits)
     df.withColumn("_zkey", z)
       .repartitionByRange(nFiles, col("_zkey"))
@@ -86,10 +91,24 @@ object Store {
     * with zero base-side Exchange. `updates` carries the base's columns
     * plus a boolean `deleteFlag`. */
   def mergeUpsert(base: DataFrame, updates: DataFrame, key: String,
-      deleteFlag: String = "is_delete"): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, not, when}
+      deleteFlag: String = "is_delete",
+      checkDuplicates: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
     require(updates.columns.contains(deleteFlag),
       s"updates must carry the $deleteFlag column")
+    if (checkDuplicates) {
+      // Delta/Iceberg MERGE INTO raises on multiple matching source
+      // rows; a full-outer join would instead silently FAN OUT each
+      // base row once per duplicate. Guard with one eager agg over the
+      // updates side only (the delta — small next to the base; callers
+      // composing lazily can opt out and own the precondition).
+      val dup = updates.groupBy(col(key))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty, s"mergeUpsert: updates has ${dup.head.get(1)} " +
+        s"rows for $key=${dup.head.get(0)}; MERGE semantics require one " +
+        "source row per key — pre-aggregate the updates")
+    }
     val dataCols = base.columns.filter(_ != key).toSeq
     val b = base.as("mb")
     val u = updates.as("mu")

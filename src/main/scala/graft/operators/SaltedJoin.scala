@@ -21,13 +21,18 @@ object SaltedJoin {
 
   /** Inner equi join of `skewed` × `other` on `key`, with the skewed
     * side fanned over `buckets` salt values. `rowId` must be unique per
-    * skewed row (any stable id column) — it only seeds the salt. */
+    * skewed row (any stable id column, any type — string ids hash fine)
+    * — it only seeds the salt. The salt is xxhash64 of the id, not
+    * splitmix arithmetic: arithmetic on a non-numeric or null id casts
+    * to null, and a null salt would silently DROP the row from the
+    * inner join. xxhash64 accepts any type, never returns null, and is
+    * deterministic across retries/speculative tasks like splitmix. */
   def inner(skewed: DataFrame, other: DataFrame, key: String,
       rowId: String, buckets: Int = 8): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salt = "__salt"
     val l = skewed.withColumn(salt,
-      pmod(Curation.splitmix(col(rowId)), lit(buckets.toLong)))
+      pmod(xxhash64(col(rowId)), lit(buckets.toLong)))
     val r = other.withColumn(salt,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     l.join(r, Seq(key, salt)).drop(salt)

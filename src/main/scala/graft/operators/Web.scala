@@ -47,7 +47,9 @@ object Web {
         regexp_replace(hostRaw, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
       .otherwise(hostRaw)
-    val host = regexp_replace(hostNoPort, "^www\\.", "")
+    // "(www\\.)+" not "www\\." — stacked prefixes (www.www.x) must strip
+    // in ONE pass or canonicalization loses idempotence
+    val host = regexp_replace(hostNoPort, "^(www\\.)+", "")
     val pathRaw =
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathCollapsed = regexp_replace(pathRaw, "/{2,}", "/")
@@ -79,7 +81,7 @@ object Web {
               WHEN $scheme = 'https'
                 THEN regexp_replace($hostRaw, ':443$$', '')
               ELSE $hostRaw END)"""
-    val host = s"regexp_replace($hostNoPort, '^www\\.', '')"
+    val host = s"regexp_replace($hostNoPort, '^(www\\.)+', '')"
     val pathRaw =
       s"coalesce(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
     val pathCollapsed = s"regexp_replace($pathRaw, '/{2,}', '/', 'g')"

@@ -37,10 +37,16 @@ object EventStreams {
     * carries (event_type, med, mad). */
   def anomalyGate(stream: DataFrame, stats: DataFrame,
       threshold: Double = 3.5): DataFrame =
-    stream.join(broadcast(stats), Seq("event_type"))
-      .withColumn("mz",
-        lit(0.6745) * (col("value") - col("med")) / col("mad"))
-      .withColumn("is_anomaly", abs(col("mz")) > threshold)
+    // LEFT join: an event type with no stats row (never seen in the
+    // history batch) is exactly what a monitor must surface, not drop —
+    // it flows through with mz/is_anomaly = null for a downstream
+    // triage policy to decide. mad = 0 (constant history) would make mz
+    // ±Infinity/NaN, so the score is gated to null there too.
+    stream.join(broadcast(stats), Seq("event_type"), "left")
+      .withColumn("mz", when(col("mad") =!= 0,
+        lit(0.6745) * (col("value") - col("med")) / col("mad")))
+      .withColumn("is_anomaly",
+        when(col("mz").isNotNull, abs(col("mz")) > threshold))
       .drop("med", "mad")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

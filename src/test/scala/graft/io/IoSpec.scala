@@ -239,4 +239,21 @@ class IoSpec extends SparkSpec {
     assert(out(2L) == ((None, Some("es"))))        // null REPLACES
     assert(out(9L) == ((Some("nine"), Some("en"))))
   }
+
+  test("mergeUpsert rejects duplicate update keys (MERGE semantics) " +
+      "unless the caller opts out") {
+    import spark.implicits._
+    val base = Seq((1L, Option("one"))).toDF("id", "text")
+    val dupUpdates = Seq(
+      (1L, Option("uno"), false),
+      (1L, Option("eins"), false)).toDF("id", "text", "is_delete")
+    val e = intercept[IllegalArgumentException] {
+      Store.mergeUpsert(base, dupUpdates, "id")
+    }
+    assert(e.getMessage.contains("one source row per key"))
+    // opt-out keeps the documented full-outer fan-out behavior
+    val out = Store.mergeUpsert(base, dupUpdates, "id",
+      checkDuplicates = false).collect()
+    assert(out.length == 2)
+  }
 }

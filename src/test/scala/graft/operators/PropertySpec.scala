@@ -44,7 +44,7 @@ class PropertySpec extends SparkSpec {
     val seg = Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty)
     val urlGen = for {
       scheme <- Gen.oneOf("http", "https", "HTTP", "HtTpS")
-      www <- Gen.oneOf("", "www.", "WWW.")
+      www <- Gen.oneOf("", "www.", "WWW.", "www.www.", "WWW.www.")
       host <- seg
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       path <- Gen.listOf(seg).map(_.take(3).mkString("/"))

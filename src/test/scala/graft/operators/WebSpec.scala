@@ -39,7 +39,11 @@ class WebSpec extends SparkSpec {
   test("canonicalization is idempotent") {
     val raw = Seq(
       "https://www.Example.COM:443/a//b/?b=2&utm_source=x&a=1#f",
-      "http://h.io:80", "https://h.io/p?fbclid=z")
+      "http://h.io:80", "https://h.io/p?fbclid=z",
+      // stacked www must strip fully in one pass (idempotence) and
+      // land in the same dedup group as the bare host
+      "https://www.www.h.io/p", "https://WWW.www.Example.com/x")
+    assert(canon("https://www.www.h.io/p") == canon("https://h.io/p"))
     val once = canon(raw: _*)
     assert(canon(once: _*) == once)
   }

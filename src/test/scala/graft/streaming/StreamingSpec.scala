@@ -139,4 +139,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 300)
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
+
+  test("anomaly gate surfaces unknown event types and zero-MAD stats " +
+      "as null scores instead of dropping/NaN") {
+    val stats = Seq(("click", 5.0, 2.0), ("flat", 1.0, 0.0))
+      .toDF("event_type", "med", "mad")
+    val events = Seq((1L, "click", 100.0), (2L, "never_seen", 9.9),
+      (3L, "flat", 1.0)).toDF("event_id", "event_type", "value")
+    val out = EventStreams.anomalyGate(events, stats)
+      .orderBy($"event_id").collect()
+    assert(out.length === 3) // the unknown type is NOT dropped
+    assert(out(0).getBoolean(out(0).fieldIndex("is_anomaly")))
+    assert(out(1).isNullAt(out(1).fieldIndex("mz")) &&
+      out(1).isNullAt(out(1).fieldIndex("is_anomaly")))
+    assert(out(2).isNullAt(out(2).fieldIndex("mz")) &&
+      out(2).isNullAt(out(2).fieldIndex("is_anomaly")))
+  }
 }
