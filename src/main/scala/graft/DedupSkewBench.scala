@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *      instead of expanding (150k choose 2) candidate pairs
   *   3. cross-corpus line dedup (dedupLines) — the hot line's document
   *      frequency is collapsed map-side; work stays O(lines)
+  *   4. asymmetric containment (containmentPairs) with the derived
+  *      p99.9 dfCap — same co-occurrence shuffle as Jaccard, so the
+  *      cap (not the operator) is what stands between the boilerplate
+  *      shingles and a (150k choose 2) pair expansion
+  *   5. repeated-span dedup (repeatedSpans) — the hot shingle's census
+  *      is the (h, id)-distinct two-step, so a 150k-document h spreads
+  *      across reducers map-side instead of landing on one
   *
   * Healthy = skew/uniform wall-time ratio ≈ 1 for every stage. A
   * quadratic expansion would show minutes-vs-seconds, not a ratio.
@@ -60,8 +67,11 @@ object DedupSkewBench {
         concat_ws("\n", line1, words(2, 6)).as("text"))
   }
 
-  private def runStages(spark: SparkSession, skewed: Boolean)
-      : (Double, Double, Double, Long, Long, Long) = {
+  final case class Stages(exact: Double, jac: Double, lines: Double,
+      contain: Double, spans: Double, nExact: Long, nPairs: Long,
+      nLines: Long, nContain: Long, nSpans: Long, dfCap: Int)
+
+  private def runStages(spark: SparkSession, skewed: Boolean): Stages = {
     val docs = corpus(spark, skewed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
@@ -82,7 +92,24 @@ object DedupSkewBench {
         operators.Dedup.dedupLines(docs, "doc_id", "text")
           .filter(col("n_dropped") > 0).count()
       }
-      (tExact, tJac, tLines, nExact, nPairs, nLines)
+      // containment shares jaccardPairs' co-occurrence shuffle, so the
+      // derived cap is load-bearing here: uncapped, the skewed corpus
+      // expands the 150k-doc boilerplate shingles into ~10^10 pairs.
+      // The derivation cost is charged to the stage (that's the real
+      // production sequence).
+      val ((cap, nContain), tContain) = timeIt {
+        val c = operators.Dedup.derivedDfCap(docs, "text", k = 3)
+        (c, operators.Dedup.containmentPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.5, dfCap = Some(c)).count())
+      }
+      // k=4 keeps three shingles of the 6-word hot line fully inside it
+      // (hot h keys), while the planted full-text dups repeat all theirs
+      val (nSpans, tSpans) = timeIt {
+        operators.Dedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+          .count()
+      }
+      Stages(tExact, tJac, tLines, tContain, tSpans,
+        nExact, nPairs, nLines, nContain, nSpans, cap)
     } finally { docs.unpersist(); () }
   }
 
@@ -98,17 +125,24 @@ object DedupSkewBench {
 
     // warm-up pass (codegen + JIT for every stage shape), then timed
     runStages(spark, skewed = false)
-    val (ue, uj, ul, uEx, uPr, uLn) = runStages(spark, skewed = false)
-    val (se, sj, sl, sEx, sPr, sLn) = runStages(spark, skewed = true)
+    val u = runStages(spark, skewed = false)
+    val s = runStages(spark, skewed = true)
     def r(a: Double, b: Double) = math.round(a / b * 100.0) / 100.0
+    def stages(x: Stages) =
+      s""""exact":${x.exact},"jaccard":${x.jac},""" +
+      s""""line_dedup":${x.lines},"containment":${x.contain},""" +
+      s""""repeated_spans":${x.spans},"dup_groups":${x.nExact},""" +
+      s""""pairs":${x.nPairs},"docs_with_dropped":${x.nLines},""" +
+      s""""containment_pairs":${x.nContain},"spans":${x.nSpans},""" +
+      s""""df_cap":${x.dfCap}"""
     println(s"""{"metric":"dedup_skew","unit":"sec","docs":$NDocs,""" +
       s""""hot_share":0.3,""" +
-      s""""uniform":{"exact":$ue,"jaccard":$uj,"line_dedup":$ul,""" +
-      s""""dup_groups":$uEx,"pairs":$uPr,"docs_with_dropped":$uLn},""" +
-      s""""skew":{"exact":$se,"jaccard":$sj,"line_dedup":$sl,""" +
-      s""""dup_groups":$sEx,"pairs":$sPr,"docs_with_dropped":$sLn},""" +
-      s""""ratio":{"exact":${r(se, ue)},"jaccard":${r(sj, uj)},""" +
-      s""""line_dedup":${r(sl, ul)}}}""")
+      s""""uniform":{${stages(u)}},"skew":{${stages(s)}},""" +
+      s""""ratio":{"exact":${r(s.exact, u.exact)},""" +
+      s""""jaccard":${r(s.jac, u.jac)},""" +
+      s""""line_dedup":${r(s.lines, u.lines)},""" +
+      s""""containment":${r(s.contain, u.contain)},""" +
+      s""""repeated_spans":${r(s.spans, u.spans)}}}""")
     spark.stop()
   }
 }
