@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation — the host/document ranking
+  * pass (Page et al. 1999; Common-Crawl-style host ranking) that feeds
+  * source-quality priors into corpus filtering.
+  *
+  * INTEGER-EXACT power iteration: ranks are scaled BIGINTs and every
+  * step is integer arithmetic (`div`), so the fixpoint is bit-identical
+  * regardless of partitioning, reduction order, or engine — the same
+  * trick the splitmix samplers use to stay oracle-checkable. Floating
+  * PageRank would accumulate order-dependent last-bit drift across
+  * iterations and amplify it through the damping recurrence.
+  *
+  * Scale shape (per iteration): contributions shuffle once on `dst`
+  * (map-side partial sums first — a hot page's in-edges combine before
+  * the exchange), then a LEFT join back to the node set keyed the same
+  * way. Lineage is truncated with localCheckpoint every few rounds so
+  * the plan doesn't grow linearly with iterations (the classic
+  * iterative-DataFrame failure: 20 nested joins blow up the optimizer
+  * before the cluster sees a task). Dangling mass is handled by the
+  * damping base term; nodes with no in-edges keep the base rank.
+  */
+object Graph {
+
+  /** Total scaled rank mass: ranks start at `Total div n` per node. */
+  val Total = 1000000000000L // 10^12
+
+  /** `iters` rounds of damped power iteration over `edges` (src, dst —
+    * one row per edge; parallel edges count twice) on the node set
+    * `nodes` (id). Out-degrees are computed once and joined in, so the
+    * recurrence is
+    *   r'(v) = (15·(Total div n)) div 100
+    *           + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    * — every term integer. Returns (id, rank). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
+      idCol: String = "id"): DataFrame = {
+    require(iters >= 0 && iters <= 64, "iters out of range")
+    val spark = nodes.sparkSession
+    val n = nodes.count() // scalar boundary: node COUNT, not node data
+    val base = (15L * (Total / n)) / 100L
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) pinned once — every iteration re-reads it
+    val withDeg = edges.join(outDeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col(idCol).as("id"),
+      lit(Total / n).as("rank"))
+    var i = 0
+    while (i < iters) {
+      // `div`, not `/`: Spark's `/` on longs goes through double and a
+      // hub with outdeg beyond ~1/ulp(rank) could floor off-by-one vs
+      // DuckDB's exact BIGINT division; `div` is exact at any scale
+      val contrib = withDeg
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col(idCol).as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .select(col("id"),
+          (lit(base) + expr(s"(85 * s) div 100")).as("rank"))
+      i += 1
+      // truncate lineage: without this the logical plan nests one join
+      // tree per iteration and analysis time, not the cluster, becomes
+      // the bottleneck (eager localCheckpoint also breaks the
+      // re-execution of all prior rounds on each action)
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    withDeg.unpersist()
+    ranks
+  }
+}

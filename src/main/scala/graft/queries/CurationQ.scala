@@ -791,7 +791,61 @@ object CurationQ {
       FROM b GROUP BY bucket ORDER BY bucket"""
     })
 
+  /** Link-graph PageRank (Graph.pageRank) — the crawl-curation source-
+    * quality prior, Common-Crawl-host-ranking style. The synthetic link
+    * graph is deterministic modular arithmetic over the contiguous
+    * doc_id space (3 out-edges per doc: dst = (id·48271 + 7919·j + 1)
+    * mod n, minstd-scattered), so both engines build the identical
+    * graph; ranks are scaled-BIGINT integer arithmetic end to end
+    * (every division a floor div), so eight damped power iterations are
+    * bit-identical regardless of reduction order — no float drift to
+    * round away. The oracle unrolls the recurrence as eight CTE stages.
+    * Scale: one contribution shuffle + one node-set left join per
+    * iteration, lineage truncated every 4 rounds. */
+  val q135 = Q(
+    "q135_pagerank", {
+      (s, d) => {
+        import s.implicits._
+        val nodes = t(s, d, "documents").select($"doc_id".as("id"))
+        val nDf = nodes.agg(count(lit(1)).as("n"))
+        val edges = nodes.crossJoin(broadcast(nDf))
+          .select($"id".as("src"), explode(array((0 until 3).map(j =>
+            pmod($"id" * 48271L + lit(7919L * j + 1), $"n")): _*))
+            .as("dst"))
+        graft.operators.Graph.pageRank(nodes, edges, iters = 8)
+          .select($"id".as("doc_id"), $"rank".as("pr"))
+          .orderBy($"doc_id")
+      }
+    }, {
+      val base = "(15 * (1000000000000 // cnt.n)) // 100"
+      val iter = (prev: String, cur: String) => s"""
+      $cur AS (
+        SELECT nodes.id,
+               $base + (85 * COALESCE(c.s, 0)) // 100 AS r
+        FROM nodes CROSS JOIN cnt
+        LEFT JOIN (SELECT e.dst AS id, sum($prev.r // e.deg) AS s
+                   FROM e JOIN $prev ON e.src = $prev.id
+                   GROUP BY e.dst) c
+          ON nodes.id = c.id)"""
+      val rounds = (1 to 8).map(i => iter(s"r${i - 1}", s"r$i"))
+        .mkString(",")
+      Some(s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      edges AS (
+        SELECT id AS src, (id * 48271 + 7919 * j + 1) % cnt.n AS dst
+        FROM nodes CROSS JOIN cnt
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      ), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      e AS (SELECT edges.src, edges.dst, deg.deg
+            FROM edges JOIN deg USING (src)),
+      r0 AS (SELECT id, 1000000000000 // cnt.n AS r
+             FROM nodes CROSS JOIN cnt),$rounds
+      SELECT id AS doc_id, CAST(r AS BIGINT) AS pr
+      FROM r8 ORDER BY doc_id""")
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133)
+      q125, q128, q132, q133, q135)
 }

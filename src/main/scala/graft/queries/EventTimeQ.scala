@@ -564,7 +564,67 @@ object EventTimeQ {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Gap-based batch sessionization (the batch twin of
+    * graft.streaming.EventStreams.sessionize; reference-class CCNet/
+    * analytics sessionizer): a session closes after 30 min of
+    * inactivity. ONE shuffle on user_id — the lag/running-sum windows
+    * and the per-session aggregation all share the user-keyed exchange
+    * (sessions never span users). Integer end to end: µs timestamps,
+    * the 2-decimal value as a scaled BIGINT summed exactly, one final
+    * division. Session index via the standard brk/cumsum trick; the
+    * running sum is CAST on the oracle side (DuckDB sum() → HUGEINT,
+    * the q71 lesson). */
+  val q134 = Q(
+    "q134_sessionization",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      t(s, d, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+          round($"value" * 100, 0).cast("long").as("a"))
+        .withColumn("brk",
+          when($"us" - lag($"us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"brk").over(w))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"us").as("start_us"), max($"us").as("end_us"),
+          sum($"a").as("va"))
+        .select($"user_id", $"session_idx", $"n_events",
+          $"start_us", $"end_us",
+          expr("(end_us - start_us) div 1000000").as("dur_sec"),
+          round($"va" / 100.0, 2).as("total_value"))
+        .orderBy($"user_id", $"session_idx")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS a
+        FROM events
+      ), brk AS (
+        SELECT user_id, event_id, us, a,
+               CASE WHEN us - lag(us) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END AS b
+        FROM ev
+      ), sess AS (
+        -- cumsum tie-break must include event_id: same-µs rows would
+        -- otherwise be frame-ordered differently than the Spark window
+        SELECT user_id, us, a,
+               CAST(sum(b) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM brk
+      )
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us,
+             (max(us) - min(us)) // 1000000 AS dur_sec,
+             round(CAST(sum(a) AS BIGINT) / 100.0, 2) AS total_value
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131)
+      q129, q131, q134)
 }

@@ -1270,8 +1270,192 @@ object TextQ {
       WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.6
       ORDER BY id_a, id_b"""))
 
+  /** Bigram PMI collocations — tokenizer/vocab-curation surface
+    * (Church & Hanks 1990): which adjacent token pairs co-occur far
+    * above chance. pmi(a,b) = ln(p(ab) / (p(a)·p(b))) with p(ab) over
+    * the corpus bigram count B and p(·) over the unigram count U.
+    * Bigrams are emitted ROW-LOCALLY from the split array (transform
+    * over the index sequence — no positional self-join), so the plan is
+    * two count shuffles (unigram, bigram) + a broadcast of the two
+    * corpus scalars; the one float is a single ln over exact integer
+    * products, rounded at 6. min count 5 keeps the tail out. */
+  val q136 = Q(
+    "q136_pmi_collocations",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(split($"text", " ").as("l"))
+      val uni = docs.select(explode($"l").as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val uTot = uni.agg(sum($"c").as("u"))
+      val bi = docs.select(explode(expr(
+          """CASE WHEN size(l) >= 2 THEN
+               transform(sequence(1, size(l) - 1),
+                 i -> struct(element_at(l, i) AS w1,
+                             element_at(l, i + 1) AS w2))
+             ELSE array() END""")).as("p"))
+        .select($"p.w1", $"p.w2")
+        .filter(length($"w1") > 0 && length($"w2") > 0)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+      val bTot = docs.select(explode(expr(
+          """CASE WHEN size(l) >= 2 THEN
+               transform(sequence(1, size(l) - 1),
+                 i -> struct(element_at(l, i) AS w1,
+                             element_at(l, i + 1) AS w2))
+             ELSE array() END""")).as("p"))
+        .filter(length($"p.w1") > 0 && length($"p.w2") > 0)
+        .agg(count(lit(1)).as("b"))
+      bi.join(uni.select($"w".as("w1"), $"c".as("c_a")), "w1")
+        .join(uni.select($"w".as("w2"), $"c".as("c_b")), "w2")
+        .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+        .select($"w1", $"w2", $"c_ab",
+          round(log(($"c_ab" * $"u" * $"u").cast("double") /
+            ($"b" * $"c_a" * $"c_b")), 6).as("pmi"))
+        .orderBy($"w1", $"w2")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+      ), uni AS (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(l) AS w FROM docs)
+        WHERE length(w) > 0 GROUP BY w
+      ), ut AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
+      big AS (
+        SELECT l[i] AS w1, l[i + 1] AS w2
+        FROM docs, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+        WHERE length(l[i]) > 0 AND length(l[i + 1]) > 0
+      ), bi AS (
+        SELECT w1, w2, count(*) AS c_ab FROM big
+        GROUP BY w1, w2 HAVING count(*) >= 5
+      ), bt AS (SELECT count(*) AS b FROM big)
+      SELECT bi.w1, bi.w2, bi.c_ab,
+             round(ln(CAST(bi.c_ab * ut.u * ut.u AS DOUBLE)
+               / (bt.b * ua.c * ub.c)), 6) AS pmi
+      FROM bi
+      JOIN uni ua ON ua.w = bi.w1
+      JOIN uni ub ON ub.w = bi.w2
+      CROSS JOIN ut CROSS JOIN bt
+      ORDER BY bi.w1, bi.w2"""))
+
+  /** Character-class Shannon entropy — the cheap gibberish/boilerplate
+    * quality gate (low entropy = repeated char classes, e.g. digit dumps
+    * or padding). Five classes (lower/upper/digit/space/other) counted
+    * by regex strip, entropy written as an EXPLICIT left-to-right sum of
+    * five terms — no aggregation at all, so the float result is
+    * bit-identical in any engine and at any parallelism; row-local,
+    * codegen, embarrassingly parallel at 100 TB. */
+  val q137 = Q(
+    "q137_char_entropy",
+    (s, d) => {
+      import s.implicits._
+      def cls(re: String) =
+        length(regexp_replace($"text", re, ""))
+      val counts = t(s, d, "documents")
+        .select($"doc_id", length($"text").cast("long").as("len"),
+          cls("[^a-z]").as("n_lower"), cls("[^A-Z]").as("n_upper"),
+          cls("[^0-9]").as("n_digit"), cls("[^ ]").as("n_space"))
+        .withColumn("n_other",
+          $"len" - $"n_lower" - $"n_upper" - $"n_digit" - $"n_space")
+      def term(c: String) = when(col(c) > 0,
+        -(col(c).cast("double") / $"len") *
+          log(col(c).cast("double") / $"len")).otherwise(lit(0.0))
+      counts.filter($"len" > 0)
+        .select($"doc_id", $"len",
+          round(term("n_lower") + term("n_upper") + term("n_digit") +
+            term("n_space") + term("n_other"), 6).as("entropy"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, length(text) AS len,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_lower,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+        FROM documents
+      ), c2 AS (
+        SELECT doc_id, len, n_lower, n_upper, n_digit, n_space,
+               len - n_lower - n_upper - n_digit - n_space AS n_other
+        FROM c WHERE len > 0
+      )
+      SELECT doc_id, len,
+             round(
+               (CASE WHEN n_lower > 0 THEN -(n_lower::DOUBLE / len)
+                  * ln(n_lower::DOUBLE / len) ELSE 0 END)
+             + (CASE WHEN n_upper > 0 THEN -(n_upper::DOUBLE / len)
+                  * ln(n_upper::DOUBLE / len) ELSE 0 END)
+             + (CASE WHEN n_digit > 0 THEN -(n_digit::DOUBLE / len)
+                  * ln(n_digit::DOUBLE / len) ELSE 0 END)
+             + (CASE WHEN n_space > 0 THEN -(n_space::DOUBLE / len)
+                  * ln(n_space::DOUBLE / len) ELSE 0 END)
+             + (CASE WHEN n_other > 0 THEN -(n_other::DOUBLE / len)
+                  * ln(n_other::DOUBLE / len) ELSE 0 END), 6) AS entropy
+      FROM c2
+      ORDER BY doc_id"""))
+
+  /** Zipf rank-frequency slope per source — the corpus-datasheet
+    * language-health check (natural text ≈ −1; spam/templated sources
+    * drift off). Per-source top-1000 terms by frequency via the
+    * bounded-heap TopKAgg (k rows per partition move — NOT a
+    * per-source row_number window over the whole vocab, which at 100 TB
+    * would gather ~10^7 rows per source into one task), then the OLS
+    * closed form over (ln rank, ln freq). The moment sums run over at
+    * most 1000 similar-magnitude terms, so round(4) sits ~8 orders
+    * above the float reduction-order noise floor. */
+  val q138 = Q(
+    "q138_zipf_slope",
+    (s, d) => {
+      import s.implicits._
+      val freq = t(s, d, "documents")
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      val ranked = freq.groupBy($"source")
+        .agg(graft.functions.TopKAgg.topK(
+          struct((-$"c").as("nc"), $"w"),
+          struct($"w", $"c"), 1000).as("top"))
+        .select($"source", posexplode($"top").as(Seq("r0", "t")))
+        .select($"source", log(($"r0" + 1).cast("double")).as("x"),
+          log($"t.c".cast("double")).as("y"))
+      ranked.groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"))
+        .select($"source", $"n_terms",
+          round(($"n_terms" * $"sxy" - $"sx" * $"sy") /
+            ($"n_terms" * $"sxx" - $"sx" * $"sx"), 4).as("zipf_slope"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH freq AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) > 0 GROUP BY source, w
+      ), ranked AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY c DESC, w) AS r,
+               c
+        FROM freq
+        QUALIFY r <= 1000
+      ), xy AS (
+        SELECT source, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        FROM ranked
+      )
+      SELECT source, count(*) AS n_terms,
+             round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+               (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+               AS zipf_slope
+      FROM xy
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130)
+      q124, q126, q127, q130, q136, q137, q138)
 }
