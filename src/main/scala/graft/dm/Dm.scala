@@ -211,7 +211,82 @@ object Dm {
 
     // null betas become NaN BEFORE the map aggregation: a null map value
     // would silently convert to 0.0 at the UDF boundary (primitive Double)
-    val grouped = betas
+    val grouped = if (p == 2) {
+      // Pure-codegen simple-regression path (the dominant shape:
+      // intercept + one covariate). The UDF route above pays a
+      // string-keyed HashMap build + Map decode PER PROBE — more than
+      // the regression arithmetic itself. Here the observation list is
+      // sorted by design index (sort_array ≡ the UDF's sortBy(_._1)),
+      // the sufficient statistics fold in the same per-element order
+      // through aggregate() (bit-identical accumulation — q67's oracle
+      // gates every emitted statistic), and the closed-form stats plus
+      // the A&S t survival are Column expressions, so the whole fit
+      // runs inside whole-stage codegen with no serialization boundary.
+      val nan = lit(Double.NaN)
+      // (label → design index, covariate) via a BROADCAST HASH join —
+      // not element_at over a literal map, whose GetMapValue is a
+      // linear scan per row (measured: +1.7 s on q67 at 1000 samples)
+      val lookup = {
+        import betas.sparkSession.implicits._
+        broadcast(samples.zipWithIndex
+          .map { case (s, i) => (s, i, design.rows(s)(1)) }
+          .toDF("sample_label", "si", "xi"))
+      }
+      val obs = betas
+        .filter(col("sample_label").isin(samples: _*))
+        .join(lookup, "sample_label")
+        .select(col("probe_id"), col("si"), col("xi"),
+          coalesce(col("beta").cast("double"), nan).as("y"))
+        .groupBy("probe_id")
+        // NaN betas drop out (when → null; collect_list skips nulls)
+        // but the probe GROUP survives, matching the UDF's NaN-drop
+        .agg(sort_array(collect_list(when(!isnan(col("y")),
+          struct(col("si"), col("xi"), col("y"))))).as("obs"))
+      val withSt = obs
+        .withColumn("st", expr("""aggregate(obs,
+          named_struct('k', 0, 'sx', 0D, 'sxx', 0D, 'sy', 0D,
+            'sxy', 0D, 'syy', 0D),
+          (a, o) -> named_struct('k', a.k + 1,
+            'sx', a.sx + o.xi, 'sxx', a.sxx + o.xi * o.xi,
+            'sy', a.sy + o.y, 'sxy', a.sxy + o.xi * o.y,
+            'syy', a.syy + o.y * o.y))"""))
+        .select(col("probe_id"), col("st.k").as("k"),
+          col("st.sx").as("sx"), col("st.sxx").as("sxx"),
+          col("st.sy").as("sy"), col("st.sxy").as("sxy"),
+          col("st.syy").as("syy"))
+        .withColumn("nD", col("k").cast("double"))
+        .withColumn("det",
+          col("nD") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope",
+          (col("nD") * col("sxy") - col("sx") * col("sy")) / col("det"))
+        .withColumn("icept",
+          (col("sy") - col("slope") * col("sx")) / col("nD"))
+        .withColumn("sigma2",
+          greatest(col("syy") - col("icept") * col("sy") -
+            col("slope") * col("sxy"), lit(0.0)) / (col("nD") - 2))
+        .withColumn("dof", (col("k") - 2).cast("int"))
+        .withColumn("seI",
+          sqrt(col("sigma2") * col("sxx") / col("det")))
+        .withColumn("seS", sqrt(col("sigma2") * col("nD") / col("det")))
+        .withColumn("tI", when(col("seI") === 0.0, nan)
+          .otherwise(col("icept") / col("seI")))
+        .withColumn("tS", when(col("seS") === 0.0, nan)
+          .otherwise(col("slope") / col("seS")))
+        .withColumn("pI",
+          graft.functions.Expressions.tTwoSidedP(col("tI"), col("dof")))
+        .withColumn("pS",
+          graft.functions.Expressions.tTwoSidedP(col("tS"), col("dof")))
+        .withColumn("effect",
+          greatest(col("slope"), lit(0.0)) - least(col("slope"), lit(0.0)))
+      withSt
+        .withColumn("fit",
+          when(col("k") < p + 1 || col("det") === 0.0,
+            array(Seq.fill(2 + 4 * nF)(nan): _*))
+          .otherwise(array(col("pS"), col("effect"), col("pI"),
+            col("tI"), col("icept"), col("seI"), col("pS"), col("tS"),
+            col("slope"), col("seS"))))
+        .select(col("probe_id"), col("fit"))
+    } else betas
       .filter(col("sample_label").isin(samples: _*))
       .groupBy("probe_id")
       .agg(map_from_entries(collect_list(

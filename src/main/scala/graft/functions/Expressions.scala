@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
-  LongType, StringType}
+  IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels called from generated code. */
@@ -416,6 +416,23 @@ object Expressions {
       copy(c)
   }
 
+  /** t_two_sided_p(t, dof) — two-sided Student-t survival (the A&S
+    * 26.7.3/26.7.4 finite recurrences, exact for integer dof; see
+    * StatFuncs.tTwoSidedP). Codegen'd so the per-probe OLS fast path
+    * stays a pure whole-stage-codegen pipeline. */
+  case class TTwoSidedP(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(t: Any, d: Any): Any =
+      StatFuncs.tTwoSidedP(t.asInstanceOf[Double], d.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (t, d) => s"$kernel$$.MODULE$$.tTwoSidedP($t, $d)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): TTwoSidedP = copy(left = l, right = r)
+  }
+
   /** poly_hash64(str) — portable Rabin-Karp 64-bit fingerprint (see
     * HashFuncs.polyHash64). Backs MinHash / SimHash / rolling-hash dedup
     * so their whole hash families stay DuckDB-oracle-checkable. */
@@ -675,6 +692,9 @@ object Expressions {
   def erfc(c: Column): Column = column(Erfc(toD(expression(c))))
   def normLogSf(c: Column): Column = column(NormLogSf(toD(expression(c))))
   def normInv(c: Column): Column = column(NormInv(toD(expression(c))))
+  def tTwoSidedP(t: Column, dof: Column): Column =
+    column(TTwoSidedP(toD(expression(t)),
+      Cast(expression(dof), IntegerType)))
   def polyHash64(c: Column): Column = column(PolyHash64(expression(c)))
   def tokenHashes(c: Column): Column = column(TokenHashes(expression(c)))
   def wordShingleHashes(c: Column, k: Int): Column =
