@@ -1199,7 +1199,58 @@ object ExtraQ {
       GROUP BY sample_label, probe_id
       ORDER BY probe_id, sample_label"""))
 
+  /** Blocking-based entity resolution (EntityResolution.blockedPairs +
+    * Fellegi-Sunter-style integer agreement weights): candidate pairs
+    * only within (nation, segment) blocks — Σ|b|² not n² — scored on
+    * account-balance proximity (cents as exact BIGINT), balance-bucket
+    * agreement, and a stable quasi-identifier digit; threshold keeps
+    * strong-agreement pairs. Every weight is an integer and the balance
+    * is exact scaled cents, so the score is bit-identical across
+    * engines. The oracle replays the same blocked self-join. */
+  val q139 = Q(
+    "q139_entity_resolution",
+    (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+          round($"c_acctbal" * 100, 0).cast("long").as("cents"))
+      val pairs = graft.operators.EntityResolution.blockedPairs(
+        c, Seq("c_nationkey", "c_mktsegment"), "c_custkey")
+      pairs.select($"c_nationkey", $"c_mktsegment",
+          $"a_c_custkey".as("id_a"), $"b_c_custkey".as("id_b"),
+          (when(abs($"a_cents" - $"b_cents") <= 100L, 40L).otherwise(0L)
+            + when(expr("a_cents div 100000") ===
+                expr("b_cents div 100000"), 20L).otherwise(0L)
+            + when($"a_c_custkey" % 10 === $"b_c_custkey" % 10, 15L)
+                .otherwise(0L)).as("score"))
+        .filter($"score" >= 55L)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+      ), pairs AS (
+        SELECT a.c_nationkey, a.c_mktsegment,
+               a.c_custkey AS id_a, b.c_custkey AS id_b,
+               (CASE WHEN abs(a.cents - b.cents) <= 100
+                  THEN 40 ELSE 0 END
+                + CASE WHEN a.cents // 100000 = b.cents // 100000
+                  THEN 20 ELSE 0 END
+                + CASE WHEN a.c_custkey % 10 = b.c_custkey % 10
+                  THEN 15 ELSE 0 END) AS score
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+      )
+      SELECT c_nationkey, c_mktsegment, id_a, id_b,
+             CAST(score AS BIGINT) AS score
+      FROM pairs WHERE score >= 55
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
     Seq(q39, q40, q45, q47, q48, q49, q51, q52, q57, q58, q59, q63, q64,
-      q123)
+      q123, q139)
 }

@@ -35,6 +35,31 @@ object EventStreams {
     * history-derived statistics updating daily while events score
     * continuously is exactly how a 100 TB anomaly monitor runs. `stats`
     * carries (event_type, med, mad). */
+  /** Native session-window aggregation — Spark's built-in
+    * `session_window` (merging event-time sessions with a fixed
+    * inactivity gap), the engine-managed alternative to the custom
+    * [[sessionize]] state machine: watermark-bounded state, sessions
+    * merge/extend inside the streaming aggregation operator, no
+    * user-managed GroupState. Use THIS when per-session output is
+    * plain aggregates; use [[sessionize]] when the per-session logic
+    * needs arbitrary state. Boundary semantics: a session spans
+    * [first_ts, last_ts + gap), so an event exactly `gap` after the
+    * last one starts a NEW session (strict <), whereas the batch
+    * sessionizer (q134) breaks only at diff > gap — the two agree
+    * everywhere except exact-boundary hits. */
+  def sessionWindowAgg(events: DataFrame, gapSec: Long = 1800,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("total_value"))
+
   def anomalyGate(stream: DataFrame, stats: DataFrame,
       threshold: Double = 3.5): DataFrame =
     // LEFT join: an event type with no stats row (never seen in the

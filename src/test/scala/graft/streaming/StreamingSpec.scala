@@ -140,6 +140,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("native session_window agg matches a strict-boundary batch " +
+      "sessionizer on real events") {
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val got = EventStreams.sessionWindowAgg(events, gapSec = 1800)
+      .select($"user_id", unix_micros($"s_start").as("start_us"),
+        $"n_events")
+    // reference: lag/cumsum sessionizer with session_window's STRICT
+    // boundary (new session at diff >= gap, since a session covers
+    // [first, last + gap) exclusive)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val ref = events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("brk",
+        when($"us" - lag($"us", 1).over(w) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"brk").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"n_events")
+    assert(got.count() == ref.count())
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+  }
+
   test("anomaly gate surfaces unknown event types and zero-MAD stats " +
       "as null scores instead of dropping/NaN") {
     val stats = Seq(("click", 5.0, 2.0), ("flat", 1.0, 0.0))
