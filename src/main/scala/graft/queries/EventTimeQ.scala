@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Q.t
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Hll}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -624,7 +624,78 @@ object EventTimeQ {
       GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  /** HLL distinct-user sketch per event type ([[Hll]]): per-(type, day)
+    * register tables max-merged up to per-type — the mergeable roll-up
+    * path — then estimated, beside the exact distinct count. The oracle
+    * computes registers directly per type; register-max associativity
+    * means the two-level Spark merge must land on the SAME registers,
+    * so the roll-up correctness is inside the hash gate. All surfaces
+    * are exact integers except the estimate, a row-local function of
+    * exact integers rounded at 6. */
+  val q140 = Q(
+    "q140_hll_distinct_users",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", $"user_id", to_date($"ts").as("day"))
+      val daily = Hll.registers(ev, Seq("event_type", "day"), "user_id")
+      val est = Hll.estimate(Hll.merge(daily, Seq("event_type")),
+        Seq("event_type"))
+      val exact = t(s, d, "events").groupBy($"event_type")
+        .agg(count_distinct($"user_id").as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select($"event_type", $"occupied", $"zeros", $"z_scaled",
+          $"est_distinct", $"n_exact")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               ${DuckOracle.mix(
+                 "(CAST(user_id AS UHUGEINT) + 11400714819323198485::UHUGEINT)"
+                 + " % 18446744073709551616::UHUGEINT")} AS hu
+        FROM events
+      ), rb AS (
+        SELECT event_type,
+               CAST(hu >> 54 AS BIGINT) AS bucket,
+               CAST(hu % 18014398509481984::UHUGEINT AS BIGINT) AS rem
+        FROM h
+      ), rr AS (
+        SELECT event_type, bucket,
+               CASE WHEN rem = 0 THEN 55
+                    ELSE 55 - length(bin(rem)) END AS rho
+        FROM rb
+      ), reg AS (
+        SELECT event_type, bucket, max(rho) AS r FROM rr GROUP BY 1, 2
+      ), agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS occupied,
+               CAST(sum(CASE WHEN r <= 40
+                    THEN (CAST(1 AS BIGINT) << (40 - r))
+                    ELSE 0 END) AS BIGINT) AS z_occ
+        FROM reg GROUP BY 1
+      ), fin AS (
+        SELECT event_type, occupied,
+               CAST(1024 - occupied AS BIGINT) AS zeros,
+               CAST(z_occ + (1024 - occupied) * 1099511627776 AS BIGINT)
+                 AS z_scaled
+        FROM agg
+      )
+      SELECT f.event_type, f.occupied, f.zeros, f.z_scaled,
+             round(CASE WHEN ${Hll.AlphaM2Scaled}
+                          / CAST(f.z_scaled AS DOUBLE) <= 2560.0
+                         AND f.zeros > 0
+                    THEN 1024.0 * ln(1024.0 / CAST(f.zeros AS DOUBLE))
+                    ELSE ${Hll.AlphaM2Scaled}
+                          / CAST(f.z_scaled AS DOUBLE) END, 6) + 0.0
+               AS est_distinct,
+             x.n_exact
+      FROM fin f JOIN (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+          AS n_exact
+        FROM events GROUP BY 1) x USING (event_type)
+      ORDER BY f.event_type"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131, q134)
+      q129, q131, q134, q140)
 }
