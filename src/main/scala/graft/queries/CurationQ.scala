@@ -845,7 +845,61 @@ object CurationQ {
       FROM r8 ORDER BY doc_id""")
     })
 
+  /** Rendezvous-sharding reshard report ([[graft.operators.Sharding]]):
+    * HRW assignment under 8 and 9 shards, movement census per old
+    * shard. The Spark side is ONE row-local sequence→transform→
+    * array_sort expression (no shuffle until the census groupBy); the
+    * oracle replays the same splitmix weight chain through a 9-way
+    * unnest + arg_max. Only docs whose new argmax IS the new shard may
+    * move, so moved_frac per shard concentrates near 1/9 — the
+    * minimal-movement property that makes topology changes affordable
+    * at 100 TB. */
+  val q141 = Q(
+    "q141_rendezvous_reshard",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id")
+      graft.operators.Sharding.reshardReport(docs, "doc_id", 8)
+        .groupBy($"shard_old")
+        .agg(count(lit(1)).as("n_docs"), sum($"moved").as("n_moved"))
+        .select($"shard_old", $"n_docs",
+          $"n_moved",
+          (round($"n_moved".cast("double") / $"n_docs".cast("double"), 6)
+            + lit(0.0)).as("moved_frac"))
+        .orderBy($"shard_old")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               ${DuckOracle.mix(
+                 s"(CAST(doc_id AS UHUGEINT) + $Gamma)"
+                 + " % 18446744073709551616::UHUGEINT")} AS base
+        FROM documents
+      ), cand AS (
+        SELECT doc_id, CAST(s AS BIGINT) AS s,
+               CAST(${DuckOracle.mix(
+                 s"(base + (CAST(s AS UHUGEINT) + 1) * $Gamma)"
+                 + " % 18446744073709551616::UHUGEINT")}
+                 % 9007199254740992::UHUGEINT AS BIGINT) AS w
+        FROM b, range(0, 9) t(s)
+      ), pick AS (
+        SELECT doc_id,
+               arg_max(s, w) FILTER (WHERE s < 8) AS sh8,
+               arg_max(s, w) AS sh9
+        FROM cand GROUP BY doc_id
+      )
+      SELECT CAST(sh8 AS BIGINT) AS shard_old,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             round(CAST(sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+               AS moved_frac
+      FROM pick
+      GROUP BY sh8
+      ORDER BY shard_old"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135)
+      q125, q128, q132, q133, q135, q141)
 }
