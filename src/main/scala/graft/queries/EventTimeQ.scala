@@ -695,7 +695,123 @@ object EventTimeQ {
         FROM events GROUP BY 1) x USING (event_type)
       ORDER BY f.event_type"""))
 
+  /** The HLL estimator as SQL over a CTE exposing `zeros` (BIGINT) and
+    * `z_scaled` (BIGINT) — shared by q140/q142 so all estimate sites
+    * are one spelling. */
+  private def hllEstSql(p: String): String =
+    s"""round(CASE WHEN ${graft.operators.Hll.AlphaM2Scaled}
+              / CAST($p.z_scaled AS DOUBLE) <= 2560.0
+             AND $p.zeros > 0
+        THEN 1024.0 * ln(1024.0 / CAST($p.zeros AS DOUBLE))
+        ELSE ${graft.operators.Hll.AlphaM2Scaled}
+              / CAST($p.z_scaled AS DOUBLE) END, 6) + 0.0"""
+
+  /** Sketch set algebra: per event-type PAIR, estimated user overlap by
+    * inclusion-exclusion over HLL registers — est(A) + est(B) −
+    * est(A∪B), where the union sketch is just the element-wise max of
+    * the two register sets (unions are EXACT in sketch space; only the
+    * cardinality readout is approximate). Beside it, the exact
+    * intersection via a distinct-pair self-join. At 100 TB the sketch
+    * path answers "how much do sources overlap?" from m-row register
+    * tables without ever joining raw id sets. */
+  val q142 = Q(
+    "q142_hll_overlap",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"event_type", $"user_id")
+      val regs = Hll.registers(ev, Seq("event_type"), "user_id")
+      val singles = Hll.estimate(regs, Seq("event_type"))
+        .select($"event_type", $"est_distinct")
+      val types = ev.select($"event_type").distinct()
+      val pairs = types.toDF("ta").crossJoin(types.toDF("tb"))
+        .filter($"ta" < $"tb")
+      val pairRegs = pairs
+        .join(regs, col("event_type") === $"ta" ||
+          col("event_type") === $"tb")
+        .groupBy($"ta", $"tb", $"bucket").agg(max($"r").as("r"))
+      val unions = Hll.estimate(pairRegs, Seq("ta", "tb"))
+        .select($"ta", $"tb", $"est_distinct".as("est_union"))
+      val du = ev.distinct()
+      val exact = du.toDF("eta", "u")
+        .join(du.toDF("etb", "u2"), $"u" === $"u2" && $"eta" < $"etb")
+        .groupBy($"eta".as("ta"), $"etb".as("tb"))
+        .agg(count(lit(1)).as("n_exact"))
+      unions
+        .join(singles.toDF("ta", "est_a"), "ta")
+        .join(singles.toDF("tb", "est_b"), "tb")
+        .join(exact, Seq("ta", "tb"))
+        .select($"ta", $"tb", $"est_a", $"est_b", $"est_union",
+          (round($"est_a" + $"est_b" - $"est_union", 6) + lit(0.0))
+            .as("est_intersection"),
+          $"n_exact")
+        .orderBy($"ta", $"tb")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               ${DuckOracle.mix(
+                 "(CAST(user_id AS UHUGEINT) + 11400714819323198485::UHUGEINT)"
+                 + " % 18446744073709551616::UHUGEINT")} AS hu
+        FROM events
+      ), rr AS (
+        SELECT event_type,
+               CAST(hu >> 54 AS BIGINT) AS bucket,
+               CASE WHEN hu % 18014398509481984::UHUGEINT = 0 THEN 55
+                    ELSE 55 - length(bin(CAST(hu % 18014398509481984::UHUGEINT
+                      AS BIGINT))) END AS rho
+        FROM h
+      ), reg AS (
+        SELECT event_type, bucket, max(rho) AS r FROM rr GROUP BY 1, 2
+      ), sfin AS (
+        SELECT event_type,
+               CAST(1024 - count(*) AS BIGINT) AS zeros,
+               CAST(sum(CASE WHEN r <= 40
+                      THEN (CAST(1 AS BIGINT) << (40 - r)) ELSE 0 END)
+                    + (1024 - count(*)) * 1099511627776 AS BIGINT)
+                 AS z_scaled
+        FROM reg GROUP BY 1
+      ), sest AS (
+        SELECT event_type, ${hllEstSql("sfin")} AS est FROM sfin
+      ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM events) a,
+             (SELECT DISTINCT event_type FROM events) b
+        WHERE a.event_type < b.event_type
+      ), preg AS (
+        SELECT p.ta, p.tb, r.bucket, max(r.r) AS r
+        FROM pairs p JOIN reg r
+          ON r.event_type = p.ta OR r.event_type = p.tb
+        GROUP BY 1, 2, 3
+      ), pfin AS (
+        SELECT ta, tb,
+               CAST(1024 - count(*) AS BIGINT) AS zeros,
+               CAST(sum(CASE WHEN r <= 40
+                      THEN (CAST(1 AS BIGINT) << (40 - r)) ELSE 0 END)
+                    + (1024 - count(*)) * 1099511627776 AS BIGINT)
+                 AS z_scaled
+        FROM preg GROUP BY 1, 2
+      ), pest AS (
+        SELECT ta, tb, ${hllEstSql("pfin")} AS est_union FROM pfin
+      ), du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+      ), ex AS (
+        SELECT x.event_type AS ta, y.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS n_exact
+        FROM du x JOIN du y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+      )
+      SELECT u.ta, u.tb, sa.est AS est_a, sb.est AS est_b, u.est_union,
+             round(sa.est + sb.est - u.est_union, 6) + 0.0
+               AS est_intersection,
+             ex.n_exact
+      FROM pest u
+      JOIN sest sa ON sa.event_type = u.ta
+      JOIN sest sb ON sb.event_type = u.tb
+      JOIN ex ON ex.ta = u.ta AND ex.tb = u.tb
+      ORDER BY u.ta, u.tb"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131, q134, q140)
+      q129, q131, q134, q140, q142)
 }

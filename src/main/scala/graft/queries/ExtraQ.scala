@@ -1202,7 +1202,7 @@ object ExtraQ {
   /** Blocking-based entity resolution (EntityResolution.blockedPairs +
     * Fellegi-Sunter-style integer agreement weights): candidate pairs
     * only within (nation, segment) blocks — Σ|b|² not n² — scored on
-    * account-balance proximity (cents as exact BIGINT), balance-bucket
+    * account-balance proximity (within $100, cents as exact BIGINT), balance-bucket
     * agreement, and a stable quasi-identifier digit; threshold keeps
     * strong-agreement pairs. Every weight is an integer and the balance
     * is exact scaled cents, so the score is bit-identical across
@@ -1218,7 +1218,7 @@ object ExtraQ {
         c, Seq("c_nationkey", "c_mktsegment"), "c_custkey")
       pairs.select($"c_nationkey", $"c_mktsegment",
           $"a_c_custkey".as("id_a"), $"b_c_custkey".as("id_b"),
-          (when(abs($"a_cents" - $"b_cents") <= 100L, 40L).otherwise(0L)
+          (when(abs($"a_cents" - $"b_cents") <= 10000L, 40L).otherwise(0L)
             + when(expr("a_cents div 100000") ===
                 expr("b_cents div 100000"), 20L).otherwise(0L)
             + when($"a_c_custkey" % 10 === $"b_c_custkey" % 10, 15L)
@@ -1234,7 +1234,7 @@ object ExtraQ {
       ), pairs AS (
         SELECT a.c_nationkey, a.c_mktsegment,
                a.c_custkey AS id_a, b.c_custkey AS id_b,
-               (CASE WHEN abs(a.cents - b.cents) <= 100
+               (CASE WHEN abs(a.cents - b.cents) <= 10000
                   THEN 40 ELSE 0 END
                 + CASE WHEN a.cents // 100000 = b.cents // 100000
                   THEN 20 ELSE 0 END

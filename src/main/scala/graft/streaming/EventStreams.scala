@@ -35,6 +35,25 @@ object EventStreams {
     * history-derived statistics updating daily while events score
     * continuously is exactly how a 100 TB anomaly monitor runs. `stats`
     * carries (event_type, med, mad). */
+  /** Streaming HLL distinct-count registers per (event_type, hour
+    * window): because the HLL sketch in relational form is just
+    * max(rho) per (key, bucket) — [[graft.operators.Hll]] — the ENGINE
+    * maintains it incrementally as a plain watermarked streaming
+    * aggregation: state is bounded at ≤ m register rows per key-window
+    * no matter how many events arrive, merges across micro-batches by
+    * max-associativity, and needs no custom GroupState. Read the sink
+    * table through [[graft.operators.Hll.estimate]] for continuous
+    * cardinality estimates — the streaming face of the q140 batch
+    * surface. */
+  def hllRegisterStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    graft.operators.Hll.registers(
+      events
+        .withWatermark("ts", watermark)
+        .select(col("event_type"),
+          window(col("ts"), windowLen).as("win"), col("user_id")),
+      Seq("event_type", "win"), "user_id")
+
   /** Native session-window aggregation — Spark's built-in
     * `session_window` (merging event-time sessions with a fixed
     * inactivity gap), the engine-managed alternative to the custom

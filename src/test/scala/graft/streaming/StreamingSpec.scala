@@ -107,6 +107,42 @@ class StreamingSpec extends SparkSpec {
       r.getDouble(r.fieldIndex("state_value")) === 5.0))
   }
 
+  test("streaming HLL registers equal the batch sketch and estimates " +
+      "match (engine-incremental sketch maintenance)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("us", "user_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val q = EventStreams.hllRegisterStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    val sample = events
+      .select(unix_micros($"ts"), $"user_id", $"event_type")
+      .as[(Long, Long, String)].collect()
+    // two micro-batches: the sketch must merge across them
+    val (b1, b2) = sample.splitAt(sample.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hll_regs")
+    val want = graft.operators.Hll.registers(
+      events.select($"event_type",
+        window($"ts", "1 hour").as("win"), $"user_id"),
+      Seq("event_type", "win"), "user_id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val estGot = graft.operators.Hll.estimate(
+      graft.operators.Hll.merge(got, Seq("event_type")),
+      Seq("event_type"))
+    val estWant = graft.operators.Hll.estimate(
+      graft.operators.Hll.merge(want, Seq("event_type")),
+      Seq("event_type"))
+    assert(estGot.except(estWant).isEmpty &&
+      estWant.except(estGot).isEmpty)
+  }
+
   test("streaming anomaly gate scores equal the batch computation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val events = graft.Q.eventTs(
