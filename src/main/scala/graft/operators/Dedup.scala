@@ -381,6 +381,75 @@ object Dedup {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS scheme): over the per-position word-k-gram hash
+    * stream, each sliding window of `w` consecutive hashes selects its
+    * rightmost minimum; the distinct selected (pos, hash) rows are the
+    * fingerprint set. Guarantee: any shared run of ≥ w+k-1 words
+    * between two documents shares at least one fingerprint, while only
+    * ~2/(w+1) of positions are kept — a density-bounded sample that is
+    * POSITION-STABLE (unlike every-nth sampling, local edits don't
+    * shift which grams are kept downstream).
+    *
+    * Selection is computed with NO per-window expansion: a position i
+    * is some window's rightmost min iff
+    *   max(i, prv+w) ≤ min(i+w-1, nxt-1, maxpos)
+    * where prv = last position in [i-w+1, i) with hash < h_i and nxt =
+    * first position in (i, i+w-1] with hash ≤ h_i (tie-break = the
+    * rightmost-min rule; leading partial windows included) — verified
+    * equivalent to the direct per-window definition by exhaustive
+    * randomized simulation in WinnowSpec. So the whole operator is ONE
+    * doc-keyed WindowExec carrying a ≤(2w-1)-element neighbor list per
+    * row plus row-local array logic: no self-join, no w× row blow-up,
+    * and only (id, pos, hash) ever shuffles — the 100 TB shape.
+    *
+    * Returns one row per selected fingerprint: (idCol, pos, h). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol), posexplode(
+      Expressions.wordShingleHashesAt(col(textCol), k))
+      .as(Seq("pos", "h")))
+    val nbw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), w - 1)
+    val full = Window.partitionBy(col(idCol))
+    sh.withColumn("nb", collect_list(struct(col("pos"), col("h"))).over(nbw))
+      .withColumn("maxpos", max(col("pos")).over(full))
+      .withColumn("prv", coalesce(
+        expr("array_max(transform(filter(nb, x -> x.pos < pos AND x.h < h)," +
+          " x -> x.pos))"),
+        col("pos") - w))
+      .withColumn("nxt", coalesce(
+        expr("array_min(transform(filter(nb, x -> x.pos > pos AND x.h <= h)," +
+          " x -> x.pos))"),
+        col("pos") + w))
+      .filter(greatest(col("pos"), col("prv") + w) <=
+        least(col("pos") + (w - 1), col("nxt") - 1, col("maxpos")))
+      .select(col(idCol), col("pos"), col("h"))
+  }
+
+  /** Near-dup candidate pairs from a winnowing fingerprint table
+    * ([[winnowFingerprints]] output): documents sharing ≥ `minShared`
+    * distinct fingerprint hashes, with the shared count. Same
+    * inverted-index discipline as [[jaccardPairs]] — postings per
+    * fingerprint hash, ordered pair expansion, never a self-join; by
+    * winnowing's guarantee a pair sharing a ≥ w+k-1-word run shares a
+    * fingerprint, at ~2/(w+1) of the index size full shingling pays. */
+  def winnowPairs(fps: DataFrame, idCol: String,
+      minShared: Int = 2): DataFrame = {
+    val inv = fps.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col(idCol))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    expandPairs(inv)
+      .select(col("a").getField(idCol).as("id_a"),
+        col("b").getField(idCol).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact heavy hitters via a count-min-sketch prefilter — the other
     * half of the sketch pair with [[bloomDedup]], and the 100 TB shape
     * for boilerplate/stopword detection: a naive `groupBy(item).count`

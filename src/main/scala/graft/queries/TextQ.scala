@@ -1454,8 +1454,65 @@ object TextQ {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer et al. 2003, the
+    * MOSS scheme — Dedup.winnowFingerprints + winnowPairs): each
+    * sliding window of w=4 word-4-gram hashes keeps its rightmost
+    * minimum; documents sharing ≥ 2 distinct kept fingerprints are
+    * candidate pairs with the shared count. The winnowing guarantee
+    * (any shared ≥ w+k-1-word run shares a fingerprint) holds while
+    * only ~2/(w+1) of positions enter the inverted index — the
+    * density-bounded alternative to full-shingle indexing. The oracle
+    * replays the identical hash family and the identical prv/nxt
+    * rightmost-min selection rule. */
+  val q144 = Q(
+    "q144_winnow_fingerprints",
+    (s, d) => {
+      import s.implicits._
+      val fps = Dedup.winnowFingerprints(
+        t(s, d, "documents"), "doc_id", "text", k = 4, w = 4)
+      Dedup.winnowPairs(fps, "doc_id", minShared = 2)
+        .select($"id_a", $"id_b", $"n_shared")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, u.h FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+            i -> {'i': i, 'h': ${DuckOracle.phS(
+              "array_to_string(list_slice(t, i, i + 3), ' ')")}})) AS u
+          FROM tk WHERE len(t) >= 4)
+      ), mx AS (
+        SELECT doc_id, max(pos) AS maxpos FROM sh GROUP BY 1
+      ), nb AS (
+        SELECT a.doc_id, a.pos, a.h,
+               coalesce(max(b.pos)
+                 FILTER (WHERE b.pos < a.pos AND b.h < a.h),
+                 a.pos - 4) AS prv,
+               coalesce(min(b.pos)
+                 FILTER (WHERE b.pos > a.pos AND b.h <= a.h),
+                 a.pos + 4) AS nxt
+        FROM sh a LEFT JOIN sh b
+          ON a.doc_id = b.doc_id AND b.pos <> a.pos
+         AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+        GROUP BY a.doc_id, a.pos, a.h
+      ), fp AS (
+        SELECT nb.doc_id, nb.h
+        FROM nb JOIN mx ON nb.doc_id = mx.doc_id
+        WHERE greatest(nb.pos, prv + 4)
+                <= least(nb.pos + 3, nxt - 1, maxpos)
+      ), dfp AS (
+        SELECT DISTINCT doc_id, h FROM fp
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared
+      FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130, q136, q137, q138)
+      q124, q126, q127, q130, q136, q137, q138, q144)
 }
