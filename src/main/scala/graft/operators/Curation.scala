@@ -184,6 +184,44 @@ object Curation {
     * Scale: ONE map-side-combined census aggregation (KB: one row per
     * source) round-trips the driver, then a zero-shuffle codegen'd
     * filter. Emits (idCol, groupCol, bucket, rate_bp, keep). */
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): documents are featurized as HASHED word-bigram
+    * bucket counts, add-1-smoothed bag-of-buckets models are fit on the
+    * target slice (`targetCol` = boolean) and on the full raw pool, and
+    * each document's importance weight is its feature log-likelihood
+    * ratio  Σ_grams [ln p_target(b) − ln p_raw(b)].  Positive = more
+    * target-like than the pool average.
+    *
+    * Scale shape: the two models TOGETHER are one `buckets`-row count
+    * table (hashing is what bounds the feature space — DSIR's own
+    * trick), built with one bucket-keyed shuffle and then BROADCAST to
+    * the scoring join; scoring itself is one doc-keyed aggregation. No
+    * vocabulary table, no per-word state, nothing grows with corpus
+    * size except the two streams.
+    *
+    * Returns (idCol, n_grams, log_ratio) — resample from it with
+    * [[weightedSample]] / [[temperatureSample]], or threshold at 0. */
+  def dsirLogRatios(docs: DataFrame, idCol: String, targetCol: String,
+      textCol: String = "text", buckets: Int = 2048): DataFrame = {
+    val b = buckets.toLong
+    val bg = docs.select(col(idCol), col(targetCol).as("is_t"),
+        explode(graft.functions.Expressions.wordShingleHashesAt(
+          col(textCol), 2)).as("h"))
+      .withColumn("bkt", pmod(col("h"), lit(b)))
+    val counts = bg.groupBy(col("bkt")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val model = broadcast(counts.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((col("ct") + 1.0) / (col("nt") + b.toDouble)) -
+          log((col("cr") + 1.0) / (col("nr") + b.toDouble))).as("lr")))
+    bg.join(model, Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_ratio"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0,1]")

@@ -978,7 +978,64 @@ object CurationQ {
       FROM est JOIN ex ON est.source = ex.source AND est.p = ex.p
       ORDER BY est.source, est.p"""))
 
+  /** DSIR importance weights (Curation.dsirLogRatios — Xie et al. 2023):
+    * target slice = English docs; every doc scored by its hashed-bigram
+    * log-likelihood ratio against (target LM − raw-pool LM), selected =
+    * ratio > 0. The model is ONE 2048-row bucket table (hashed feature
+    * space) broadcast to the scoring pass; the oracle retrains the
+    * identical smoothed models in SQL — counts and bucket hashing are
+    * integer-exact, ln summation order is absorbed by emit6 rounding,
+    * and the selection flag compares the ROUNDED value so both engines
+    * threshold the same number. */
+  val q145 = Q(
+    "q145_dsir_selection",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val scored = Curation.dsirLogRatios(
+        docs.withColumn("is_en", $"lang" === "en"), "doc_id", "is_en")
+      val lr6 = DomainQ.emit6(coalesce($"log_ratio", lit(0.0)))
+      docs.select($"doc_id", $"lang")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id", $"lang",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          lr6.as("log_ratio"),
+          (lr6 > 0.0).as("selected"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+      ), bg AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               CAST(${DuckOracle.phU(
+                 "array_to_string(list_slice(l, i, i + 1), ' ')")}
+                 % 2048::UHUGEINT AS BIGINT) AS bkt
+        FROM (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i
+              FROM tk WHERE len(l) >= 2)
+      ), counts AS (
+        SELECT bkt,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               count(*) AS cr
+        FROM bg GROUP BY 1
+      ), totals AS (
+        SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts
+      ), model AS (
+        SELECT bkt, ln((ct + 1.0) / (nt + 2048.0))
+                  - ln((cr + 1.0) / (nr + 2048.0)) AS lr
+        FROM counts, totals
+      ), scored AS (
+        SELECT doc_id, count(*) AS n_grams, sum(lr) AS lp
+        FROM bg JOIN model USING (bkt) GROUP BY 1
+      )
+      SELECT d.doc_id, d.lang,
+             coalesce(s.n_grams, 0) AS n_grams,
+             round(coalesce(s.lp, 0.0), 6) + 0.0 AS log_ratio,
+             round(coalesce(s.lp, 0.0), 6) + 0.0 > 0.0 AS selected
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135, q141, q143)
+      q125, q128, q132, q133, q135, q141, q143, q145)
 }

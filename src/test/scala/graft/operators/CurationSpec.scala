@@ -241,4 +241,25 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._4 == 1)
     assert(out(4L) == ((0, 0, 0, 0, "clean")))
   }
+
+  test("dsirLogRatios separates target-like documents from the pool " +
+      "and a pure-target doc outranks a pure-pool doc") {
+    val rnd = new scala.util.Random(3)
+    // two disjoint vocabularies: 'target' docs vs 'other' docs. Small
+    // vocab (10 words → ≤100 bigram types) so the 30 training docs
+    // cover the holdout's bigrams — DSIR scores hashed-bigram overlap,
+    // and an uncovered bigram contributes a NEGATIVE smoothed ratio
+    def doc(prefix: String, n: Int) =
+      (1 to n).map(_ => s"$prefix${rnd.nextInt(10)}").mkString(" ")
+    val docs = ((1 to 30).map(i => (i.toLong, true, doc("t", 40))) ++
+      (31 to 60).map(i => (i.toLong, false, doc("o", 40))) ++
+      // held-out docs: one from each vocabulary, NOT in the target slice
+      Seq((61L, false, doc("t", 40)), (62L, false, doc("o", 40))))
+      .toDF("doc_id", "is_t", "text")
+    val lr = Curation.dsirLogRatios(docs, "doc_id", "is_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lr(61L) > lr(62L),
+      s"target-vocab holdout ${lr(61L)} must outrank pool-vocab ${lr(62L)}")
+    assert(lr(61L) > 0.0 && lr(62L) < 0.0)
+  }
 }
