@@ -54,6 +54,27 @@ object EventStreams {
           window(col("ts"), windowLen).as("win"), col("user_id")),
       Seq("event_type", "win"), "user_id")
 
+  /** Streaming quantile-histogram maintenance per (event_type, hour
+    * window): [[graft.operators.QuantileHist]]'s log-linear bucket
+    * counts are SUM-mergeable, so — exactly like [[hllRegisterStream]]
+    * — the relational sketch is a plain watermarked streaming
+    * aggregation the engine maintains incrementally: ≤ ~2k count rows
+    * per key-window regardless of arrival volume, micro-batches fold
+    * in by count addition, no custom GroupState. Read the sink through
+    * [[graft.operators.QuantileHist.quantiles]] for continuous P50/P99
+    * estimates — the streaming face of the q143 batch surface.
+    * `value` is bucketed at cent precision (×100) so sub-unit event
+    * values land in distinct buckets. */
+  def quantileHistStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    graft.operators.QuantileHist.histogram(
+      events
+        .withWatermark("ts", watermark)
+        .select(col("event_type"),
+          window(col("ts"), windowLen).as("win"),
+          round(col("value") * 100, 0).cast("long").as("v")),
+      Seq("event_type", "win"), "v")
+
   /** Native session-window aggregation — Spark's built-in
     * `session_window` (merging event-time sessions with a fixed
     * inactivity gap), the engine-managed alternative to the custom

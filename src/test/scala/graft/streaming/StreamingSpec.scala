@@ -143,6 +143,42 @@ class StreamingSpec extends SparkSpec {
       estWant.except(estGot).isEmpty)
   }
 
+  test("streaming quantile-histogram equals the batch sketch and " +
+      "P50/P99 match (sum-mergeable sketch as engine state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val stream = mem.toDF().toDF("us", "value", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val q = EventStreams.quantileHistStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qh_regs").start()
+    val sample = events
+      .select(unix_micros($"ts"), $"value", $"event_type")
+      .as[(Long, Double, String)].collect()
+    val (b1, b2) = sample.splitAt(sample.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qh_regs")
+    val want = graft.operators.QuantileHist.histogram(
+      events.select($"event_type",
+        window($"ts", "1 hour").as("win"),
+        round($"value" * 100, 0).cast("long").as("v")),
+      Seq("event_type", "win"), "v")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val estGot = graft.operators.QuantileHist.quantiles(
+      graft.operators.QuantileHist.merge(got, Seq("event_type")),
+      Seq("event_type"), Seq(50, 99))
+    val estWant = graft.operators.QuantileHist.quantiles(
+      graft.operators.QuantileHist.merge(want, Seq("event_type")),
+      Seq("event_type"), Seq(50, 99))
+    assert(estGot.except(estWant).isEmpty &&
+      estWant.except(estGot).isEmpty)
+  }
+
   test("streaming anomaly gate scores equal the batch computation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val events = graft.Q.eventTs(
