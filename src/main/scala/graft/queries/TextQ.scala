@@ -1511,8 +1511,86 @@ object TextQ {
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY id_a, id_b"""))
 
+  /** Interpolated Kneser-Ney trigram LM, trained in-domain and scoring
+    * every doc ([[graft.operators.KneserNey]]) — the KenLM-family
+    * smoothing CCNet-style perplexity filters deploy, one order above
+    * q89. The oracle retrains the identical model in SQL: every count
+    * is integer-exact and the per-trigram double arithmetic uses the
+    * same literal arrangement, so only ln-summation order differs
+    * (absorbed by emit6). */
+  val q146 = Q(
+    "q146_kneser_ney_ppl",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.KneserNey.knScore(t(s, d, "documents"))
+        .select($"doc_id", $"n_trigrams",
+          DomainQ.emit6($"log_prob").as("log_prob"),
+          DomainQ.emit6($"xent").as("xent"),
+          DomainQ.emit6($"ppl").as("ppl"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      ), tg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+          i -> {'w1': l[i], 'w2': l[i + 1], 'w3': l[i + 2]})) AS t
+        FROM toks
+      ), tgs AS (
+        SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tg
+      ), tri AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM tgs GROUP BY 1, 2, 3
+      ), ctx2 AS (
+        SELECT w1, w2, sum(c3) AS cx, count(*) AS n3 FROM tri GROUP BY 1, 2
+      ), cont2 AS (
+        SELECT w2, w3, count(*) AS k2 FROM tri GROUP BY 1, 2
+      ), mid AS (
+        SELECT w2, sum(k2) AS md, count(*) AS n2 FROM cont2 GROUP BY 1
+      ), cont1 AS (
+        SELECT w3, count(*) AS k1 FROM cont2 GROUP BY 1
+      ), sc AS (
+        SELECT (SELECT count(*) FROM cont2) AS b,
+               (SELECT count(*) FROM cont1) AS w,
+               (SELECT count(DISTINCT tok)
+                FROM (SELECT unnest(l) AS tok FROM toks)) AS v
+      ), joined AS (
+        SELECT g.doc_id,
+               coalesce(tri.c3, 0) AS c3,
+               coalesce(x.cx, 0) AS cx, coalesce(x.n3, 0) AS n3,
+               coalesce(c2.k2, 0) AS k2,
+               coalesce(md.md, 0) AS md, coalesce(md.n2, 0) AS n2,
+               coalesce(c1.k1, 0) AS k1
+        FROM tgs g
+        LEFT JOIN tri USING (w1, w2, w3)
+        LEFT JOIN ctx2 x USING (w1, w2)
+        LEFT JOIN cont2 c2 USING (w2, w3)
+        LEFT JOIN mid md USING (w2)
+        LEFT JOIN cont1 c1 USING (w3)
+      ), p AS (
+        SELECT doc_id,
+               greatest(k1 - 0.75, 0.0) / sc.b
+                 + 0.75 * sc.w / sc.b * (1.0 / sc.v) AS p1,
+               CASE WHEN md > 0 THEN
+                 greatest(k2 - 0.75, 0.0) / md + 0.75 * n2 / md * p1
+               ELSE p1 END AS p2,
+               CASE WHEN cx > 0 THEN
+                 greatest(c3 - 0.75, 0.0) / cx + 0.75 * n3 / cx * p2
+               ELSE p2 END AS p3
+        FROM joined CROSS JOIN sc
+      ), scored AS (
+        SELECT doc_id, count(*) AS n_trigrams, sum(ln(p3)) AS lp
+        FROM p GROUP BY 1
+      )
+      SELECT d.doc_id,
+             coalesce(s.n_trigrams, 0) AS n_trigrams,
+             round(s.lp, 6) + 0.0 AS log_prob,
+             round(-s.lp / s.n_trigrams, 6) + 0.0 AS xent,
+             round(exp(-s.lp / s.n_trigrams), 6) + 0.0 AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130, q136, q137, q138, q144)
+      q124, q126, q127, q130, q136, q137, q138, q144, q146)
 }
