@@ -466,4 +466,30 @@ object Similarity {
       .select(col(queryIdCol), col("hit.id").as(idCol),
         col("hit.adc").as("adc"), (col("r") + 1).cast("long").as("rank"))
   }
+
+  /** ANN quality-eval harness: recall@k and the reciprocal rank of the
+    * true nearest neighbor, measuring the PRODUCTION approximate path
+    * (any (query_id, vec_id, rank) frame from [[ivfTopK]] /
+    * [[srpHammingTopK]] / [[pqAdcTopK]]) against [[bruteForceTopK]]
+    * ground truth — the eval every index-parameter sweep (nProbe, band
+    * bits, PQ m) runs before a corpus-scale rollout, as a first-class
+    * relational surface.
+    *
+    * Shape at 100 TB: ground and approx are both bounded-heap top-k
+    * outputs (k rows per query), so the eval join touches k·|queries|
+    * rows total — negligible next to the scans that produced them. */
+  def annRecallEval(ground: DataFrame, approx: DataFrame, k: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val g = ground.select(col(queryIdCol), col(idCol),
+      col("rank").as("g_rank"))
+    val a = approx.select(col(queryIdCol), col(idCol),
+      col("rank").as("a_rank"))
+    g.join(a, Seq(queryIdCol, idCol), "left")
+      .groupBy(col(queryIdCol))
+      .agg(count(col("a_rank")).as("n_overlap"),
+        coalesce(max(when(col("g_rank") === 1,
+          lit(1.0) / col("a_rank"))), lit(0.0)).as("rr"))
+      .withColumn("recall_at_k", col("n_overlap") / lit(k))
+  }
 }

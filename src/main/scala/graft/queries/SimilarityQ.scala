@@ -58,32 +58,11 @@ object SimilarityQ {
       GROUP BY label, i
       ORDER BY label, pos"""))
 
-  /** IVF-pruned ANN top-k over a TRAINED index: two distributed Lloyd's
-    * k-means iterations seeded from the per-label means
-    * (Similarity.buildIvfIndex), then the pruned probe/scan. The whole
-    * pipeline is deterministic (mean centroids, squared-L2 argmin with
-    * lowest-cluster tie-break, cosine probes, rank by raw cosine with
-    * vec_id tiebreak), so the oracle replays it end to end: both
-    * reassign-update rounds are unrolled as SQL CTEs with the squared
-    * distance written as the same sequential per-dimension sum the
-    * vec_sqdist kernel computes. Output cosines rounded to 6 on both
-    * sides; ranking uses the raw values in both engines. */
-  val q38 = Q(
-    "q38_ann_ivf",
-    (s, d) => {
-      import s.implicits._
-      val emb = t(s, d, "embeddings")
-      val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
-      val q = indexed.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("query_id"), $"embedding")
-      Similarity.ivfTopK(indexed, q, k = 10,
-          clusterCol = "ivf_cluster", nProbe = 3)
-        .select($"query_id", $"vec_id", round($"cos", 6).as("cos_sim"),
-          $"rank")
-        .orderBy($"query_id", $"rank")
-    },
-    Some("""
-      WITH emb AS (
+  /** The q38 IVF replay as a reusable CTE chain (through `ranked`):
+    * two unrolled Lloyd rounds seeded from per-label means, probe
+    * ranking, pruned scan. Shared verbatim by q38 and the q147 recall
+    * eval so both gate the SAME production pipeline. */
+  private val ivfOracleCtes = """emb AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         FROM embeddings
       ), q AS (
@@ -134,11 +113,87 @@ object SimilarityQ {
         FROM probes p
         JOIN a2 ON a2.c = p.c
         JOIN emb e ON e.vec_id = a2.vec_id
-        JOIN q ON q.query_id = p.query_id)
+        JOIN q ON q.query_id = p.query_id)"""
+
+  /** IVF-pruned ANN top-k over a TRAINED index: two distributed Lloyd's
+    * k-means iterations seeded from the per-label means
+    * (Similarity.buildIvfIndex), then the pruned probe/scan. The whole
+    * pipeline is deterministic (mean centroids, squared-L2 argmin with
+    * lowest-cluster tie-break, cosine probes, rank by raw cosine with
+    * vec_id tiebreak), so the oracle replays it end to end: both
+    * reassign-update rounds are unrolled as SQL CTEs with the squared
+    * distance written as the same sequential per-dimension sum the
+    * vec_sqdist kernel computes. Output cosines rounded to 6 on both
+    * sides; ranking uses the raw values in both engines. */
+  val q38 = Q(
+    "q38_ann_ivf",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
+      val q = indexed.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      Similarity.ivfTopK(indexed, q, k = 10,
+          clusterCol = "ivf_cluster", nProbe = 3)
+        .select($"query_id", $"vec_id", round($"cos", 6).as("cos_sim"),
+          $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH $ivfOracleCtes
       SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
              CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
+
+  /** ANN recall@10 + true-NN reciprocal rank of the PRODUCTION IVF path
+    * (same build/probe pipeline as q38) against brute-force ground
+    * truth — [[graft.operators.Similarity.annRecallEval]]. Overlap
+    * counts are integers; recall and rr are single divisions of
+    * integers, bit-exact across engines. The oracle replays the full
+    * IVF chain (shared CTEs with q38) plus an exact ground-truth
+    * ranking. */
+  val q147 = Q(
+    "q147_ann_recall_eval",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
+      val q = indexed.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val ground = Similarity.bruteForceTopK(emb, q, k = 10)
+      val approx = Similarity.ivfTopK(indexed, q, k = 10,
+        clusterCol = "ivf_cluster", nProbe = 3)
+      Similarity.annRecallEval(ground, approx, k = 10)
+        .select($"query_id", $"n_overlap",
+          DomainQ.emit6($"recall_at_k").as("recall_at_k"),
+          DomainQ.emit6($"rr").as("rr"))
+        .orderBy($"query_id")
+    },
+    Some(s"""
+      WITH $ivfOracleCtes,
+      gt AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.e, q.qv) DESC,
+                          e.vec_id) AS g_rank
+        FROM emb e CROSS JOIN q
+      ), gtk AS (
+        SELECT query_id, vec_id, g_rank FROM gt WHERE g_rank <= 10
+      ), ap AS (
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+      ), ev AS (
+        SELECT g.query_id,
+               count(ap.vec_id) AS n_overlap,
+               coalesce(max(CASE WHEN g.g_rank = 1
+                 THEN 1.0 / ap.rank END), 0.0) AS rr
+        FROM gtk g LEFT JOIN ap
+          ON ap.query_id = g.query_id AND ap.vec_id = g.vec_id
+        GROUP BY 1)
+      SELECT query_id, n_overlap,
+             round(n_overlap / 10, 6) + 0.0 AS recall_at_k,
+             round(rr, 6) + 0.0 AS rr
+      FROM ev ORDER BY query_id"""))
 
   /** SRP-sketch ANN: top-10 per query by (sketch Hamming, vec_id) —
     * integer keys end to end, so the oracle comparison has no float
@@ -494,5 +549,6 @@ object SimilarityQ {
       ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122)
+  val all: Seq[Q] =
+    Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147)
 }

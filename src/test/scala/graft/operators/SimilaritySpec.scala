@@ -171,6 +171,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("annRecallEval: exhaustive probing scores exactly recall 1 and " +
+      "rr 1; pruned probing is bounded by it and counts real overlap") {
+    val q = emb.filter($"vec_id".isin(0, 7))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val nLabels = emb.select("label").distinct().count().toInt
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+    val full = Similarity.ivfTopK(emb, q, 10, "label", nProbe = nLabels)
+    val perfect = Similarity.annRecallEval(bf, full, 10).collect()
+    assert(perfect.length == 2)
+    perfect.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") == 10L)
+      assert(r.getAs[Double]("recall_at_k") == 1.0)
+      assert(r.getAs[Double]("rr") == 1.0)
+    }
+    val pruned = Similarity.ivfTopK(emb, q, 10, "label", nProbe = 2)
+    val ev = Similarity.annRecallEval(bf, pruned, 10).collect()
+    ev.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(r.getAs[Double]("recall_at_k") == n / 10.0)
+    }
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
