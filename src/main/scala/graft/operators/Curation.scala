@@ -245,4 +245,31 @@ object Curation {
       .withColumn("rate_bp", cut)
       .withColumn("keep", col("bucket") < col("rate_bp"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary — a validation doc whose near-dup
+    * twin sits in train silently inflates every eval it touches (the
+    * contamination failure dedup-aware pipelines exist to prevent; cf.
+    * the decontamination op, which guards against TEST-set leakage the
+    * same way this guards against intra-corpus leakage). Every document
+    * therefore inherits its near-dup COMPONENT's split: components come
+    * from the pair frame ([[Dedup.components]], O(log diameter)
+    * min-label rounds), pair-free docs are their own singleton
+    * component, and the deterministic splitmix bucket is taken on the
+    * component id — the whole cluster moves together, and assignment
+    * stays a pure function of ids (appending corpus can only MERGE
+    * components, never re-roll an untouched cluster's dice).
+    *
+    * Scale shape: after components, ONE docs×labels left join on the id
+    * hash partitioning plus a row-local bucket expression — no window,
+    * no collect, no pair re-materialization. */
+  def leakageSafeSplit(corpus: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], idACol: String = "id_a",
+      idBCol: String = "id_b", outCol: String = "split"): DataFrame = {
+    val comps = Dedup.components(pairs, idACol, idBCol)
+      .select(col("id").as(idCol), col("component"))
+    val withComp = corpus.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    hashSplit(withComp, "component", splits, outCol)
+  }
 }

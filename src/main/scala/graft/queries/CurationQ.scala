@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Q.t
-import graft.operators.{Curation, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators over the `documents` table: TF-IDF / BM25
@@ -1035,7 +1035,72 @@ object CurationQ {
       FROM documents d LEFT JOIN scored s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Leakage-safe split (Curation.leakageSafeSplit): near-dup clusters
+    * (q62's Jaccard-0.12 components) inherit ONE split from the
+    * splitmix bucket of their component id, so no near-dup pair ever
+    * straddles train/val/test. The oracle replays the q62 transitive
+    * closure (recursive CTE — fine at oracle scale; the Spark side is
+    * the O(log diameter) label-propagation plan) and the same UHUGEINT
+    * bucket arithmetic on the component id. Everything integer/string —
+    * no float boundary. */
+  val q148 = Q(
+    "q148_leakage_safe_split",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.12)
+      Curation.leakageSafeSplit(docs, pairs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"component", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM documents)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ), pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+      ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+      ), reach AS (
+        SELECT u AS src, u AS dst FROM edges
+        UNION
+        SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+      ), comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+      ), docs2 AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      ), b AS (
+        SELECT doc_id, component,
+               ${bucketSql("component")} AS bucket
+        FROM docs2)
+      SELECT doc_id, component,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135, q141, q143, q145)
+      q125, q128, q132, q133, q135, q141, q143, q145, q148)
 }

@@ -262,4 +262,43 @@ class CurationSpec extends SparkSpec {
       s"target-vocab holdout ${lr(61L)} must outrank pool-vocab ${lr(62L)}")
     assert(lr(61L) > 0.0 && lr(62L) < 0.0)
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits, " +
+      "singletons keep their plain hash split") {
+    // 40 near-dup pairs (2i, 2i+1) + 20 singletons. With per-doc hash
+    // splitting many pairs straddle; component splitting must yield 0.
+    val base = (0 until 40).map { i =>
+      val t = s"shared sentence number $i repeated across the pair " +
+        s"plus filler filler filler $i"
+      Seq((2L * i, t), (2L * i + 1, t + " tail"))
+    }.flatten
+    val singles = (100 until 120).map(i =>
+      (i.toLong, s"unique doc $i with words ${i * 7} ${i * 13} ${i * 31}"))
+    val docs = (base ++ singles).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.3)
+    assert(pairs.count() >= 30) // the twins really are near-dups
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.leakageSafeSplit(docs, pairs, "doc_id", splits)
+    val byDoc = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"))).toMap
+    // no pair straddles
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      assert(byDoc(r.getLong(0))._2 == byDoc(r.getLong(1))._2)
+    }
+    // every member carries its component's bucket, and the naive
+    // per-doc split DOES straddle somewhere (the leak this op fixes)
+    val naive = Curation.hashSplit(docs, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val straddling = pairs.select("id_a", "id_b").collect()
+      .count(r => naive(r.getLong(0)) != naive(r.getLong(1)))
+    assert(straddling > 0, "fixture too small to show the leak")
+    // singletons (no pairs) degrade to exactly the plain hash split
+    (100 until 120).foreach { i =>
+      assert(byDoc(i.toLong)._1 == i.toLong)
+      assert(byDoc(i.toLong)._2 == naive(i.toLong))
+    }
+  }
 }
