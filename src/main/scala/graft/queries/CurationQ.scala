@@ -1100,7 +1100,59 @@ object CurationQ {
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id"""))
 
+  /** Exact ROC-AUC of the q106 feature `f2` (fraction of long words)
+    * against the q106 synthetic label — [[graft.ml.Eval.exactAuc]]:
+    * Mann-Whitney rank-sum with midrank ties, all-BIGINT until the one
+    * final division. The oracle replays the identity with a window over
+    * the distinct-score census (fine at oracle scale; the Spark side is
+    * the partition-offset prefix sum that never sees a corpus-wide
+    * window). Scores are int/int doubles, so the census keys agree
+    * bit-for-bit across engines. */
+  val q149 = Q(
+    "q149_exact_auc",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+      val nWords = size(split($"text", " "))
+      val score = size(filter(split($"text", " "), w => length(w) > 4))
+        .cast("double") / greatest(nWords, lit(1)).cast("double")
+      val y = when(($"doc_id" * 1000003L) % 100 <
+          lit(30) + lit(40) * when(nWords >= 12, 1).otherwise(0), 1L)
+        .otherwise(0L)
+      graft.ml.Eval.exactAuc(docs.select(score.as("s"), y.as("y")),
+          $"s", $"y")
+        .select($"n_pos", $"n_neg", $"u_times2",
+          DomainQ.emit6($"auc").as("auc"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(list_filter(string_split(text, ' '),
+                 w -> length(w) > 4)) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS s,
+               CASE WHEN (doc_id * 1000003) % 100 <
+                 30 + 40 * (CASE WHEN len(string_split(text, ' ')) >= 12
+                            THEN 1 ELSE 0 END)
+                 THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL
+      ), g AS (
+        SELECT s, count(*) AS n, sum(y) AS np FROM d GROUP BY s
+      ), c AS (
+        SELECT n, np,
+               coalesce(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum
+        FROM g
+      ), t AS (
+        SELECT CAST(sum(np) AS BIGINT) AS np,
+               CAST(sum(n) - sum(np) AS BIGINT) AS nn,
+               CAST(sum(np * (2 * cum + n + 1)) AS BIGINT) AS r2
+        FROM c)
+      SELECT np AS n_pos, nn AS n_neg,
+             r2 - np * (np + 1) AS u_times2,
+             round((r2 - np * (np + 1)) / (2.0 * np * nn), 6) + 0.0 AS auc
+      FROM t"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135, q141, q143, q145, q148)
+      q125, q128, q132, q133, q135, q141, q143, q145, q148, q149)
 }
