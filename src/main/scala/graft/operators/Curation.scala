@@ -246,6 +246,63 @@ object Curation {
       .withColumn("keep", col("bucket") < col("rate_bp"))
   }
 
+  /** Token-budget corpus mixing with up-/down-sampling epochs (the
+    * Pile/Dolma recipe): given integer basis-point weights per source
+    * and a total token budget, source s with A_s available tokens owes
+    * `target_s = (budget · bp_s) div 10000`. A source short of its
+    * target repeats `target div A_s` whole epochs and tops up the
+    * remainder with a DETERMINISTIC splitmix doc sample at
+    * `rem_bp = (target mod A_s)·10000 div A_s`; an oversupplied source
+    * gets zero full epochs and the same partial-epoch sampling. All
+    * arithmetic stays BIGINT div/mod — no float shares whose last ulp
+    * could flip a document — so the realized mix is a pure function of
+    * ids and reproduces byte-identically on any cluster, and appending
+    * to one source never reshuffles another's sample.
+    *
+    * Returns one row per source: `available_docs, available_tokens,
+    * target_tokens, full_epochs, rem_bp, rem_docs, rem_tokens,
+    * effective_tokens` (= epochs·A + realized remainder).
+    *
+    * Scale shape: one map-side-combined per-source agg, a |sources|-row
+    * plan frame broadcast back, one corpus filter+agg for the realized
+    * remainder — two small shuffles, no window, no collect. */
+  def mixWithEpochs(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: Column, weightsBp: Seq[(String, Long)],
+      budgetTokens: Long): DataFrame = {
+    require(weightsBp.map(_._2).sum <= 10000L,
+      "mix weights exceed 10000 bp")
+    val perDoc = df.select(col(idCol).as("_id"),
+      col(groupCol).as("_g"), tokensCol.cast("long").as("_tk"))
+    val wbp = weightsBp.foldLeft(lit(0L)) { case (acc, (g, bp)) =>
+      when(col("_g") === g, lit(bp)).otherwise(acc)
+    }
+    val plan = perDoc.groupBy(col("_g"))
+      .agg(count(lit(1)).as("available_docs"),
+        sum(col("_tk")).as("available_tokens"))
+      .withColumn("_bp", wbp)
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * _bp) div 10000"))
+      .withColumn("full_epochs",
+        expr("target_tokens div available_tokens"))
+      .withColumn("rem_bp",
+        expr("((target_tokens % available_tokens) * 10000)" +
+          " div available_tokens"))
+    val rem = perDoc
+      .join(broadcast(plan.select(col("_g"), col("rem_bp"))), Seq("_g"))
+      .filter(hashBucket(col("_id")) < col("rem_bp"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("rem_docs"), sum(col("_tk")).as("rem_tokens"))
+    plan.join(rem, Seq("_g"), "left")
+      .withColumn("rem_docs", coalesce(col("rem_docs"), lit(0L)))
+      .withColumn("rem_tokens", coalesce(col("rem_tokens"), lit(0L)))
+      .withColumn("effective_tokens",
+        col("full_epochs") * col("available_tokens") + col("rem_tokens"))
+      .select(col("_g").as(groupCol), col("available_docs"),
+        col("available_tokens"), col("target_tokens"),
+        col("full_epochs"), col("rem_bp"), col("rem_docs"),
+        col("rem_tokens"), col("effective_tokens"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * never straddle a split boundary — a validation doc whose near-dup
     * twin sits in train silently inflates every eval it touches (the

@@ -1152,7 +1152,60 @@ object CurationQ {
              round((r2 - np * (np + 1)) / (2.0 * np * nn), 6) + 0.0 AS auc
       FROM t"""))
 
+  /** Token-budget corpus mixing (Curation.mixWithEpochs): five heavy
+    * sources at 1000 bp, ten at 500 bp, five unweighted, 50k-token
+    * budget — so the frame exercises multi-epoch upsampling, partial
+    * epochs, and zeroed sources in one result. Everything is BIGINT
+    * div/mod plus the splitmix bucket replay; no float anywhere. */
+  val q150 = Q(
+    "q150_mix_epochs",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
+      val weights = (0 to 4).map(i => s"src$i" -> 1000L) ++
+        (5 to 14).map(i => s"src$i" -> 500L)
+      Curation.mixWithEpochs(docs, "doc_id", "source",
+          size(split($"text", " ")), weights, budgetTokens = 50000L)
+        .orderBy($"source")
+    },
+    Some {
+      val caseBp = ((0 to 4).map(i => s"WHEN 'src$i' THEN 1000") ++
+        (5 to 14).map(i => s"WHEN 'src$i' THEN 500"))
+        .mkString(" ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        FROM documents WHERE text IS NOT NULL
+      ), plan0 AS (
+        SELECT source, count(*) AS available_docs,
+               CAST(sum(tk) AS BIGINT) AS available_tokens,
+               CAST(CASE source $caseBp ELSE 0 END AS BIGINT) AS bp
+        FROM d GROUP BY source
+      ), plan AS (
+        SELECT source, available_docs, available_tokens,
+               (50000 * bp) // 10000 AS target_tokens,
+               ((50000 * bp) // 10000) // available_tokens AS full_epochs,
+               ((((50000 * bp) // 10000) % available_tokens) * 10000)
+                 // available_tokens AS rem_bp
+        FROM plan0
+      ), rem AS (
+        SELECT d.source, count(*) AS rem_docs,
+               CAST(sum(d.tk) AS BIGINT) AS rem_tokens
+        FROM d JOIN plan p ON p.source = d.source
+        WHERE ${bucketSql("d.doc_id")} < p.rem_bp
+        GROUP BY d.source)
+      SELECT p.source, p.available_docs, p.available_tokens,
+             p.target_tokens, p.full_epochs, p.rem_bp,
+             coalesce(r.rem_docs, 0) AS rem_docs,
+             coalesce(r.rem_tokens, 0) AS rem_tokens,
+             p.full_epochs * p.available_tokens
+               + coalesce(r.rem_tokens, 0) AS effective_tokens
+      FROM plan p LEFT JOIN rem r ON r.source = p.source
+      ORDER BY p.source"""
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135, q141, q143, q145, q148, q149)
+      q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150)
 }

@@ -263,6 +263,43 @@ class CurationSpec extends SparkSpec {
     assert(lr(61L) > 0.0 && lr(62L) < 0.0)
   }
 
+  test("mixWithEpochs: exact integer plan arithmetic, deterministic " +
+      "remainder sample, zero-weight sources zero out") {
+    val docs = ((1 to 30).map(i => (i.toLong, "a", 10L)) ++ // A = 300
+      (31 to 40).map(i => (i.toLong, "b", 5L)) ++           // B = 50
+      (41 to 45).map(i => (i.toLong, "c", 7L)))             // unweighted
+      .toDF("doc_id", "source", "tk")
+    val out = Curation.mixWithEpochs(docs, "doc_id", "source",
+      col("tk"), Seq("a" -> 6000L, "b" -> 4000L), budgetTokens = 950L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    // target = 950*6000 div 10000 = 570; epochs = 570 div 300 = 1;
+    // remainder 270 → rem_bp = 270*10000 div 300 = 9000
+    assert(a.getAs[Long]("target_tokens") == 570L)
+    assert(a.getAs[Long]("full_epochs") == 1L)
+    assert(a.getAs[Long]("rem_bp") == 9000L)
+    assert(a.getAs[Long]("effective_tokens") ==
+      300L + a.getAs[Long]("rem_tokens"))
+    assert(a.getAs[Long]("rem_tokens") == 10L * a.getAs[Long]("rem_docs"))
+    val b = out("b")
+    // target = 380; epochs = 7; remainder 30 → rem_bp = 6000
+    assert(b.getAs[Long]("target_tokens") == 380L)
+    assert(b.getAs[Long]("full_epochs") == 7L)
+    assert(b.getAs[Long]("rem_bp") == 6000L)
+    val c = out("c")
+    assert(c.getAs[Long]("target_tokens") == 0L)
+    assert(c.getAs[Long]("full_epochs") == 0L)
+    assert(c.getAs[Long]("rem_docs") == 0L)
+    assert(c.getAs[Long]("effective_tokens") == 0L)
+    // deterministic: a second run realizes the identical sample
+    val again = Curation.mixWithEpochs(docs, "doc_id", "source",
+      col("tk"), Seq("a" -> 6000L, "b" -> 4000L), budgetTokens = 950L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rem_tokens"))
+      .toMap
+    assert(again("a") == a.getAs[Long]("rem_tokens"))
+    assert(again("b") == b.getAs[Long]("rem_tokens"))
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits, " +
       "singletons keep their plain hash split") {
     // 40 near-dup pairs (2i, 2i+1) + 20 singletons. With per-doc hash
