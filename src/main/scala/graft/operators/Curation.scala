@@ -246,6 +246,35 @@ object Curation {
       .withColumn("keep", col("bucket") < col("rate_bp"))
   }
 
+  /** Per-group rank buckets — the CCNet head/middle/tail move
+    * generalized: every row gets its 1-based `rank` inside its group
+    * under `orderCols` (which MUST be a total order — include an id
+    * tiebreak) and the ceil-quantile bucket
+    * `b = ceil(rank · nBuckets / n) = (rank·k + n − 1) div n` ∈ [1, k].
+    * Integer arithmetic end to end, so bucket boundaries can never flip
+    * on a float ulp.
+    *
+    * Scale shape: the rank comes from the partition-offset prefix sum
+    * ([[Ranks.withGlobalPrefixSum]] over (group, orderCols) — ONE range
+    * shuffle at any size), NOT a per-group `row_number` window whose hot
+    * group would pin a whole language's corpus in one task. Group
+    * starts/sizes are a |groups|-row frame broadcast back. */
+  def rankBuckets(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      nBuckets: Int, rankCol: String = "rank",
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val one = df.withColumn("_one", lit(1L))
+    val idx = Ranks.withGlobalPrefixSum(one,
+      col(groupCol) +: orderCols, valueCol = "_one", outCol = "_gidx")
+    val starts = idx.groupBy(col(groupCol))
+      .agg(min(col("_gidx")).as("_start"), count(lit(1)).as("_n"))
+    idx.join(broadcast(starts), Seq(groupCol))
+      .withColumn(rankCol, col("_gidx") - col("_start") + lit(1L))
+      .withColumn(bucketCol,
+        expr(s"($rankCol * $nBuckets + _n - 1) div _n"))
+      .drop("_one", "_gidx", "_start", "_n")
+  }
+
   /** Token-budget corpus mixing with up-/down-sampling epochs (the
     * Pile/Dolma recipe): given integer basis-point weights per source
     * and a total token budget, source s with A_s available tokens owes

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Q.t
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators on the `documents` table: text
@@ -1589,8 +1589,69 @@ object TextQ {
       FROM documents d LEFT JOIN scored s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** CCNet head/middle/tail perplexity partition: the q89 bigram-LM
+    * cross-entropy (rounded at 6 — the grain q89 already proves equal
+    * across engines) ranked per LANGUAGE and cut into ceil-quantile
+    * terciles — [[graft.operators.Curation.rankBuckets]]. The rank is
+    * the partition-offset prefix sum over (lang, xent, doc_id), never a
+    * per-language window; the bucket compare is pure integers. The
+    * oracle replays the LM training CTEs, then a window rank (fine at
+    * oracle scale) with the identical total order and bucket rule. */
+  val q151 = Q(
+    "q151_ppl_terciles",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.bigramLmScore(docs)
+        .filter($"n_bigrams" > 0)
+        .select($"doc_id", DomainQ.emit6($"xent").as("xent"))
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      Curation.rankBuckets(scored, "lang",
+          Seq($"xent", $"doc_id"), nBuckets = 3)
+        .select($"doc_id", $"lang", $"xent", $"rank", $"bucket")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      ), bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+        FROM toks
+      ), bgs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+      ), bc AS (
+        SELECT w1, w2, count(*) AS cb FROM bgs GROUP BY 1, 2
+      ), cc AS (
+        SELECT w1, sum(cb) AS cctx FROM bc GROUP BY 1
+      ), v AS (
+        SELECT count(DISTINCT tok) AS nv
+        FROM (SELECT unnest(l) AS tok FROM toks)
+      ), scored AS (
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               sum(ln((bc.cb + 1.0) / (cc.cctx + 1.0 * v.nv))) AS lp
+        FROM bgs g
+        JOIN bc USING (w1, w2)
+        JOIN cc USING (w1)
+        CROSS JOIN v
+        GROUP BY 1
+      ), x AS (
+        SELECT s.doc_id, d.lang,
+               round(-s.lp / s.n_bigrams, 6) + 0.0 AS xent
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.n_bigrams > 0
+      ), r AS (
+        SELECT doc_id, lang, xent,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY xent, doc_id) AS rank,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM x)
+      SELECT doc_id, lang, xent, CAST(rank AS BIGINT) AS rank,
+             CAST((rank * 3 + n - 1) // n AS BIGINT) AS bucket
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130, q136, q137, q138, q144, q146)
+      q124, q126, q127, q130, q136, q137, q138, q144, q146, q151)
 }

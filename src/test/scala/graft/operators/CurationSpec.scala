@@ -263,6 +263,32 @@ class CurationSpec extends SparkSpec {
     assert(lr(61L) > 0.0 && lr(62L) < 0.0)
   }
 
+  test("rankBuckets equals the window-rank reference and is partition " +
+      "invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 97).map(i =>
+      (i.toLong, s"g${i % 4}", rnd.nextInt(20).toDouble))
+    val df = rows.toDF("id", "g", "s").repartition(7)
+    val out = Curation.rankBuckets(df, "g",
+      Seq(col("s"), col("id")), nBuckets = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("bucket"))).toMap
+    val ref = df.withColumn("rank",
+        row_number().over(Window.partitionBy("g").orderBy("s", "id"))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("bucket", expr("(rank * 3 + n - 1) div n"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("bucket"))).toMap
+    assert(out == ref)
+    assert(out.values.map(_._2).toSet == Set(1L, 2L, 3L))
+    val again = Curation.rankBuckets(df.repartition(2), "g",
+      Seq(col("s"), col("id")), nBuckets = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("bucket"))).toMap
+    assert(again == out)
+  }
+
   test("mixWithEpochs: exact integer plan arithmetic, deterministic " +
       "remainder sample, zero-weight sources zero out") {
     val docs = ((1 to 30).map(i => (i.toLong, "a", 10L)) ++ // A = 300
