@@ -72,7 +72,17 @@ object Dm {
     * [sample_label, probe_id, beta]. Output one row per probe:
     * probe_id, f_pvalue, effect_size, and per factor
     * {factor}_p_value/_t_value/_estimate/_std_err, plus BH-adjusted
-    * p-values per factor (dm.py:458-477). */
+    * p-values per factor (dm.py:458-477).
+    *
+    * CONTRACT: (probe_id, sample_label) must be unique in `betas` —
+    * one observation per sample per probe, the invariant every
+    * upstream producer (SignalBuilder betas, merged replicates)
+    * maintains. Both fit routes ENFORCE it: the general path's
+    * map_from_entries raises on a duplicate sample key
+    * (mapKeyDedupPolicy=EXCEPTION), and the p=2 codegen path carries
+    * an assert_true on the gathered observation list, so a duplicate
+    * fails loudly on either route instead of silently fitting the
+    * duplicate as an extra observation on one path only. */
   def computeDmp(spark: SparkSession, betas: DataFrame,
       design: Design): DataFrame = {
     val samples = design.rows.keys.toSeq.sorted
@@ -242,6 +252,16 @@ object Dm {
         // but the probe GROUP survives, matching the UDF's NaN-drop
         .agg(sort_array(collect_list(when(!isnan(col("y")),
           struct(col("si"), col("xi"), col("y"))))).as("obs"))
+        // duplicate-(probe, sample) guard: the UDF route raises via
+        // map_from_entries (mapKeyDedupPolicy=EXCEPTION); this route
+        // must not silently fit a duplicate as a second observation
+        // (contract at computeDmp). assert_true yields NULL on pass,
+        // so the filter keeps every row while forcing evaluation.
+        .filter(assert_true(
+          size(expr("array_distinct(transform(obs, o -> o.si))")) ===
+            size(col("obs")),
+          concat(lit("duplicate (probe_id, sample_label) betas for "),
+            col("probe_id"))).isNull)
       val withSt = obs
         .withColumn("st", expr("""aggregate(obs,
           named_struct('k', 0, 'sx', 0D, 'sxx', 0D, 'sy', 0D,

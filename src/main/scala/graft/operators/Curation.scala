@@ -288,9 +288,12 @@ object Curation {
     * ids and reproduces byte-identically on any cluster, and appending
     * to one source never reshuffles another's sample.
     *
-    * Returns one row per source: `available_docs, available_tokens,
-    * target_tokens, full_epochs, rem_bp, rem_docs, rem_tokens,
-    * effective_tokens` (= epochs·A + realized remainder).
+    * Returns one row per source — the UNION of observed sources and
+    * weight keys, so a weighted source missing from the corpus
+    * surfaces as an `available_tokens = 0, target_tokens > 0,
+    * effective_tokens = 0` shortfall row: `available_docs,
+    * available_tokens, target_tokens, full_epochs, rem_bp, rem_docs,
+    * rem_tokens, effective_tokens` (= epochs·A + realized remainder).
     *
     * Scale shape: one map-side-combined per-source agg, a |sources|-row
     * plan frame broadcast back, one corpus filter+agg for the realized
@@ -298,24 +301,42 @@ object Curation {
   def mixWithEpochs(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: Column, weightsBp: Seq[(String, Long)],
       budgetTokens: Long): DataFrame = {
+    // a duplicated key would double-count toward the 10000bp cap while
+    // only one when-branch could ever win — reject it outright
+    require(weightsBp.map(_._1).distinct.size == weightsBp.size,
+      "duplicate mix weight keys: " + weightsBp.map(_._1).diff(
+        weightsBp.map(_._1).distinct).distinct.mkString(", "))
     require(weightsBp.map(_._2).sum <= 10000L,
       "mix weights exceed 10000 bp")
     val perDoc = df.select(col(idCol).as("_id"),
       col(groupCol).as("_g"), tokensCol.cast("long").as("_tk"))
-    val wbp = weightsBp.foldLeft(lit(0L)) { case (acc, (g, bp)) =>
-      when(col("_g") === g, lit(bp)).otherwise(acc)
+    // FULL OUTER with the weight table (broadcast-sized: |sources|
+    // rows): a source named in weightsBp but ABSENT from the corpus
+    // (typo'd name, empty shard) still emits a row — available 0,
+    // target > 0, effective 0 — so a budget shortfall is visible in
+    // the plan output instead of silently under-spending.
+    val wdf = {
+      import df.sparkSession.implicits._
+      weightsBp.toDF("_g", "_bp")
     }
     val plan = perDoc.groupBy(col("_g"))
       .agg(count(lit(1)).as("available_docs"),
         sum(col("_tk")).as("available_tokens"))
-      .withColumn("_bp", wbp)
+      .join(wdf, Seq("_g"), "full_outer")
+      .withColumn("_bp", coalesce(col("_bp"), lit(0L)))
+      .withColumn("available_docs",
+        coalesce(col("available_docs"), lit(0L)))
+      .withColumn("available_tokens",
+        coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_tokens",
         expr(s"(${budgetTokens}L * _bp) div 10000"))
       .withColumn("full_epochs",
-        expr("target_tokens div available_tokens"))
+        when(col("available_tokens") > 0,
+          expr("target_tokens div available_tokens")).otherwise(lit(0L)))
       .withColumn("rem_bp",
-        expr("((target_tokens % available_tokens) * 10000)" +
-          " div available_tokens"))
+        when(col("available_tokens") > 0,
+          expr("((target_tokens % available_tokens) * 10000)" +
+            " div available_tokens")).otherwise(lit(0L)))
     val rem = perDoc
       .join(broadcast(plan.select(col("_g"), col("rem_bp"))), Seq("_g"))
       .filter(hashBucket(col("_id")) < col("rem_bp"))

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   * way. Lineage is truncated with localCheckpoint every few rounds so
   * the plan doesn't grow linearly with iterations (the classic
   * iterative-DataFrame failure: 20 nested joins blow up the optimizer
-  * before the cluster sees a task). Dangling mass is handled by the
-  * damping base term; nodes with no in-edges keep the base rank.
+  * before the cluster sees a task). Dangling (zero-out-degree) nodes'
+  * rank mass is REDISTRIBUTED uniformly each round — `sinkMass div n`
+  * joins the damped term for every node — so total mass is conserved
+  * up to integer-floor remainders instead of decaying geometrically on
+  * sink-heavy graphs (a real crawl graph is full of leaf URLs). The
+  * sink set is computed once (anti-join on out-degrees); graphs with
+  * no sinks skip the per-iteration sink aggregation entirely.
   */
 object Graph {
 
@@ -33,18 +38,28 @@ object Graph {
     * `nodes` (id). Out-degrees are computed once and joined in, so the
     * recurrence is
     *   r'(v) = (15·(Total div n)) div 100
-    *           + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
-    * — every term integer. Returns (id, rank). */
+    *           + (85 · (Σ_{u→v} (r(u) div outdeg(u))
+    *                    + sinkMass div n)) div 100
+    * with sinkMass = Σ r(u) over zero-out-degree u — every term
+    * integer. Returns (id, rank). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
       idCol: String = "id"): DataFrame = {
     require(iters >= 0 && iters <= 64, "iters out of range")
     val spark = nodes.sparkSession
     val n = nodes.count() // scalar boundary: node COUNT, not node data
+    require(n > 0, "pageRank needs a non-empty node set")
     val base = (15L * (Total / n)) / 100L
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) pinned once — every iteration re-reads it
     val withDeg = edges.join(outDeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sink census, once: nodes that emit no edges. Their per-round rank
+    // mass can't flow anywhere, so it is redistributed uniformly inside
+    // the damped term. The presence check is a scalar boundary (one
+    // COUNT on ids); a sink-free graph pays zero per-iteration cost.
+    val sinks = nodes.select(col(idCol).as("id"))
+      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+    val hasSinks = sinks.limit(1).count() > 0
     var ranks = nodes.select(col(idCol).as("id"),
       lit(Total / n).as("rank"))
     var i = 0
@@ -56,11 +71,21 @@ object Graph {
         .join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.select(col(idCol).as("id"))
+      val joined = nodes.select(col(idCol).as("id"))
         .join(contrib, col("id") === col("dst"), "left")
-        .withColumn("s", coalesce(col("s"), lit(0L)))
-        .select(col("id"),
-          (lit(base) + expr(s"(85 * s) div 100")).as("rank"))
+      val withS =
+        if (hasSinks) {
+          // per-node share of this round's sink mass (exact BIGINT
+          // div); a 1-row frame broadcast into the update — no collect
+          val sinkShare = ranks.join(sinks, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("_sm"))
+            .select(expr(s"_sm div ${n}L").as("_sink_share"))
+          joined.crossJoin(broadcast(sinkShare))
+            .withColumn("s",
+              coalesce(col("s"), lit(0L)) + col("_sink_share"))
+        } else joined.withColumn("s", coalesce(col("s"), lit(0L)))
+      ranks = withS.select(col("id"),
+        (lit(base) + expr(s"(85 * s) div 100")).as("rank"))
       i += 1
       // truncate lineage: without this the logical plan nests one join
       // tree per iteration and analysis time, not the cluster, becomes

@@ -477,7 +477,10 @@ object Similarity {
     *
     * Shape at 100 TB: ground and approx are both bounded-heap top-k
     * outputs (k rows per query), so the eval join touches k·|queries|
-    * rows total — negligible next to the scans that produced them. */
+    * rows total — negligible next to the scans that produced them.
+    * `k` is the nominal cutoff both inputs were built with; recall is
+    * divided by the ACTUAL per-query ground-truth count so a corpus
+    * smaller than k doesn't understate it. */
   def annRecallEval(ground: DataFrame, approx: DataFrame, k: Int,
       idCol: String = "vec_id",
       queryIdCol: String = "query_id"): DataFrame = {
@@ -488,8 +491,15 @@ object Similarity {
     g.join(a, Seq(queryIdCol, idCol), "left")
       .groupBy(col(queryIdCol))
       .agg(count(col("a_rank")).as("n_overlap"),
+        count(lit(1)).as("n_ground"),
         coalesce(max(when(col("g_rank") === 1,
           lit(1.0) / col("a_rank"))), lit(0.0)).as("rr"))
-      .withColumn("recall_at_k", col("n_overlap") / lit(k))
+      // denominator is the PER-QUERY ground-truth count, not k: on a
+      // corpus smaller than k the truth list is short and dividing by
+      // k would understate recall. (A query with ZERO ground rows has
+      // no row here at all — recall over an empty truth set is
+      // undefined, and the left join's driving side is the truth.)
+      .withColumn("recall_at_k", col("n_overlap") / col("n_ground"))
+      .drop("n_ground")
   }
 }

@@ -185,13 +185,15 @@ object SimilarityQ {
       ), ev AS (
         SELECT g.query_id,
                count(ap.vec_id) AS n_overlap,
+               count(*) AS n_ground,
                coalesce(max(CASE WHEN g.g_rank = 1
                  THEN 1.0 / ap.rank END), 0.0) AS rr
         FROM gtk g LEFT JOIN ap
           ON ap.query_id = g.query_id AND ap.vec_id = g.vec_id
         GROUP BY 1)
       SELECT query_id, n_overlap,
-             round(n_overlap / 10, 6) + 0.0 AS recall_at_k,
+             round(CAST(n_overlap AS DOUBLE) / n_ground, 6) + 0.0
+               AS recall_at_k,
              round(rr, 6) + 0.0 AS rr
       FROM ev ORDER BY query_id"""))
 

@@ -1277,8 +1277,10 @@ object TextQ {
     * Bigrams are emitted ROW-LOCALLY from the split array (transform
     * over the index sequence — no positional self-join), so the plan is
     * two count shuffles (unigram, bigram) + a broadcast of the two
-    * corpus scalars; the one float is a single ln over exact integer
-    * products, rounded at 6. min count 5 keeps the tail out. */
+    * corpus scalars; the PMI is a five-term log-domain sum over exact
+    * counts (no integer product is ever formed — corpus-scale u·u
+    * would overflow BIGINT), rounded at 6. min count 5 keeps the tail
+    * out. */
   val q136 = Q(
     "q136_pmi_collocations",
     (s, d) => {
@@ -1311,8 +1313,14 @@ object TextQ {
         .join(uni.select($"w".as("w2"), $"c".as("c_b")), "w2")
         .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
         .select($"w1", $"w2", $"c_ab",
-          round(log(($"c_ab" * $"u" * $"u").cast("double") /
-            ($"b" * $"c_a" * $"c_b")), 6).as("pmi"))
+          // log-domain sum, NEVER an integer product: c_ab*u*u in
+          // 64-bit would silently wrap once the corpus passes ~3e9
+          // tokens (u*u alone overflows Long). Every operand is an
+          // exact-in-double count, the five-term sum is written
+          // left-to-right identically in the oracle, and round(6)
+          // absorbs the few-ulp libm spread.
+          round(log($"c_ab") + lit(2.0) * log($"u") - log($"b") -
+            log($"c_a") - log($"c_b"), 6).as("pmi"))
         .orderBy($"w1", $"w2")
     },
     Some("""
@@ -1332,8 +1340,8 @@ object TextQ {
         GROUP BY w1, w2 HAVING count(*) >= 5
       ), bt AS (SELECT count(*) AS b FROM big)
       SELECT bi.w1, bi.w2, bi.c_ab,
-             round(ln(CAST(bi.c_ab * ut.u * ut.u AS DOUBLE)
-               / (bt.b * ua.c * ub.c)), 6) AS pmi
+             round(ln(bi.c_ab) + 2.0 * ln(ut.u) - ln(bt.b)
+               - ln(ua.c) - ln(ub.c), 6) AS pmi
       FROM bi
       JOIN uni ua ON ua.w = bi.w1
       JOIN uni ub ON ub.w = bi.w2

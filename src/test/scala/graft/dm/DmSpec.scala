@@ -69,6 +69,24 @@ class DmSpec extends SparkSpec {
     assert(rows("cg2").getAs[Double]("f_pvalue").isNaN)
   }
 
+  test("duplicate (probe_id, sample_label) betas fail loudly on the " +
+      "p=2 codegen path, matching the UDF route's map-key exception") {
+    val betas = Seq(
+      ("a1", "cg1", 0.30f), ("a1", "cg1", 0.31f), // duplicate sample
+      ("a2", "cg1", 0.35f), ("a3", "cg1", 0.40f),
+      ("b1", "cg1", 0.60f), ("b2", "cg1", 0.62f), ("b3", "cg1", 0.70f))
+      .toDF("sample_label", "probe_id", "beta")
+    val design = Dm.designMatrix(sheet, "sample_id", "~ grp",
+      Map("grp" -> "CTRL")) // p = 2 → codegen fast path
+    val ex = intercept[Throwable] {
+      Dm.computeDmp(spark, betas, design).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("duplicate"))))
+  }
+
   test("BH adjustment matches the textbook monotone formula") {
     val df = Seq(("p1", 0.01), ("p2", 0.04), ("p3", 0.03), ("p4", 0.005))
       .toDF("id", "p")

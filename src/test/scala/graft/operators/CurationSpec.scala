@@ -326,6 +326,33 @@ class CurationSpec extends SparkSpec {
     assert(again("b") == b.getAs[Long]("rem_tokens"))
   }
 
+  test("mixWithEpochs: duplicate weight keys rejected; a weighted " +
+      "source absent from the corpus emits a visible shortfall row") {
+    val docs = (1 to 10).map(i => (i.toLong, "a", 10L))
+      .toDF("doc_id", "source", "tk")
+    intercept[IllegalArgumentException] {
+      Curation.mixWithEpochs(docs, "doc_id", "source", col("tk"),
+        Seq("a" -> 1000L, "a" -> 1000L), budgetTokens = 100L)
+    }
+    // "ghost" is weighted but has zero corpus rows (typo'd source
+    // name): the plan must SHOW the shortfall, not silently drop it
+    val out = Curation.mixWithEpochs(docs, "doc_id", "source",
+      col("tk"), Seq("a" -> 5000L, "ghost" -> 5000L),
+      budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("ghost")
+    assert(g.getAs[Long]("available_docs") == 0L)
+    assert(g.getAs[Long]("available_tokens") == 0L)
+    assert(g.getAs[Long]("target_tokens") == 500L)
+    assert(g.getAs[Long]("full_epochs") == 0L)
+    assert(g.getAs[Long]("rem_bp") == 0L)
+    assert(g.getAs[Long]("effective_tokens") == 0L)
+    // the present source is planned exactly as before
+    assert(out("a").getAs[Long]("target_tokens") == 500L)
+    assert(out("a").getAs[Long]("full_epochs") == 5L)
+    assert(out("a").getAs[Long]("effective_tokens") == 500L)
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits, " +
       "singletons keep their plain hash split") {
     // 40 near-dup pairs (2i, 2i+1) + 20 singletons. With per-doc hash

@@ -194,6 +194,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecallEval divides by the per-query ground count when the " +
+      "corpus is smaller than k") {
+    val tiny = emb.filter($"vec_id" < 6) // 6 vectors, k = 10
+    val q = tiny.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(tiny, q, 10)
+    val ev = Similarity.annRecallEval(bf, bf, 10).collect()
+    assert(ev.length == 1)
+    assert(ev.head.getAs[Long]("n_overlap") == 6L)
+    // dividing by lit(k) would report 0.6 for a perfect retrieval
+    assert(ev.head.getAs[Double]("recall_at_k") == 1.0)
+    assert(ev.head.getAs[Double]("rr") == 1.0)
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
