@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g, not 8g: the box contract is local[32]/128 GiB and 32 executor
+  // threads allocating concurrently through an 8g heap GC-thrash the
+  // allocation-heavy pipelines (r8's q59 "72 s" driver artifact:
+  // reproduced 36 s with 22 s of GC at 8g on an idle box, 7.6 s with
+  // 2.2 s GC at 32g — the plan was never the problem, the heap was).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
