@@ -40,9 +40,15 @@ object SampleSheet {
     * when present (sample_sheet.py:53-59), snake_cases headers, applies
     * the sentrix renames (sample_sheet.py:61-63), requires `sample_id`. */
   def read(spark: SparkSession, path: String,
+      delimiter: String = ","): DataFrame =
+    readLines(spark,
+      scala.io.Source.fromFile(path).getLines().toVector, delimiter)
+
+  /** [[read]]'s core over in-memory lines — the unit the q153 golden
+    * oracle gates without touching the filesystem. */
+  def readLines(spark: SparkSession, lines: Seq[String],
       delimiter: String = ","): DataFrame = {
     // pre-scan for the [Data] marker line (driver-side; sheet files are tiny)
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
     val dataIdx = lines.indexWhere(_.split(delimiter.charAt(0))
       .headOption.exists(_.trim == "[Data]"))
     val content = if (dataIdx >= 0) lines.drop(dataIdx + 1) else lines
@@ -73,21 +79,45 @@ object SampleSheet {
   def inferFromFilenames(spark: SparkSession,
       grnFiles: Seq[String]): DataFrame = {
     import spark.implicits._
-    val fallback = "(GSM\\d+).(.*).?(Grn|Red)\\.idat".r
-    grnFiles.flatMap { path =>
-      val filename = path.split("/").last
-      val parts = filename.split("_")
-      if (parts.length == 4 && parts(0).startsWith("GSM"))
-        Some((parts(0), parts(0), parts(1), parts(2)))
-      else if (parts.length == 3)
-        Some((s"${parts(0)}_${parts(1)}", s"${parts(0)}_${parts(1)}",
-          parts(0), parts(1)))
-      else fallback.findFirstMatchIn(filename).map { m =>
-        val nm = m.group(2)
-        (m.group(1), if (nm.length <= 1) nm else nm.dropRight(1),
-          null, null)
-      }
-    }.toDF("sample_id", "sample_name", "sentrix_id", "sentrix_position")
+    inferSheet(grnFiles.toDF("path"), "path")
+  }
+
+  /** The three filename grammars as ROW-LOCAL Column expressions over a
+    * frame of paths — [[inferFromFilenames]]'s engine and the unit the
+    * q152 oracle gates. Unmatched filenames are dropped (the reference
+    * skips them). Grammar order mirrors sample_sheet.py:76-142:
+    * 4 underscore parts with a GSM prefix, then exactly 3 parts, then
+    * the `GSM…(Grn|Red).idat` fallback regex (whose greedy group keeps
+    * the trailing separator — trimmed when longer than one char, as the
+    * reference does). Caveat vs the driver-side original: trailing
+    * `_` separators would split differently (Java String.split drops
+    * trailing empties) — impossible for `*.idat` names, which never end
+    * with a separator. */
+  def inferSheet(files: DataFrame, pathCol: String): DataFrame = {
+    val re = "(GSM\\d+).(.*).?(Grn|Red)\\.idat"
+    val fname = element_at(split(col(pathCol), "/"), -1)
+    val parts = split(fname, "_")
+    val p0 = element_at(parts, 1)
+    val p1 = element_at(parts, 2)
+    val p2 = element_at(parts, 3)
+    val g1 = size(parts) === 4 && p0.startsWith("GSM")
+    val g2 = size(parts) === 3
+    val fb = regexp_like(fname, lit(re))
+    val fbId = regexp_extract(fname, re, 1)
+    val nm = regexp_extract(fname, re, 2)
+    val fbName = when(length(nm) <= 1, nm)
+      .otherwise(nm.substr(lit(1), length(nm) - 1))
+    val nullS = lit(null).cast("string")
+    files
+      .filter(g1 || g2 || fb)
+      .select(
+        when(g1, p0).when(g2, concat(p0, lit("_"), p1))
+          .otherwise(fbId).as("sample_id"),
+        when(g1, p0).when(g2, concat(p0, lit("_"), p1))
+          .otherwise(fbName).as("sample_name"),
+        when(g1, p1).when(g2, p0).otherwise(nullS).as("sentrix_id"),
+        when(g1, p2).when(g2, p1).otherwise(nullS)
+          .as("sentrix_position"))
   }
 
   /** S6 — match idat files to sheet rows: each sample needs a Grn and Red

@@ -37,6 +37,19 @@ object Sesame {
         .withColumn("sample_label", lit(label))
     }
     val raw = perFile.reduce(_ unionByName _)
+    sigDfTransform(raw, man)
+  }
+
+  /** The SigDF fix-up as a pure frame transform — [[read]]'s engine and
+    * the unit the q154 oracle gates: broadcast-join the manifest, move
+    * type-II green values from UG to MG (samples.py:1949-1951), infer
+    * the type-II channel from which cell is populated
+    * (samples.py:1952-1954), split the boolean mask into mask rows.
+    * `raw` must expose (sample_label, probe_id, MG, MR, UG, UR, mask);
+    * `man` (probe_id, inf_type, channel, probe_type, mask_info),
+    * unique per probe_id. */
+  def sigDfTransform(raw: DataFrame, man: DataFrame)
+      : (DataFrame, DataFrame) = {
     val joined = raw.join(broadcast(man), "probe_id", "inner")
       // type II: green value arrives in UG → move to MG (samples.py:1949-1951)
       .withColumn("MG2",

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing for multimodal near-dup curation: aHash
+  * (average hash) and dHash (gradient hash) over decoded grayscale
+  * pixels, paired by the 4×16-bit Hamming band discipline SimHash uses
+  * ([[Dedup.simHashCandidates]]). A multimodal corpus dedups on
+  * PERCEPTUAL hashes, not byte hashes — re-encoded/resized copies keep
+  * their pooled-luma structure while `contentHash` changes completely.
+  *
+  * INTEGER-EXACT kernel: all pooling and comparisons run on integer
+  * pixel LEVELS. Float pixels in [0,1] (the [[Multimodal]] decoder
+  * contract) quantize via [[quantize24]] — multiplication by 2^24 is an
+  * exponent shift, so `floor(px · 2^24)` involves NO float rounding and
+  * any engine replays it bit-for-bit. Cell comparisons are pure integer
+  * sum compares (equal-area grids), so a hash is a deterministic pure
+  * function of the pixel array at any parallelism.
+  *
+  * Scale shape: both hashes are row-local Column expressions (one pass
+  * over the pixel array per hash — each pixel is visited by exactly one
+  * pooled cell); the only shuffle in the near-dup path is the inverted
+  * band index. No similarity joins on raw pixels, ever.
+  */
+object Phash {
+
+  /** Float pixels [0,1] → 24-bit integer levels, exactly. */
+  def quantize24(pixels: Column): Column =
+    transform(pixels, p =>
+      floor(p.cast("double") * lit(16777216.0)).cast("long"))
+
+  /** 64-bit aHash over `levelsCol` (array<long>, row-major, w×h with
+    * w and h divisible by 8): average-pool to an 8×8 grid, bit
+    * k = cy·8+cx set when cell (cy,cx)'s sum exceeds the global
+    * per-cell average — `64·cell_sum > total_sum`, exact because all
+    * 64 cells have equal area. Levels ≤ 2^24 keep every product far
+    * from BIGINT range (total ≤ n·2^24, ×64 ≤ 2^36+log2 n). */
+  def aHash64(levelsCol: String, w: Int, h: Int): Column = {
+    require(w % 8 == 0 && h % 8 == 0,
+      s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
+    val bw = w / 8; val bh = h / 8
+    val cells = s"""transform(sequence(0, 63), c ->
+        aggregate(sequence(0, ${bh * bw - 1}), 0L, (s, j) ->
+          s + element_at($levelsCol,
+            ((c div 8) * $bh + j div $bw) * $w
+              + (c % 8) * $bw + (j % $bw) + 1)))"""
+    // single-element transform as a let-binding: the 64-cell pooling
+    // pass runs ONCE per row, shared by the total and the bit fold
+    expr(s"""aggregate(sequence(0, 63),
+        element_at(transform(array($cells),
+          cs -> named_struct('cs', cs,
+            'tot', aggregate(cs, 0L, (s, x) -> s + x), 'h', 0L)), 1),
+        (a, c) -> named_struct('cs', a.cs, 'tot', a.tot,
+          'h', CASE WHEN 64 * element_at(a.cs, c + 1) > a.tot
+                    THEN a.h | shiftleft(1L, c) ELSE a.h END),
+        a -> a.h)""")
+  }
+
+  /** 64-bit dHash over `levelsCol` (array<long>, row-major, w×h with
+    * w divisible by 9 and h by 8): average-pool to a 9×8 grid, bit
+    * k = r·8+c set when pooled cell (r,c) > cell (r,c+1) — a pure
+    * integer sum compare (the 72 cells share one area). The horizontal
+    * luma gradient survives brightness shifts that flip aHash bits. */
+  def dHash64(levelsCol: String, w: Int, h: Int): Column = {
+    require(w % 9 == 0 && h % 8 == 0,
+      s"dHash64 needs width divisible by 9 and height by 8, got ${w}x$h")
+    val bw = w / 9; val bh = h / 8
+    val cells = s"""transform(sequence(0, 71), c ->
+        aggregate(sequence(0, ${bh * bw - 1}), 0L, (s, j) ->
+          s + element_at($levelsCol,
+            ((c div 9) * $bh + j div $bw) * $w
+              + (c % 9) * $bw + (j % $bw) + 1)))"""
+    expr(s"""aggregate(sequence(0, 63),
+        named_struct('cs', $cells, 'h', 0L),
+        (a, k) -> named_struct('cs', a.cs,
+          'h', CASE WHEN element_at(a.cs, (k div 8) * 9 + (k % 8) + 1)
+                         > element_at(a.cs, (k div 8) * 9 + (k % 8) + 2)
+                    THEN a.h | shiftleft(1L, k) ELSE a.h END),
+        a -> a.h)""")
+  }
+
+  /** Near-dup candidates among 64-bit perceptual hashes with Hamming
+    * distance ≤ maxDist (≤ 3), via the same 4×16-bit band pigeonhole
+    * as [[Dedup.simHashCandidates]]: any pair within distance 3 shares
+    * an exact 16-bit chunk, so the inverted (band, chunk) index yields
+    * EXACTLY the qualifying pairs — no all-pairs compare. Input must
+    * carry one hash per id. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def hammingCandidates(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only " +
+        "guarantee a shared exact chunk within Hamming distance 3")
+    val banded = df.select(col(idCol).as("id"), col(hashCol).as("ph"),
+      posexplode(expr(
+        s"""transform(sequence(0, 3),
+            b -> shiftright($hashCol, b * 16) & 65535)"""))
+        .as(Seq("band", "chunk")))
+    val inv = banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("ph"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    Dedup.expandPairs(inv)
+      .select(col("a.id").as("id_a"), col("a.ph").as("h_a"),
+        col("b.id").as("id_b"), col("b.ph").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
