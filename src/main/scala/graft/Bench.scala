@@ -21,19 +21,31 @@ import org.apache.spark.sql.SparkSession
   * judge's replay 5.9 s). Two mechanisms make the record self-exonerating:
   *
   *  1. OUTLIER RE-RUN — after the rep loop, any query whose median
-  *     exceeds 3× the committed reference record (tools/bench_ref.json,
+  *     exceeds 2× the committed reference record (tools/bench_ref.json,
   *     refreshed from each round's local run; override with
-  *     SPARK_GRAFT_BENCH_REF) OR 3× its own in-run min gets ONE exclusive
-  *     re-run in a fresh-cache window, recorded in an `"outliers"` map.
-  *     The reference bound matters: when the WHOLE window is degraded
-  *     (r8: all three q59 reps ≥72 s) the in-run min is itself inflated
-  *     and an own-min-only rule can never fire.
+  *     SPARK_GRAFT_BENCH_REF) OR 3× its own in-run min OR whose GC time
+  *     exceeds 20% of its wall time gets ONE exclusive re-run in a
+  *     fresh-cache window, recorded in an `"outliers"` map (its
+  *     failures/telemetry land in separate `outliers_*` keys — the
+  *     rep-window numbers are never mutated by a re-run). The 2× bound
+  *     matches the grading gate (a 2.0-2.9× drift must not ship without
+  *     self-exoneration, which the old 3× trigger allowed — r9 q59);
+  *     the reference bound matters because when the WHOLE window is
+  *     degraded (r8: all three q59 reps ≥72 s) the in-run min is itself
+  *     inflated and an own-min-only rule can never fire. The record
+  *     carries `ref_loaded`/`ref_path`/`ref_queries` so the artifact
+  *     shows whether the reference bound was actually active.
   *  2. TELEMETRY — per query: GC milliseconds (MXBean delta; in
   *     local mode the driver JVM IS the cluster, so this is exact and
   *     unaffected by listener lag), task spill bytes (listener sum) and
   *     the storage-memory high-water mark (sampled at task end). A 72 s
   *     artifact with gc_ms ≈ 60000 reads "weather"; one with flat GC and
-  *     a spill spike reads "plan regression".
+  *     a spill spike reads "plan regression". Spill/storage are read
+  *     AFTER the post-query cache clear + explicit GC, so the async
+  *     listener bus has had tens of milliseconds to drain the query's
+  *     tail onTaskEnd events; a straggler event can still slip to the
+  *     next query's window, so spill_mb/storage_mb_hwm are
+  *     approximately-per-query (gc_ms is exact).
   *
   * SPARK_GRAFT_STORAGE_FRACTION squeezes spark.memory.storageFraction —
   * the knob the q59 cache-sensitivity check runs under. */
@@ -92,8 +104,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val telemetry = new Telemetry(spark.sparkContext)
     spark.sparkContext.addSparkListener(telemetry)
-    val ref = loadRef(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
-      "tools/bench_ref.json"))
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "tools/bench_ref.json")
+    val ref = loadRef(refPath)
+    if (ref.isEmpty)
+      System.err.println(s"[bench] WARNING: no reference record at " +
+        s"$refPath — the vsRef outlier bound is INACTIVE this run " +
+        "(only the 3x own-min and GC-fraction triggers can fire)")
     // optional comma-separated query-name filter for local iteration
     val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -115,7 +132,11 @@ object Bench {
       .empty[String, Long].withDefaultValue(0L)
     val failed = scala.collection.mutable.Map.empty[String, String]
     def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        gcSink: scala.collection.mutable.Map[String, Long],
+        spillSink: scala.collection.mutable.Map[String, Long],
+        storSink: scala.collection.mutable.Map[String, Long],
+        failSink: scala.collection.mutable.Map[String, String])
         : Option[Double] = {
       telemetry.reset()
       val gc0 = gcMillis()
@@ -126,14 +147,12 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          failed(name) = Option(e.getMessage)
+          failSink(name) = Option(e.getMessage)
             .getOrElse(e.getClass.getName).take(200)
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      gcMs(name) = gcMs(name) + (gcMillis() - gc0)
-      spillB(name) = spillB(name) + telemetry.spillBytes
-      storB(name) = math.max(storB(name), telemetry.storageHwm)
+      gcSink(name) = gcSink(name) + (gcMillis() - gc0)
       // Queries are independent pipelines: drop any frame a query
       // persisted for its own internal reuse (poobah, jaccardDedup
       // return persisted results by contract). Without this the
@@ -152,11 +171,18 @@ object Bench {
       // run). One explicit GC at the query boundary keeps the stalls
       // out of the timed windows; it is not counted in any sample.
       System.gc()
+      // Listener-derived telemetry is read AFTER the cleanup above: the
+      // cache clear + full GC give the async bus tens of milliseconds
+      // to deliver this query's tail onTaskEnd events (see scaladoc —
+      // still approximate, unlike the MXBean GC delta).
+      spillSink(name) = spillSink(name) + telemetry.spillBytes
+      storSink(name) = math.max(storSink(name), telemetry.storageHwm)
       if (ok) Some(sec) else None
     }
     (1 to Reps).foreach { _ =>
       ordered.foreach { case (name, fn) =>
-        timeOne(name, fn).foreach(s => samples(name) = samples(name) :+ s)
+        timeOne(name, fn, gcMs, spillB, storB, failed)
+          .foreach(s => samples(name) = samples(name) :+ s)
       }
     }
     def median(xs: Vector[Double]): Double = {
@@ -164,16 +190,28 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val timed = ordered.filter { case (name, _) => samples(name).nonEmpty }
-    // Outlier protocol: a median 3× beyond the committed reference OR
-    // 3× beyond the same run's min is suspect; give it one exclusive
-    // fresh-cache re-run so the artifact carries its own exoneration.
+    // Outlier protocol: a median 2× beyond the committed reference
+    // (aligned with the grading gate), 3× beyond the same run's min, or
+    // GC over 20% of the rep-window wall time is suspect; give it one
+    // exclusive fresh-cache re-run so the artifact carries its own
+    // exoneration. Re-run telemetry/failures go to separate outlier_*
+    // sinks — the rep-window numbers stay untouched.
     val outliers = scala.collection.mutable.Map.empty[String, Double]
+    val outGc = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    val outSpill = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    val outStor = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    val outFailed = scala.collection.mutable.Map.empty[String, String]
     timed.foreach { case (name, fn) =>
       val med0 = median(samples(name))
       val vsSelf = med0 > 3.0 * samples(name).min
-      val vsRef = ref.get(name).exists(r => med0 > 3.0 * r)
-      if (vsSelf || vsRef)
-        timeOne(name, fn).foreach(s => outliers(name) = s)
+      val vsRef = ref.get(name).exists(r => med0 > 2.0 * r)
+      val gcHeavy = gcMs(name) > 0.2 * samples(name).sum * 1000.0
+      if (vsSelf || vsRef || gcHeavy)
+        timeOne(name, fn, outGc, outSpill, outStor, outFailed)
+          .foreach(s => outliers(name) = s)
     }
     val med = timed.map { case (name, _) => name -> median(samples(name)) }
     val mins = timed.map { case (name, _) => name -> samples(name).min }
@@ -183,16 +221,26 @@ object Bench {
     } + "\""
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val failedJson = failed.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    def jfail(m: scala.collection.mutable.Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+    def jtel(names: Seq[String],
+        gc: scala.collection.mutable.Map[String, Long],
+        sp: scala.collection.mutable.Map[String, Long],
+        st: scala.collection.mutable.Map[String, Long]): String =
+      names.map { name =>
+        jstr(name) + ":{\"gc_ms\":" + gc(name) +
+          ",\"spill_mb\":" + (sp(name) / 1048576) +
+          ",\"storage_mb_hwm\":" + (st(name) / 1048576) + "}"
+      }.mkString("{", ",", "}")
     val outlierJson = jmap(outliers.toSeq.sortBy(_._1))
-    val telemetryJson = timed.map { case (name, _) =>
-      jstr(name) + ":{\"gc_ms\":" + gcMs(name) +
-        ",\"spill_mb\":" + (spillB(name) / 1048576) +
-        ",\"storage_mb_hwm\":" + (storB(name) / 1048576) + "}"
-    }.mkString("{", ",", "}")
+    val telemetryJson =
+      jtel(timed.map(_._1), gcMs, spillB, storB)
+    val outlierTelJson =
+      jtel(outliers.keys.toSeq.sorted, outGc, outSpill, outStor)
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"telemetry":$telemetryJson,"failed":$failedJson,"reps":$Reps,"storage_fraction":$storageFraction,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"outliers_failed":${jfail(outFailed)},"outlier_telemetry":$outlierTelJson,"telemetry":$telemetryJson,"failed":${jfail(failed)},"reps":$Reps,"storage_fraction":$storageFraction,"ref_loaded":${ref.nonEmpty},"ref_path":${jstr(refPath)},"ref_queries":${ref.size},"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the log TAIL — r6 lost q01-q14's rows to
     // truncation. Persist the full record to disk so no round loses data.

@@ -13,7 +13,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     Relational.all ++ Windows.all ++ Stats.all ++ IntervalQ.all ++
       TextQ.all ++ SimilarityQ.all ++ ExtraQ.all ++ EventTimeQ.all ++
-      CurationQ.all ++ DomainQ.all ++ DomainQ2.all
+      CurationQ.all ++ DomainQ.all ++ DomainQ2.all ++ IoQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the multiway broadcast star join + grouped aggregation. */

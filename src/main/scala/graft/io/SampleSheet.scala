@@ -42,7 +42,8 @@ object SampleSheet {
   def read(spark: SparkSession, path: String,
       delimiter: String = ","): DataFrame =
     readLines(spark,
-      scala.io.Source.fromFile(path).getLines().toVector, delimiter)
+      scala.util.Using.resource(scala.io.Source.fromFile(path))(
+        _.getLines().toVector), delimiter)
 
   /** [[read]]'s core over in-memory lines — the unit the q153 golden
     * oracle gates without touching the filesystem. */

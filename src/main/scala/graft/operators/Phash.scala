@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * over the pixel array per hash — each pixel is visited by exactly one
   * pooled cell); the only shuffle in the near-dup path is the inverted
   * band index. No similarity joins on raw pixels, ever.
+  *
+  * Gated by the q155 oracle row (both hash kernels + banding replayed
+  * relationally in DuckDB, candidates ≡ brute-force Hamming) and
+  * PhashSpec (hand-computed bits, pigeonhole edge cases, and the
+  * perceptual end-to-end through the real image decoder: JPEG
+  * re-encode and nearest-neighbour resize survive, unrelated images
+  * separate).
   */
 object Phash {
 
@@ -42,19 +49,25 @@ object Phash {
     val bw = w / 8; val bh = h / 8
     val cells = s"""transform(sequence(0, 63), c ->
         aggregate(sequence(0, ${bh * bw - 1}), 0L, (s, j) ->
-          s + element_at($levelsCol,
+          s + element_at(pxl, CAST(
             ((c div 8) * $bh + j div $bw) * $w
-              + (c % 8) * $bw + (j % $bw) + 1)))"""
-    // single-element transform as a let-binding: the 64-cell pooling
-    // pass runs ONCE per row, shared by the total and the bit fold
-    expr(s"""aggregate(sequence(0, 63),
-        element_at(transform(array($cells),
-          cs -> named_struct('cs', cs,
-            'tot', aggregate(cs, 0L, (s, x) -> s + x), 'h', 0L)), 1),
-        (a, c) -> named_struct('cs', a.cs, 'tot', a.tot,
-          'h', CASE WHEN 64 * element_at(a.cs, c + 1) > a.tot
-                    THEN a.h | shiftleft(1L, c) ELSE a.h END),
-        a -> a.h)""")
+              + (c % 8) * $bw + (j % $bw) + 1 AS INT))))"""
+    // TWO single-element transforms as let-bindings. Outer: bind the
+    // levels column to `pxl` — when the caller's levels are a COMPUTED
+    // projection, CollapseProject inlines that expression into every
+    // reference, and the pooling pass below reads it w·h/64 times per
+    // cell (observed: a 256-px array re-derived 256× per row, turning
+    // a 200-row query into seconds). Inner: the 64-cell pooling pass
+    // runs ONCE per row, shared by the total and the bit fold.
+    expr(s"""element_at(transform(array($levelsCol), pxl ->
+        aggregate(sequence(0, 63),
+          element_at(transform(array($cells),
+            cs -> named_struct('cs', cs,
+              'tot', aggregate(cs, 0L, (s, x) -> s + x), 'h', 0L)), 1),
+          (a, c) -> named_struct('cs', a.cs, 'tot', a.tot,
+            'h', CASE WHEN 64 * element_at(a.cs, c + 1) > a.tot
+                      THEN a.h | shiftleft(1L, c) ELSE a.h END),
+          a -> a.h)), 1)""")
   }
 
   /** 64-bit dHash over `levelsCol` (array<long>, row-major, w×h with
@@ -68,16 +81,20 @@ object Phash {
     val bw = w / 9; val bh = h / 8
     val cells = s"""transform(sequence(0, 71), c ->
         aggregate(sequence(0, ${bh * bw - 1}), 0L, (s, j) ->
-          s + element_at($levelsCol,
+          s + element_at(pxl, CAST(
             ((c div 9) * $bh + j div $bw) * $w
-              + (c % 9) * $bw + (j % $bw) + 1)))"""
-    expr(s"""aggregate(sequence(0, 63),
-        named_struct('cs', $cells, 'h', 0L),
-        (a, k) -> named_struct('cs', a.cs,
-          'h', CASE WHEN element_at(a.cs, (k div 8) * 9 + (k % 8) + 1)
-                         > element_at(a.cs, (k div 8) * 9 + (k % 8) + 2)
-                    THEN a.h | shiftleft(1L, k) ELSE a.h END),
-        a -> a.h)""")
+              + (c % 9) * $bw + (j % $bw) + 1 AS INT))))"""
+    // outer let-binding against CollapseProject inlining, as in aHash64
+    expr(s"""element_at(transform(array($levelsCol), pxl ->
+        aggregate(sequence(0, 63),
+          named_struct('cs', $cells, 'h', 0L),
+          (a, k) -> named_struct('cs', a.cs,
+            'h', CASE WHEN element_at(a.cs,
+                             CAST((k div 8) * 9 + (k % 8) + 1 AS INT))
+                           > element_at(a.cs,
+                             CAST((k div 8) * 9 + (k % 8) + 2 AS INT))
+                      THEN a.h | shiftleft(1L, k) ELSE a.h END),
+          a -> a.h)), 1)""")
   }
 
   /** Near-dup candidates among 64-bit perceptual hashes with Hamming

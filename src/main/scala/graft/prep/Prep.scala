@@ -497,12 +497,17 @@ object Prep {
     val bg = if (useNegativeControls)
       bg0.unionByName(negControlCells(masked)) else bg0
 
-    // per-channel query values: the max in-band signal per probe
-    val queries = sigP.select(col("sample_label"), col("probe_id"),
-      explode(map(
-        lit("G"), greatest(col("meth_g"), col("unmeth_g")),
-        lit("R"), greatest(col("meth_r"), col("unmeth_r"))))
-        .as(Seq("channel", "v")))
+    // per-channel query values: the max in-band signal per probe. Two
+    // pre-projected passes over the CACHED frame unioned, instead of one
+    // explode(map(G…,R…)): the generator route allocated a MapData +
+    // generated-row pair per input row — the round's top GC feeder —
+    // while two pure projections stay inside whole-stage codegen with
+    // zero per-row container churn (r9 verdict, q59).
+    def chanQuery(ch: String, m: String, u: String) =
+      sigP.select(col("sample_label"), col("probe_id"),
+        lit(ch).as("channel"), greatest(col(m), col(u)).as("v"))
+    val queries = chanQuery("G", "meth_g", "unmeth_g")
+      .unionByName(chanQuery("R", "meth_r", "unmeth_r"))
     // F and the group's background mass come out of the SAME sort-merge
     // pass (Ecdf bgSumCol): a separate weak-background aggregation would
     // recompute the whole masked/oob lineage a second time

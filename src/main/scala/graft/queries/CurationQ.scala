@@ -1205,7 +1205,129 @@ object CurationQ {
       ORDER BY p.source"""
     })
 
+  /** The fuzzy-dedup pipeline as ONE integration row — the exact chain
+    * a 100 TB curation run executes: MinHash-LSH candidate pairs
+    * (q33's operator) → exact-Jaccard VERIFY on the candidates only
+    * (two id-keyed joins against the per-doc shingle-hash sets — never
+    * all-pairs) → connected components → canonical keep-id per
+    * component (max n_chars, ties → min id) → the component-keyed
+    * deterministic split ([[Curation.hashSplit]] on the component
+    * label, the engine of q148's leakageSafeSplit — applied HERE to the
+    * canonicalized frame so the interaction is pinned: every member of
+    * a component, canonical or dropped, must land in the same split as
+    * its keep-id). The oracle replays minhash signatures + banding
+    * (DuckOracle.mixPairs), the string-set Jaccard verify, the
+    * transitive closure (recursive CTE — oracle scale only), the winner
+    * rule and the splitmix bucket arithmetic. */
+  val q156 = Q(
+    "q156_neardup_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8)
+      val sh = Dedup.withShingleHashes(docs, "text", 3)
+        .select($"doc_id", $"sh_hs")
+      val verified = cands
+        .join(sh.select($"doc_id".as("id_a"), $"sh_hs".as("hs_a")),
+          Seq("id_a"))
+        .join(sh.select($"doc_id".as("id_b"), $"sh_hs".as("hs_b")),
+          Seq("id_b"))
+        .withColumn("n_common",
+          size(array_intersect($"hs_a", $"hs_b")).cast("long"))
+        .withColumn("jaccard", $"n_common" /
+          (size($"hs_a") + size($"hs_b") - $"n_common"))
+        .filter($"jaccard" >= 0.4)
+        .select($"id_a", $"id_b")
+      val canon = Dedup.canonicalize(docs, verified, "doc_id",
+        qualityCol = Some("n_chars"))
+      Curation.hashSplit(canon, "component",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"component", $"canonical_id",
+          $"is_canonical", $"split")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val affine = DuckOracle.toSigned(
+        "(p.a * h + p.b) % 18446744073709551616::UHUGEINT")
+      s"""
+      WITH RECURSIVE tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> ${DuckOracle.phU(
+                   "array_to_string(list_slice(t, i, i + 2), ' ')")})) AS hs
+        FROM tk WHERE len(t) >= 3
+      ), sig AS (
+        SELECT doc_id,
+               list_transform(${DuckOracle.mixPairs(32)},
+                 p -> list_min(list_transform(hs, h -> $affine))) AS sig
+        FROM hs
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(0, 8),
+                bb -> list_slice(a.sig, bb * 4 + 1, bb * 4 + 4)
+                    = list_slice(b.sig, bb * 4 + 1, bb * 4 + 4))) > 0
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1,
+                     greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string(
+                     list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                   AS shingle
+          FROM documents)
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        GROUP BY c.id_a, c.id_b, sa.n_sh, sb.n_sh
+        HAVING CAST(count(*) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - count(*)) >= 0.4
+      ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM verified
+        UNION
+        SELECT id_b AS u, id_a AS v FROM verified
+      ), reach AS (
+        SELECT u AS src, u AS dst FROM edges
+        UNION
+        SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+      ), comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+      ), docs2 AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      ), winners AS (
+        SELECT component, doc_id AS canonical_id FROM (
+          SELECT component, doc_id,
+                 row_number() OVER (PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM docs2) WHERE rn = 1
+      ), b AS (
+        SELECT d.doc_id, d.component, w.canonical_id,
+               d.doc_id = w.canonical_id AS is_canonical,
+               ${bucketSql("d.component")} AS bucket
+        FROM docs2 d JOIN winners w ON w.component = d.component
+      )
+      SELECT doc_id, component, canonical_id, is_canonical,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
-      q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150)
+      q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
+      q156)
 }

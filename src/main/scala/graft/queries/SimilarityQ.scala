@@ -551,6 +551,114 @@ object SimilarityQ {
       ORDER BY query_id, rank"""
     })
 
+  /** Perceptual-hash near-dup candidates ([[graft.operators.Phash]]):
+    * aHash64 over 16×16 and dHash64 over 18×16 integer pixel-level
+    * images derived from `part` (25 base textures × up to 9 variants —
+    * variant 1 is a single +1-level tweak that leaves the hash intact,
+    * variants ≥ 2 inject a +100000 plateau into one or two pooled
+    * cells, drifting a data-dependent handful of bits), then the
+    * 4×16-bit Hamming band pairing at maxDist 3. The oracle replays the
+    * pixel formula, the equal-area pooling, the strict-compare bits and
+    * BRUTE-FORCE all-pairs Hamming (banding is lossless at distance ≤ 3
+    * by pigeonhole, so the candidate set must match exactly; feasible
+    * at oracle scale — the Spark side is the inverted band index that
+    * scales). All arithmetic is integer on both sides. */
+  val q155 = Q(
+    "q155_phash_neardup",
+    (s, d) => {
+      import s.implicits._
+      def lv(n: Int, w: Int, grid: Int): String =
+        s"""transform(sequence(0, ${n - 1}), i -> CAST(
+            ((g * 7919 + i * 104729) % 1000) * 16
+            + CASE WHEN v = 1 AND i = 0 THEN 1 ELSE 0 END
+            + CASE WHEN v >= 2 AND ((i div $w) div 2) * $grid
+                + ((i % $w) div 2) = (5 * v) % ${grid * 8}
+              THEN 100000 ELSE 0 END
+            + CASE WHEN v >= 5 AND ((i div $w) div 2) * $grid
+                + ((i % $w) div 2) = (11 * v) % ${grid * 8}
+              THEN 100000 ELSE 0 END AS BIGINT))"""
+      val imgs = t(s, d, "part").filter($"p_partkey" <= 200)
+        .select($"p_partkey".as("id"),
+          ($"p_partkey" % 25).as("g"), ($"p_partkey" / 25).cast("int").as("v"))
+        .select($"id", expr(lv(256, 16, 8)).as("lv_a"),
+          expr(lv(288, 18, 9)).as("lv_d"))
+      val a = imgs.select($"id", graft.operators.Phash.aHash64("lv_a", 16, 16).as("ph"))
+      val dd = imgs.select($"id", graft.operators.Phash.dHash64("lv_d", 18, 16).as("ph"))
+      graft.operators.Phash.hammingCandidates(a, "id", "ph", maxDist = 3)
+        .withColumn("method", lit("ahash"))
+        .unionByName(
+          graft.operators.Phash.hammingCandidates(dd, "id", "ph", maxDist = 3)
+            .withColumn("method", lit("dhash")))
+        .select($"method", $"id_a", $"id_b", $"hamming")
+        .orderBy($"method", $"id_a", $"id_b")
+    },
+    Some("""
+      WITH base AS (
+        SELECT p_partkey AS id, p_partkey % 25 AS g, p_partkey // 25 AS v
+        FROM part WHERE p_partkey <= 200
+      ), pxa AS (
+        SELECT id, i,
+               ((g * 7919 + i * 104729) % 1000) * 16
+               + CASE WHEN v = 1 AND i = 0 THEN 1 ELSE 0 END
+               + CASE WHEN v >= 2 AND ((i // 16) // 2) * 8
+                   + ((i % 16) // 2) = (5 * v) % 64
+                 THEN 100000 ELSE 0 END
+               + CASE WHEN v >= 5 AND ((i // 16) // 2) * 8
+                   + ((i % 16) // 2) = (11 * v) % 64
+                 THEN 100000 ELSE 0 END AS px
+        FROM base, range(0, 256) t(i)
+      ), pxd AS (
+        SELECT id, i,
+               ((g * 7919 + i * 104729) % 1000) * 16
+               + CASE WHEN v = 1 AND i = 0 THEN 1 ELSE 0 END
+               + CASE WHEN v >= 2 AND ((i // 18) // 2) * 9
+                   + ((i % 18) // 2) = (5 * v) % 72
+                 THEN 100000 ELSE 0 END
+               + CASE WHEN v >= 5 AND ((i // 18) // 2) * 9
+                   + ((i % 18) // 2) = (11 * v) % 72
+                 THEN 100000 ELSE 0 END AS px
+        FROM base, range(0, 288) t(i)
+      ), ca AS (
+        SELECT id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS c,
+               sum(px) AS cs
+        FROM pxa GROUP BY 1, 2
+      ), ta AS (
+        SELECT id, sum(cs) AS tot FROM ca GROUP BY 1
+      ), bits_a AS (
+        SELECT ca.id, ca.c AS bit,
+               CASE WHEN 64 * ca.cs > ta.tot THEN 1 ELSE 0 END AS b
+        FROM ca JOIN ta USING (id)
+      ), cd AS (
+        SELECT id, ((i // 18) // 2) * 9 + ((i % 18) // 2) AS c,
+               sum(px) AS cs
+        FROM pxd GROUP BY 1, 2
+      ), bits_d AS (
+        SELECT c1.id, kk.k AS bit,
+               CASE WHEN c1.cs > c2.cs THEN 1 ELSE 0 END AS b
+        FROM range(0, 64) kk(k)
+        JOIN cd c1 ON c1.c = (kk.k // 8) * 9 + (kk.k % 8)
+        JOIN cd c2 ON c2.c = (kk.k // 8) * 9 + (kk.k % 8) + 1
+                  AND c2.id = c1.id
+      ), pa AS (
+        SELECT 'ahash' AS method, a.id AS id_a, b.id AS id_b,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hamming
+        FROM bits_a a JOIN bits_a b ON a.bit = b.bit AND a.id < b.id
+        GROUP BY 1, 2, 3
+        HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
+      ), pd AS (
+        SELECT 'dhash' AS method, a.id AS id_a, b.id AS id_b,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hamming
+        FROM bits_d a JOIN bits_d b ON a.bit = b.bit AND a.id < b.id
+        GROUP BY 1, 2, 3
+        HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
+      )
+      SELECT method, id_a, id_b, hamming FROM pa
+      UNION ALL
+      SELECT method, id_a, id_b, hamming FROM pd
+      ORDER BY method, id_a, id_b"""))
+
   val all: Seq[Q] =
-    Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147)
+    Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147, q155)
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal._
+import org.apache.spark.sql.functions._
+
+/** Phash kernels pinned bit-for-bit: aHash/dHash on hand-computed
+  * grids (1×1 cells, so every bit is a single hand-checkable compare),
+  * quantize24 exactness, hammingCandidates ≡ brute-force Hamming, and
+  * the perceptual end-to-end through the REAL image decoder — a
+  * re-encoded (JPEG) and a resized copy stay within a small Hamming
+  * radius of the original while an unrelated image does not.
+  */
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8×8 image, 1 px per aHash cell: bit k ⟺ 64·px[k] > Σpx. */
+  test("aHash64 bit-exact on an 8x8 image (one pixel per cell)") {
+    val px = Array.tabulate(64)(i => ((i * 37 + 11) % 100).toLong)
+    val total = px.sum
+    var expected = 0L
+    for (k <- 0 until 64)
+      if (64 * px(k) > total) expected |= (1L << k)
+    val got = Seq(Tuple1(px)).toDF("lv")
+      .select(Phash.aHash64("lv", 8, 8).as("h")).head().getLong(0)
+    assert(got == expected,
+      f"aHash mismatch: got $got%016x expected $expected%016x")
+  }
+
+  /** 16×16 image, 2×2 cells: bit k ⟺ 64·cellSum(k) > Σpx — checks the
+    * row-major pooling index arithmetic (the off-by-one hotspot). */
+  test("aHash64 pools 2x2 cells correctly on a 16x16 image") {
+    val w = 16
+    val px = Array.tabulate(256)(i => ((i * 101 + 7) % 255).toLong)
+    val total = px.sum
+    def cell(c: Int): Long = {
+      val cy = c / 8; val cx = c % 8
+      (for (dy <- 0 to 1; dx <- 0 to 1)
+        yield px((cy * 2 + dy) * w + cx * 2 + dx)).sum
+    }
+    var expected = 0L
+    for (k <- 0 until 64) if (64 * cell(k) > total) expected |= (1L << k)
+    val got = Seq(Tuple1(px)).toDF("lv")
+      .select(Phash.aHash64("lv", 16, 16).as("h")).head().getLong(0)
+    assert(got == expected)
+  }
+
+  /** 9×8 image, 1 px per dHash cell: bit r·8+c ⟺ px[r·9+c] > px[r·9+c+1].
+    * Fixture has every compare outcome: >, <, ==(no bit). */
+  test("dHash64 bit-exact on a 9x8 image (one pixel per cell)") {
+    val px = Array.tabulate(72)(i => ((i * 53 + 29) % 90).toLong)
+    px(10) = px(11) // plant a tie: strict > must NOT set the bit
+    var expected = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (px(r * 9 + c) > px(r * 9 + c + 1))
+        expected |= (1L << (r * 8 + c))
+    val got = Seq(Tuple1(px)).toDF("lv")
+      .select(Phash.dHash64("lv", 9, 8).as("h")).head().getLong(0)
+    assert(got == expected,
+      f"dHash mismatch: got $got%016x expected $expected%016x")
+  }
+
+  test("quantize24 is an exact exponent shift (no float rounding)") {
+    val got = Seq(Tuple1(Array(0f, 0.5f, 1f, 0.25f, 1f / 3f)))
+      .toDF("px").select(Phash.quantize24(col("px")).as("lv"))
+      .head().getSeq[Long](0)
+    assert(got(0) == 0L && got(1) == 8388608L && got(2) == 16777216L &&
+      got(3) == 4194304L)
+    // arbitrary float: floor(px * 2^24) computed in double is exact
+    // because the float mantissa (24 bits) shifts inside the double's 53
+    assert(got(4) == math.floor((1f / 3f).toDouble * 16777216.0).toLong)
+  }
+
+  /** hammingCandidates over a planted hash population must equal
+    * brute-force Hamming ≤ 3: distance 1/2/3 pairs found (including a
+    * distance-3 pair whose flips span three different 16-bit bands —
+    * the pigeonhole's worst case), the distance-4 pair excluded even
+    * though it still shares an exact band. */
+  test("hammingCandidates equals brute force at maxDist 3") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val base = Array.tabulate(20)(i => mix(i.toLong * 7919))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    base.zipWithIndex.foreach { case (h, i) => rows += ((i.toLong, h)) }
+    // planted variants of base(0): distances 1, 3 (across 3 bands), 4
+    rows += ((100L, base(0) ^ (1L << 5)))
+    rows += ((101L, base(0) ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)))
+    rows += ((102L, base(0) ^ (1L << 0) ^ (1L << 16) ^ (1L << 32)
+      ^ (1L << 48)))
+    val df = rows.toSeq.toDF("id", "ph")
+    val got = Phash.hammingCandidates(df, "id", "ph", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"got $got expected $brute")
+    // the plants are actually exercised
+    assert(brute.contains((0L, 100L, 1L)) && brute.contains((0L, 101L, 3L)))
+    assert(!brute.exists { case (a, b, _) => a == 0L && b == 102L })
+  }
+
+  /** A real 8-bit grayscale PNG (JDK writer) with caller-chosen pixels. */
+  private def grayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def jpegBytes(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** End-to-end perceptual claim through the REAL decoder: byte-level
+    * contentHash separates all four copies, while aHash keeps the
+    * re-encoded (JPEG) and resized (32→16 nearest-neighbour) copies
+    * within a small Hamming radius of the original and pushes the
+    * unrelated image far away. */
+  test("re-encoded and resized near-dups survive aHash through decode") {
+    // a smooth-ish deterministic texture (not a pure ramp: cells differ)
+    def tex(x: Int, y: Int): Int = ((x * 13 + y * 29 + (x * y) % 7) % 251)
+    val orig = grayPng(16, 16, tex)
+    val jpeg = jpegBytes(orig)
+    // 32x32 pixel-doubled copy: nearest-neighbour resize recovers the
+    // 16x16 exactly, modulo the +1 noise planted on a few pixels
+    val big = grayPng(32, 32, (x, y) =>
+      tex(x / 2, y / 2) + (if ((x * 31 + y) % 97 == 0) 1 else 0))
+    val unrelated = grayPng(16, 16, (x, y) => ((x * 199 + y * 83) % 256))
+    val media = Seq(
+      MediaRow(1, "image", orig, 16, 16, 0, 0),
+      MediaRow(2, "image", jpeg, 16, 16, 0, 0),
+      MediaRow(3, "image", big, 32, 32, 0, 0),
+      MediaRow(4, "image", unrelated, 16, 16, 0, 0)).toDS()
+    val decoded = Multimodal.decodeImages(spark, media)
+    val small = decoded.filter(_.width == 16)
+      .union(Multimodal.resize(spark,
+        decoded.filter(_.width == 32), 16, 16))
+    val hashes = small.toDF()
+      .select(col("media_id"),
+        Phash.quantize24(col("pixels")).as("lv"))
+      .select(col("media_id"), Phash.aHash64("lv", 16, 16).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 6,
+      s"jpeg re-encode drifted ${ham(hashes(1L), hashes(2L))} bits")
+    assert(ham(hashes(1L), hashes(3L)) <= 4,
+      s"resize drifted ${ham(hashes(1L), hashes(3L))} bits")
+    assert(ham(hashes(1L), hashes(4L)) >= 12,
+      s"unrelated image only ${ham(hashes(1L), hashes(4L))} bits away")
+    // byte hashes separate ALL of them — the reason phash exists
+    val ch = Seq(orig, jpeg, big).map(FakeCodec.contentHash).toSet
+    assert(ch.size == 3)
+  }
+}

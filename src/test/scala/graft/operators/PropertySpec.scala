@@ -18,6 +18,11 @@ class PropertySpec extends SparkSpec {
   private def holds(p: Prop): Unit =
     assert(check(Parameters.default, p).passed)
 
+  /** Sketch-merge properties spin up several Spark jobs per case, so
+    * they run a reduced (but still randomized) case count. */
+  private def holds(p: Prop, params: Parameters): Unit =
+    assert(check(params, p).passed)
+
   test("zorder2 is a bijection on bounded pairs and preserves box order") {
     val coord = Gen.choose(0L, (1L << 16) - 1)
     holds(forAll(coord, coord) { (a, b) =>
@@ -76,6 +81,73 @@ class PropertySpec extends SparkSpec {
       if levenshteinRef(wa, wb) <= 1
     } yield (ia, ib)).toSet
     assert(fast == brute)
+  }
+
+  /** The 100 TB rollup claim for the HLL sketch, as algebra: for ANY
+    * random shard split of the data, per-shard register tables merged
+    * by element-wise max equal the whole-data register table (split
+    * invariance = associativity + commutativity of the max-merge over
+    * every partition of the stream), the merge is idempotent (merging
+    * a sketch with itself changes nothing), and the estimate computed
+    * from the merged sketch equals the whole-data estimate. */
+  test("Hll merge: shard-split invariance, idempotence, estimate equality") {
+    val seedGen = Gen.choose(0L, Long.MaxValue)
+    holds(forAll(seedGen) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(600)
+      val nShards = 2 + rnd.nextInt(4)
+      // duplicates + skew: values from a small-ish domain
+      val rows = Seq.fill(n)((rnd.nextLong() % (1 + rnd.nextInt(2000)),
+        rnd.nextInt(nShards)))
+      val df = rows.toDF("v", "shard").withColumn("g", lit(1))
+      val whole = Hll.registers(df, Seq("g"), "v")
+      val sharded = Hll.registers(df, Seq("g", "shard"), "v")
+      val merged = Hll.merge(sharded, Seq("g"))
+      def regSet(d: org.apache.spark.sql.DataFrame) =
+        d.select($"bucket", $"r").as[(Long, Long)].collect().toSet
+      val splitInvariant = regSet(merged) == regSet(whole)
+      val remerged = Hll.merge(merged.unionByName(merged), Seq("g"))
+      val idempotent = regSet(remerged) == regSet(merged)
+      def est(d: org.apache.spark.sql.DataFrame) =
+        Hll.estimate(d, Seq("g")).select($"est_distinct")
+          .as[Double].collect().toSeq
+      splitInvariant && idempotent && est(merged) == est(whole)
+    }, Parameters.default.withMinSuccessfulTests(5))
+  }
+
+  /** Same algebra for the quantile histogram, whose merge is a SUM (so
+    * idempotence is replaced by disjoint-shard additivity): any shard
+    * split merges back to the whole-data histogram, two DIFFERENT
+    * random splits of the same data merge to identical sketches, and
+    * quantiles from the merged sketch equal whole-data quantiles. */
+  test("QuantileHist merge: shard-split invariance and quantile equality") {
+    val seedGen = Gen.choose(0L, Long.MaxValue)
+    holds(forAll(seedGen) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(600)
+      val vals = Seq.fill(n)(math.abs(rnd.nextLong()) %
+        (1L << (1 + rnd.nextInt(30))))
+      val s1 = vals.map(v => (v, rnd.nextInt(3)))
+      val s2 = vals.map(v => (v, rnd.nextInt(5)))
+      def hist(rows: Seq[(Long, Int)], byShard: Boolean) = {
+        val df = rows.toDF("v", "shard").withColumn("g", lit(1))
+        val keys = if (byShard) Seq("g", "shard") else Seq("g")
+        QuantileHist.histogram(df, keys, "v")
+      }
+      def hSet(d: org.apache.spark.sql.DataFrame) =
+        QuantileHist.merge(d, Seq("g"))
+          .select($"bucket", $"cnt").as[(Long, Long)].collect().toSet
+      val whole = hSet(hist(s1, byShard = false))
+      val splitInvariant = hSet(hist(s1, byShard = true)) == whole
+      val splitAgnostic = hSet(hist(s2, byShard = true)) == whole
+      def qs(d: org.apache.spark.sql.DataFrame) =
+        QuantileHist.quantiles(QuantileHist.merge(d, Seq("g")),
+            Seq("g"), Seq(50, 90, 99))
+          .select($"p", $"est").as[(Long, Long)].collect().toSet
+      val quantEq = qs(hist(s1, byShard = true)) ==
+        qs(hist(s1, byShard = false))
+      splitInvariant && splitAgnostic && quantEq
+    }, Parameters.default.withMinSuccessfulTests(5))
   }
 
   private def levenshteinRef(a: String, b: String): Int = {
