@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Perceptual image hashing for multimodal near-dup curation: aHash
@@ -95,6 +95,88 @@ object Phash {
                              CAST((k div 8) * 9 + (k % 8) + 2 AS INT))
                       THEN a.h | shiftleft(1L, k) ELSE a.h END),
           a -> a.h)), 1)""")
+  }
+
+  /** Video near-dup candidates via frame-sampled perceptual hashes —
+    * the video analogue of document MinHash: sample every `stride`-th
+    * frame ([[Multimodal.sampleFrames]]: real demux for GIF/MJPEG-AVI/
+    * MJPEG-MP4 containers, deterministic chunking otherwise), decode
+    * each frame as an image, resize to `w`×`h`, aHash it, and pair
+    * VIDEOS whose frames collide in the Hamming band index. Two videos
+    * match when at least `minShared` of their sampled frame pairs are
+    * within `maxDist` bits — re-encoded or re-containered copies keep
+    * their per-frame pooled-luma structure, so they pair even though
+    * every byte (and thus `contentHash`) differs.
+    *
+    * Scale shape: one flatMap (demux) + one mapPartitions (decode) +
+    * row-local hash columns; the only shuffles are the frame-hash band
+    * index and the final (vid_a, vid_b) count — never a video×video or
+    * frame×frame join. Frame identity packs as media_id·10^6+frame_idx
+    * (frame index < 10^6 enforced), so the band index stays one LONG
+    * column. Output: (vid_a, vid_b, n_shared_frames), vid_a < vid_b. */
+  def videoNearDup(spark: SparkSession,
+      media: Dataset[Multimodal.MediaRow], stride: Int = 2,
+      w: Int = 16, h: Int = 16, maxDist: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(spark, media, stride)
+      .map { f =>
+        require(f.frame_idx < 1000000,
+          s"frame index ${f.frame_idx} overflows the packed frame id")
+        Multimodal.MediaRow(f.media_id * 1000000L + f.frame_idx,
+          "image", f.content, w, h, 0, 0)
+      }
+    val imgs = Multimodal.resize(spark,
+      Multimodal.decodeImages(spark, frames), w, h)
+    val hashed = imgs.toDF()
+      .select(col("media_id").as("fid"),
+        quantize24(col("pixels")).as("lv"))
+      .select(col("fid"), aHash64("lv", w, h).as("ph"))
+    // frame ids sort like (video, frame), so id_a < id_b ⇒ vid_a ≤ vid_b
+    hammingCandidates(hashed, "fid", "ph", maxDist)
+      .select(expr("id_a div 1000000").as("vid_a"),
+        expr("id_b div 1000000").as("vid_b"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+  }
+
+  /** Audio perceptual fingerprint: the 64-segment mean-|amplitude|
+    * energy profile of the decoded signal, hashed with [[aHash64]] as
+    * an 8×8 grid (1 sample-bin per cell). Bit k = segment k's energy
+    * exceeds the signal mean — VOLUME-INVARIANT by construction (a
+    * gain multiplies every segment and the mean alike, so the compare
+    * is unchanged up to quantization), and re-quantized copies (8-bit
+    * vs 16-bit PCM of the same signal) stay within a small Hamming
+    * radius while `contentHash` separates every container byte-wise.
+    *
+    * Energies are integer-quantized per segment (Σ|sample|·2^24 div
+    * count — BIGINT throughout), so the fingerprint is a deterministic
+    * pure function of the decoded samples at any parallelism. Row-local
+    * except the decode mapPartitions; pair with [[hammingCandidates]].
+    * Output: (media_id, n_samples, fingerprint). */
+  def audioFingerprint(spark: SparkSession,
+      media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val decoded = Multimodal.decodeAudio(spark, media).toDF()
+    val energies = decoded.select(col("media_id"),
+      size(col("samples")).cast("long").as("n_samples"),
+      expr("""element_at(transform(array(samples), smp ->
+          transform(sequence(0, 63), s ->
+            CASE WHEN (CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                      - (CAST(size(smp) AS BIGINT) * s) div 64 = 0 THEN 0L
+            ELSE aggregate(
+              slice(smp,
+                CAST((CAST(size(smp) AS BIGINT) * s) div 64 + 1 AS INT),
+                CAST((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                     - (CAST(size(smp) AS BIGINT) * s) div 64 AS INT)),
+              0L, (acc, x) ->
+                acc + CAST(abs(CAST(x AS DOUBLE)) * 16777216.0 AS BIGINT))
+              div ((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                   - (CAST(size(smp) AS BIGINT) * s) div 64)
+            END)), 1)""").as("lv"))
+    energies.select(col("media_id"), col("n_samples"),
+      aHash64("lv", 8, 8).as("fingerprint"))
   }
 
   /** Near-dup candidates among 64-bit perceptual hashes with Hamming

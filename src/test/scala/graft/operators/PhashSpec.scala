@@ -164,4 +164,128 @@ class PhashSpec extends SparkSpec {
     val ch = Seq(orig, jpeg, big).map(FakeCodec.contentHash).toSet
     assert(ch.size == 3)
   }
+
+  /** 16-bit little-endian PCM WAV through the JDK's own writer. */
+  private def wav16(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+      true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The SAME signal re-quantized to 8-bit unsigned PCM. */
+  private def wav8(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 8, 1,
+      false, false)
+    val raw = samples.map(s => ((s / 256) + 128).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Volume-invariant audio fingerprint through the REAL audio codec:
+    * an 8-bit re-quantization and a half-volume copy of the same
+    * signal stay within a small Hamming radius of the 16-bit original
+    * (exactly 0 for the pure gain change at these amplitudes), while a
+    * different amplitude envelope lands far away. */
+  test("audioFingerprint survives re-quantization and volume changes") {
+    // 8000 samples = 64 segments x 125; loud/quiet alternating envelope
+    val base = Array.tabulate(8000) { i =>
+      val loud = (i / 125) % 2 == 0
+      val amp = if (loud) 12000 else 400
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+    val half = base.map(s => (s / 2).toShort)
+    val ramp = Array.tabulate(8000)(i =>
+      (((i * 4) % 24000 - 12000) / 2).toShort) // rising-sawtooth envelope
+    val media = Seq(
+      MediaRow(1, "audio", wav16(base), 0, 0, 16000, 0),
+      MediaRow(2, "audio", wav8(base), 0, 0, 16000, 0),
+      MediaRow(3, "audio", wav16(half), 0, 0, 16000, 0),
+      MediaRow(4, "audio", wav16(ramp), 0, 0, 16000, 0)).toDS()
+    val fps = Phash.audioFingerprint(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps.size == 4)
+    // the 32 loud segments are exactly the above-mean ones
+    assert(java.lang.Long.bitCount(fps(1L)) == 32)
+    assert(ham(fps(1L), fps(2L)) <= 2,
+      s"8-bit re-quantization drifted ${ham(fps(1L), fps(2L))} bits")
+    assert(ham(fps(1L), fps(3L)) == 0,
+      s"pure volume change drifted ${ham(fps(1L), fps(3L))} bits")
+    assert(ham(fps(1L), fps(4L)) >= 12,
+      s"unrelated envelope only ${ham(fps(1L), fps(4L))} bits away")
+    // byte identity separates all four containers
+    assert(Seq(wav16(base), wav8(base), wav16(half), wav16(ramp))
+      .map(FakeCodec.contentHash).toSet.size == 4)
+  }
+
+  /** An animated GIF whose frame i carries texture `tex(x, y, i)`,
+    * through the JDK's own sequence writer. */
+  private def texturedGif(n: Int, w: Int, h: Int,
+      tex: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, tex(x, y, i) & 0xff)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** Frame-sampled video near-dup end-to-end through the REAL GIF
+    * demuxer: a re-encoded copy of the same frame textures pairs with
+    * the original (every byte differs — `contentHash` separates them),
+    * a different-texture video does not, and the deterministic
+    * fallback path (non-demuxable bytes) pairs exact payload copies. */
+  test("videoNearDup pairs re-encoded GIFs and separates unrelated ones") {
+    def texA(x: Int, y: Int, i: Int) = (x * 17 + y * 31 + i * 53) % 241
+    def texB(x: Int, y: Int, i: Int) = (x * 201 + y * 97 + i * 11) % 251
+    val gifA = texturedGif(6, 16, 16, texA)
+    // re-encode: same textures, frames written in a SECOND gif (extra
+    // trailing frame changes the byte stream beyond the shared prefix)
+    val gifA2 = texturedGif(7, 16, 16, texA)
+    val gifB = texturedGif(6, 16, 16, texB)
+    val rawC = Array.tabulate(1200)(i => ((42 * 31 + i * 7) % 251).toByte)
+    val media = Seq(
+      MediaRow(1, "video", gifA, 16, 16, 0, 6),
+      MediaRow(2, "video", gifA2, 16, 16, 0, 7),
+      MediaRow(3, "video", gifB, 16, 16, 0, 6),
+      MediaRow(4, "video", rawC, 16, 16, 0, 6), // fallback chunking
+      MediaRow(5, "video", rawC.clone(), 16, 16, 0, 6)).toDS()
+    assert(FakeCodec.contentHash(gifA) != FakeCodec.contentHash(gifA2))
+    val pairs = Phash.videoNearDup(spark, media, stride = 2,
+        maxDist = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.contains((1L, 2L)),
+      s"re-encoded copy did not pair: $pairs")
+    assert(pairs((1L, 2L)) >= 3) // frames 0,2,4 all match
+    assert(pairs.contains((4L, 5L)), "fallback exact copies did not pair")
+    assert(!pairs.keySet.exists { case (a, b) =>
+      (a == 3L || b == 3L) && a != b
+    }, s"unrelated video paired: $pairs")
+  }
 }
