@@ -27,6 +27,39 @@ object HashFuncs {
     (Array.tabulate(numHashes)(i => mc(2L * i) | 1L),
       Array.tabulate(numHashes)(i => mc(2L * i + 1)))
   }
+  /** Unicode text normalization — the first pass of every production
+    * corpus pipeline (pre-tokenizer, pre-dedup: byte-different but
+    * canonically-equal texts must hash equal downstream). Exactly, in
+    * order: (1) NFC canonical composition (standard-defined, so the
+    * DuckDB oracle's utf8proc `nfc_normalize` agrees with
+    * `java.text.Normalizer` char-for-char); (2) drop C0 controls except
+    * tab/newline, plus DEL, the zero-width joiner/non-joiner/space and
+    * the BOM — codepoints 00-08, 0B-1F, 7F, 200B-200D, FEFF;
+    * (3) collapse runs of ASCII space; (4) trim spaces. Every step is a
+    * pure character map, so the result is bit-identical at any
+    * parallelism; removal-then-collapse interleaves into one pass. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      val drop = c <= '\u0008' ||
+        (c >= '\u000B' && c <= '\u001F') || c == '\u007F' ||
+        (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
+      if (!drop &&
+          !(c == ' ' && sb.length > 0 && sb.charAt(sb.length - 1) == ' '))
+        sb.append(c)
+      i += 1
+    }
+    var start = 0
+    var end = sb.length
+    while (start < end && sb.charAt(start) == ' ') start += 1
+    while (end > start && sb.charAt(end - 1) == ' ') end -= 1
+    UTF8String.fromString(sb.substring(start, end))
+  }
+
   /** Rabin-Karp polynomial hash over UTF-8 bytes (base 31, wrapping
     * 64-bit: h = fold(0)(h * 31 + byte)) finished with the splitmix64
     * avalanche mixer. Chosen over xxhash64 because every step is
@@ -524,6 +557,19 @@ object Expressions {
         c: Expression): GramRepetition = copy(child = c)
   }
 
+  /** normalize_text(str) — NFC + control/zero-width strip + space
+    * collapse + trim in one codegen pass (HashFuncs.normalizeText). */
+  case class NormalizeText(child: Expression) extends StringKernel {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.normalizeText(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.normalizeText($c)")
+    override protected def withNewChildInternal(
+        c: Expression): NormalizeText = copy(c)
+  }
+
   /** simhash64(str) — whole-document 64-bit SimHash in one pass. */
   case class SimHash64(child: Expression) extends StringKernel {
     override def dataType: DataType = LongType
@@ -702,6 +748,8 @@ object Expressions {
   def wordShingleHashesAt(c: Column, k: Int): Column =
     column(WordShingleHashesAt(expression(c), k))
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
+  def normalizeText(c: Column): Column =
+    column(NormalizeText(expression(c)))
   def gramRepetition(c: Column, n: Int): Column =
     column(GramRepetition(expression(c), n))
   def minHashSig(c: Column, k: Int, numHashes: Int): Column =
@@ -751,6 +799,8 @@ object Expressions {
       es => TokenHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("normalize_text",
+      es => NormalizeText(es.head), "built-in")
     reg.createOrReplaceTempFunction("gram_repetition",
       es => GramRepetition(es.head, es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -806,6 +856,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.SimHash64].getName,
         "simhash64"),
       (es: Seq[Expression]) => Expressions.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[Expressions.NormalizeText].getName,
+        "normalize_text"),
+      (es: Seq[Expression]) => Expressions.NormalizeText(es.head)))
     e.injectFunction((FunctionIdentifier("gram_repetition"),
       new ExpressionInfo(classOf[Expressions.GramRepetition].getName,
         "gram_repetition"),

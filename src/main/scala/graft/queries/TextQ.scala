@@ -1658,8 +1658,61 @@ object TextQ {
              CAST((rank * 3 + n - 1) // n AS BIGINT) AS bucket
       FROM r ORDER BY doc_id"""))
 
+  /** Unicode text normalization — the pre-tokenizer hygiene pass every
+    * production corpus runs ([[graft.functions.Expressions.NormalizeText]]):
+    * NFC composition, control/zero-width/BOM strip, space-run collapse,
+    * trim — one codegen kernel, bit-identical at any parallelism. The
+    * fixture plants combining accents (NFC must compose), a SOH control
+    * (not NUL: utf8proc's nfc_normalize is C-string-based and truncates
+    * there), a CR,
+    * zero-width space/joiner and ragged space runs around each
+    * document's text; the oracle replays the exact chain with DuckDB's
+    * utf8proc `nfc_normalize` + RE2 class removal + collapse + trim —
+    * two INDEPENDENT Unicode implementations agreeing char-for-char is
+    * the point of the gate. Output hashes the cleaned strings and their
+    * codepoint lengths. */
+  val q157 = Q(
+    "q157_normalize_text",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val messy = docs.select($"doc_id",
+        concat(
+          lit("  a\u0301 "), // decomposed: the kernel's NFC must compose
+          $"text",
+          when($"doc_id" % 3 === 0,
+            lit(" \u200Bzero\u200Dwidth\u0001ctl")).otherwise(lit("")),
+          when($"doc_id" % 3 === 1, lit("\r tail")).otherwise(lit("")),
+          lit("  e\u0301tude  ")).as("raw"))
+      messy.select($"doc_id",
+          graft.functions.Expressions.normalizeText($"raw").as("clean"))
+        .withColumn("n_chars_clean", length($"clean").cast("long"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               '  a' || chr(769) || ' ' || text
+               || CASE WHEN doc_id % 3 = 0
+                    THEN ' ' || chr(8203) || 'zero' || chr(8205)
+                         || 'width' || chr(1) || 'ctl'
+                    ELSE '' END
+               || CASE WHEN doc_id % 3 = 1
+                    THEN chr(13) || ' tail' ELSE '' END
+               || '  e' || chr(769) || 'tude  ' AS raw
+        FROM documents
+      )
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+               '', 'g'), ' +', ' ', 'g')) AS clean,
+             length(trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+               '', 'g'), ' +', ' ', 'g'))) AS n_chars_clean
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130, q136, q137, q138, q144, q146, q151)
+      q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157)
 }

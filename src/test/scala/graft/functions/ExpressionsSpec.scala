@@ -110,6 +110,36 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("normalize_text: NFC, control strip, collapse, trim, idempotent") {
+    import spark.implicits._
+    val cases = Seq(
+      // decomposed e + combining acute composes to \u00e9 (NFC)
+      "cafe\u0301  shop " -> "caf\u00e9 shop",
+      // controls/zero-width/BOM removed; tab and newline KEPT
+      "a\u0002b c\u200Bd\uFEFFe" -> "ab cde",
+      "keep\tthis\nlines" -> "keep\tthis\nlines",
+      // space runs collapse, ends trim (spaces only)
+      "   x    y   " -> "x y",
+      "" -> "",
+      "   " -> "")
+    val got = cases.map(_._1).toDF("raw")
+      .select(Expressions.normalizeText($"raw")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) =>
+      assert(g == e, s"got '$g' expected '$e'")
+    }
+    // idempotence: normalizing a normalized string is a no-op
+    val twice = got.toSeq.toDF("raw")
+      .select(Expressions.normalizeText($"raw")).as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+    // null passes through (UnaryExpression null semantics)
+    val n = Seq[Option[String]](None).toDF("raw")
+      .select(Expressions.normalizeText($"raw")).collect()
+    assert(n.head.isNullAt(0))
+    // and the SQL surface name resolves
+    assert(spark.sql("SELECT normalize_text('  a   b ')").head.getString(0)
+      == "a b")
+  }
+
   test("rolling_hash31 kernel equals the per-character fold on ASCII") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
