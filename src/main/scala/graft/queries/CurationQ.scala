@@ -1226,8 +1226,18 @@ object CurationQ {
       val docs = t(s, d, "documents")
       val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
         k = 3, numHashes = 32, bands = 8)
+      // Verify prefilter: semi-join the shingle-set table down to docs
+      // that appear in SOME candidate pair before the two verify joins —
+      // at corpus scale the candidate set is a small fraction of the
+      // corpus (that is the point of LSH), and under AQE the distinct
+      // candidate-id frame broadcasts at runtime, so the heavy
+      // shingle-array rows of NON-candidates are filtered map-side and
+      // never shuffle at all.
+      val candIds = cands.select($"id_a".as("doc_id"))
+        .unionByName(cands.select($"id_b".as("doc_id"))).distinct()
       val sh = Dedup.withShingleHashes(docs, "text", 3)
         .select($"doc_id", $"sh_hs")
+        .join(candIds, Seq("doc_id"), "left_semi")
       val verified = cands
         .join(sh.select($"doc_id".as("id_a"), $"sh_hs".as("hs_a")),
           Seq("id_a"))

@@ -811,7 +811,51 @@ object EventTimeQ {
       JOIN ex ON ex.ta = u.ta AND ex.tb = u.tb
       ORDER BY u.ta, u.tb"""))
 
+  /** Semi-structured property extraction — the landing-zone shape every
+    * event pipeline hits: a JSON `props` string column parsed row-locally
+    * (`get_json_object`, codegen'd — no UDF, no schema inference pass
+    * over the corpus) with malformed payloads surfacing as NULL instead
+    * of failing the batch (planted here on every 97th event), then a
+    * grouped rollup of the extracted value. The oracle replays the
+    * extraction with DuckDB's native JSON functions (`json_valid` +
+    * `json_extract`) — two independent JSON parsers agreeing on both
+    * the values and the malformed census. All-integer output. */
+  val q158 = Q(
+    "q158_json_props",
+    (s, d) => {
+      import s.implicits._
+      val parsed = t(s, d, "events").select($"event_type",
+        get_json_object(
+          when($"event_id" % 97 === 0, lit("not json"))
+            .otherwise($"props"), "$.k").cast("long").as("k"))
+      parsed.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_id % 97 = 0 THEN 'not json'
+                    ELSE props END AS raw
+        FROM events
+      ), p AS (
+        SELECT event_type,
+               CASE WHEN json_valid(raw)
+                 THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        FROM e
+      )
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_malformed,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM p GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131, q134, q140, q142)
+      q129, q131, q134, q140, q142, q158)
 }

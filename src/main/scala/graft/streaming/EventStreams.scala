@@ -126,6 +126,42 @@ object EventStreams {
   /** Stateful sessionization with flatMapGroupsWithState: a session closes
     * after `gapSec` of inactivity (processing-time timeout for the stream
     * case; in batch tests the final state flush emits every session). */
+  /** Watermarked stream-stream interval join — the canonical two-stream
+    * shape (click→impression attribution): each click joins the SAME
+    * user's impressions whose timestamp lies in [click_ts - horizon,
+    * click_ts]. Both streams carry watermarks and the join condition
+    * bounds event time in BOTH directions, which is exactly what lets
+    * the engine expire join state: an impression can be dropped once
+    * the click watermark passes imp_ts + horizon, so state is
+    * O(horizon × arrival rate) regardless of stream length — the
+    * requirement for running attribution continuously over months.
+    * `joinType` "inner" emits matches as they arrive; "leftOuter"
+    * additionally emits unmatched impressions (click columns null) once
+    * the watermark proves no future click can match them.
+    *
+    * Batch parity: the same join expression over static frames gives
+    * the identical inner-join row set (spec-checked), so the batch and
+    * streaming paths share semantics the way windowedCounts/
+    * sessionWindowAgg already do. */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      horizonSec: Long = 3600, watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val imp = impressions.select(col("event_id").as("imp_id"),
+        col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") +
+          expr(s"INTERVAL $horizonSec SECONDS"),
+      joinType)
+      .select(col("imp_id"), col("user_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame,
       gapSec: Long = 1800): DataFrame = {
     import spark.implicits._

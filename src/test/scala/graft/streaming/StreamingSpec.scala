@@ -237,6 +237,73 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val imps = events.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val clks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    implicit val sqlCtx = spark.sqlContext
+    val memI = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val si = memI.toDF().toDF("event_id", "user_id", "ts")
+    val sc = memC.toDF().toDF("event_id", "user_id", "ts")
+    val joined = EventStreams.attributionJoin(si, sc,
+      horizonSec = 7 * 86400, watermark = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq
+    memI.addData(rows(imps))
+    memC.addData(rows(clks))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .select($"imp_id", $"click_id").as[(Long, Long)].collect().toSet
+    val batch = EventStreams.attributionJoin(imps, clks,
+        horizonSec = 7 * 86400)
+      .select($"imp_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no attributable pairs")
+    assert(got == batch)
+  }
+
+  test("leftOuter attribution emits unmatched impressions after the " +
+      "watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // away from epoch 0: a row whose event time equals the engine's
+    // INITIAL watermark (0) is discarded as late before it ever reaches
+    // the join state
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val memI = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.attributionJoin(
+      memI.toDF().toDF("event_id", "user_id", "ts"),
+      memC.toDF().toDF("event_id", "user_id", "ts"),
+      horizonSec = 600, watermark = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+    // imp 1 gets a click inside the 10-min horizon; imp 2 never does
+    memI.addData(Seq((1L, 7L, ts(0)), (2L, 8L, ts(1))))
+    memC.addData(Seq((10L, 7L, ts(5))))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past imp_ts + horizon so the engine
+    // can prove imp 2 is unmatched and emit its null row
+    memI.addData(Seq((99L, 99L, ts(600))))
+    memC.addData(Seq((98L, 99L, ts(600))))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_outer")
+      .select($"imp_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(out.get(1L) == Some(Some(10L)), s"matched pair wrong: $out")
+    assert(out.get(2L) == Some(None),
+      s"unmatched impression not emitted with null click: $out")
+  }
+
   test("anomaly gate surfaces unknown event types and zero-MAD stats " +
       "as null scores instead of dropping/NaN") {
     val stats = Seq(("click", 5.0, 2.0), ("flat", 1.0, 0.0))
