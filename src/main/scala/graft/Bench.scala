@@ -131,6 +131,12 @@ object Bench {
     val storB = scala.collection.mutable.Map
       .empty[String, Long].withDefaultValue(0L)
     val failed = scala.collection.mutable.Map.empty[String, String]
+    // wall time over ALL reps (successful or not) — the denominator the
+    // GC-fraction trigger needs, since gcMs also accumulates over all
+    // reps (samples.sum would cover successful reps only and inflate
+    // the fraction when reps fail)
+    val wallSec = scala.collection.mutable.Map
+      .empty[String, Double].withDefaultValue(0.0)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         gcSink: scala.collection.mutable.Map[String, Long],
@@ -152,6 +158,7 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (gcSink eq gcMs) wallSec(name) = wallSec(name) + sec
       gcSink(name) = gcSink(name) + (gcMillis() - gc0)
       // Queries are independent pipelines: drop any frame a query
       // persisted for its own internal reuse (poobah, jaccardDedup
@@ -208,7 +215,7 @@ object Bench {
       val med0 = median(samples(name))
       val vsSelf = med0 > 3.0 * samples(name).min
       val vsRef = ref.get(name).exists(r => med0 > 2.0 * r)
-      val gcHeavy = gcMs(name) > 0.2 * samples(name).sum * 1000.0
+      val gcHeavy = gcMs(name) > 0.2 * wallSec(name) * 1000.0
       if (vsSelf || vsRef || gcHeavy)
         timeOne(name, fn, outGc, outSpill, outStor, outFailed)
           .foreach(s => outliers(name) = s)
@@ -237,10 +244,18 @@ object Bench {
     val outlierJson = jmap(outliers.toSeq.sortBy(_._1))
     val telemetryJson =
       jtel(timed.map(_._1), gcMs, spillB, storB)
+    // union with outFailed: a FAILED re-run's telemetry is exactly what
+    // explains the failure — it must not vanish from the artifact
     val outlierTelJson =
-      jtel(outliers.keys.toSeq.sorted, outGc, outSpill, outStor)
+      jtel((outliers.keys ++ outFailed.keys).toSeq.distinct.sorted,
+        outGc, outSpill, outStor)
+    // registered queries with no reference entry run without the 2x
+    // vsRef bound — surface them so the artifact shows the gap
+    val refMissing = timed.map(_._1).filterNot(ref.contains).sorted
+    val refMissingJson =
+      refMissing.map(jstr).mkString("[", ",", "]")
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"outliers_failed":${jfail(outFailed)},"outlier_telemetry":$outlierTelJson,"telemetry":$telemetryJson,"failed":${jfail(failed)},"reps":$Reps,"storage_fraction":$storageFraction,"ref_loaded":${ref.nonEmpty},"ref_path":${jstr(refPath)},"ref_queries":${ref.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"outliers_failed":${jfail(outFailed)},"outlier_telemetry":$outlierTelJson,"telemetry":$telemetryJson,"failed":${jfail(failed)},"reps":$Reps,"storage_fraction":$storageFraction,"ref_loaded":${ref.nonEmpty},"ref_path":${jstr(refPath)},"ref_queries":${ref.size},"ref_missing":$refMissingJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the log TAIL — r6 lost q01-q14's rows to
     // truncation. Persist the full record to disk so no round loses data.

@@ -121,8 +121,14 @@ object Phash {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(spark, media, stride)
       .map { f =>
-        require(f.frame_idx < 1000000,
+        require(f.frame_idx >= 0 && f.frame_idx < 1000000,
           s"frame index ${f.frame_idx} overflows the packed frame id")
+        // media_id must pack losslessly: negative ids would straddle
+        // Long `div` truncation boundaries (frames of one video split
+        // across two vids), large ids overflow the multiply
+        require(f.media_id >= 0 && f.media_id < 9223372036854L,
+          s"media_id ${f.media_id} outside the packable range " +
+            "[0, 9.22e12) for frame-id packing")
         Multimodal.MediaRow(f.media_id * 1000000L + f.frame_idx,
           "image", f.content, w, h, 0, 0)
       }

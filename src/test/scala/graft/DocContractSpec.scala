@@ -19,16 +19,19 @@ class DocContractSpec extends AnyFunSuite {
     val root = java.nio.file.Paths.get("src/main/scala")
     assert(java.nio.file.Files.isDirectory(root),
       s"expected to run from the repo root, cwd=${System.getProperty("user.dir")}")
-    val dangling = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val lines = java.nio.file.Files.readAllLines(p).asScala
-        lines.zipWithIndex.flatMap { case (line, i) =>
-          re.findAllMatchIn(line).map(m => (s"$p:${i + 1}", m.matched))
+    val dangling = scala.util.Using.resource(
+        java.nio.file.Files.walk(root)) { stream =>
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val lines = java.nio.file.Files.readAllLines(p).asScala
+          lines.zipWithIndex.flatMap { case (line, i) =>
+            re.findAllMatchIn(line).map(m => (s"$p:${i + 1}", m.matched))
+          }
         }
-      }
-      .filterNot { case (_, tok) => registered.contains(tok) }
-      .toVector
+        .filterNot { case (_, tok) => registered.contains(tok) }
+        .toVector
+    }
     assert(dangling.isEmpty,
       "docs reference unregistered queries:\n" +
         dangling.map { case (loc, tok) => s"  $tok at $loc" }

@@ -22,9 +22,15 @@ rec = json.loads(src.read_text())
 queries = rec["queries"]
 if out.exists() and not force:
     old = json.loads(out.read_text())
-    if len(queries) < len(old):
-        sys.exit(f"refusing: new record has {len(queries)} queries, "
-                 f"ref has {len(old)} (pass --force for a partial reseed)")
+    # compare KEY SETS, not counts: N failed queries + N new queries
+    # would otherwise reseed silently and drop the failed queries'
+    # reference bounds
+    missing = sorted(set(old) - set(queries))
+    if missing:
+        sys.exit(f"refusing: new record lacks {len(missing)} queries "
+                 f"the ref covers ({', '.join(missing[:5])}"
+                 f"{'...' if len(missing) > 5 else ''}) — they likely "
+                 "FAILED in the bench; pass --force to drop their bounds")
 out.write_text("{\n" + ",\n".join(
     f'"{k}": {round(v, 3)}' for k, v in sorted(queries.items()))
     + "\n}\n")
