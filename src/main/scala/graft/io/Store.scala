@@ -80,6 +80,28 @@ object Store {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** OPTIMIZE-shape compaction plan (the Delta/Iceberg small-file
+    * maintenance pass): greedy bin-packing of files into ~`targetBytes`
+    * groups in `pathCol` order WITHOUT splitting files — a file lands in
+    * the bin where its exclusive byte offset falls (`offset div target`),
+    * so a bin can overshoot by at most one file, exactly the simple
+    * greedy plan OPTIMIZE executes. The offset is the global exclusive
+    * prefix sum ([[graft.operators.Ranks.withGlobalPrefixSum]]'s
+    * zipWithIndex shape — ONE range shuffle at any listing size, never a
+    * single-partition window over 100 TB of file metadata). Returns one
+    * row per file: (pathCol, bytesCol, offset, bin). Rewriting the plan
+    * is then one `repartitionByRange(bin)` write per table. */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    graft.operators.Ranks.withGlobalPrefixSum(
+        files.select(col(pathCol), col(bytesCol).cast("long").as(bytesCol)),
+        Seq(col(pathCol)), bytesCol, "offset", exclusive = true)
+      .withColumn("bin", org.apache.spark.sql.functions.expr(
+        s"offset div $targetBytes"))
+  }
+
   /** MERGE INTO semantics (the Delta/Iceberg upsert shape) as one
     * full-outer hash join: matched + delete-flag → row dropped, matched →
     * the WHOLE update row replaces the base row (per-column coalesce

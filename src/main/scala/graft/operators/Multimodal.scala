@@ -626,9 +626,13 @@ object Multimodal {
     * never an all-pairs join), then confirm candidates with the exact
     * cosine. Candidates missed by banding are pairs with sketch Hamming
     * > 3 — for `threshold` ≥ ~0.95 the SRP disagreement rate makes that
-    * loss negligible, the standard LSH recall trade. */
+    * loss negligible, the standard LSH recall trade. `maxBucket` drops
+    * hyper-hot sketch buckets (near-constant payloads — blank pages,
+    * silence — whose features collapse onto one sketch) before the
+    * quadratic pair expansion; None = uncapped. */
   def nearDupCandidates(spark: SparkSession, media: Dataset[MediaRow],
-      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, dim: Int = 64,
+      maxBucket: Option[Int] = None): DataFrame = {
     val feats = extractFeatures(spark, media, dim).toDF()
     val sk = feats.select(col("media_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
@@ -639,9 +643,11 @@ object Multimodal {
         """transform(sequence(0, 3),
             b -> shiftright(sketch, b * 16) & 65535)"""))
         .as(Seq("band", "chunk")))
-    val inv = banded.groupBy("band", "chunk")
+    val inv0 = banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
       .filter(size(col("ds")) >= 2)
+    val inv = maxBucket.map(c => inv0.filter(size(col("ds")) <= c))
+      .getOrElse(inv0)
     Dedup.expandPairs(inv)
       .select(col("a.id").as("id_a"), col("a.v").as("va"),
         col("b.id").as("id_b"), col("b.v").as("vb"))

@@ -117,7 +117,7 @@ object Phash {
   def videoNearDup(spark: SparkSession,
       media: Dataset[Multimodal.MediaRow], stride: Int = 2,
       w: Int = 16, h: Int = 16, maxDist: Int = 3,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(spark, media, stride)
       .map { f =>
@@ -138,8 +138,11 @@ object Phash {
       .select(col("media_id").as("fid"),
         quantize24(col("pixels")).as("lv"))
       .select(col("fid"), aHash64("lv", w, h).as("ph"))
-    // frame ids sort like (video, frame), so id_a < id_b ⇒ vid_a ≤ vid_b
-    hammingCandidates(hashed, "fid", "ph", maxDist)
+    // frame ids sort like (video, frame), so id_a < id_b ⇒ vid_a ≤ vid_b.
+    // For film/scan corpora pass maxBucket: black/blank frames appear in
+    // EVERY video, collide into one band bucket and would otherwise pair
+    // all videos with all videos through their fade-outs.
+    hammingCandidates(hashed, "fid", "ph", maxDist, maxBucket)
       .select(expr("id_a div 1000000").as("vid_a"),
         expr("id_b div 1000000").as("vid_b"))
       .filter(col("vid_a") =!= col("vid_b"))
@@ -190,9 +193,20 @@ object Phash {
     * as [[Dedup.simHashCandidates]]: any pair within distance 3 shares
     * an exact 16-bit chunk, so the inverted (band, chunk) index yields
     * EXACTLY the qualifying pairs — no all-pairs compare. Input must
-    * carry one hash per id. Output: (id_a, id_b, hamming), id_a < id_b. */
+    * carry one hash per id. Output: (id_a, id_b, hamming), id_a < id_b.
+    *
+    * `maxBucket` is the hot-bucket guard (the [[Dedup.jaccardPairs]]
+    * dfCap idea on band buckets): a real image corpus is FULL of
+    * near-constant frames — blank pages, black frames, solid
+    * backgrounds — whose hashes collide into one (band, chunk) bucket
+    * that [[Dedup.expandPairs]] would expand quadratically. Buckets
+    * larger than the cap are dropped: pairs whose ONLY shared chunk is
+    * that hot lose their candidacy (the standard production trade;
+    * None = exact pigeonhole completeness, the default). Pipeline
+    * order matters either way: run [[Multimodal.exactDupGroups]] first
+    * so byte-identical payloads never reach the band index at all. */
   def hammingCandidates(df: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only " +
         "guarantee a shared exact chunk within Hamming distance 3")
@@ -201,9 +215,11 @@ object Phash {
         s"""transform(sequence(0, 3),
             b -> shiftright($hashCol, b * 16) & 65535)"""))
         .as(Seq("band", "chunk")))
-    val inv = banded.groupBy("band", "chunk")
+    val inv0 = banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("ph"))).as("ds"))
       .filter(size(col("ds")) >= 2)
+    val inv = maxBucket.map(c => inv0.filter(size(col("ds")) <= c))
+      .getOrElse(inv0)
     Dedup.expandPairs(inv)
       .select(col("a.id").as("id_a"), col("a.ph").as("h_a"),
         col("b.id").as("id_b"), col("b.ph").as("h_b"))

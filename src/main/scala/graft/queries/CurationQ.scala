@@ -1205,6 +1205,53 @@ object CurationQ {
       ORDER BY p.source"""
     })
 
+  /** OPTIMIZE-shape small-file compaction plan
+    * ([[graft.io.Store.compactionPlan]]): a synthetic file listing
+    * derived from `part` (skewed sizes: mostly KB-scale small files
+    * with every 13th a near-target large one) greedily bin-packed to
+    * 8 MB groups in path order without splitting — the bin is the
+    * exclusive-prefix-sum byte offset div target, so a bin overshoots
+    * by at most one file. Output: per-bin file count, bytes, and the
+    * path span. The oracle replays the exclusive cumsum as a window
+    * (fine at oracle scale; the Spark side is the one-range-shuffle
+    * prefix sum) and the same integer div. */
+  val q159 = Q(
+    "q159_compaction_plan",
+    (s, d) => {
+      import s.implicits._
+      val k = $"p_partkey"
+      val files = t(s, d, "part").select(
+        concat(lit("data/part-"),
+          lpad(k.cast("string"), 6, "0"), lit(".parquet")).as("path"),
+        (when(k % 13 === 0, 6000000L).otherwise(0L) +
+          (k * 7919) % 500000 + 50000).cast("long").as("bytes"))
+      graft.io.Store.compactionPlan(files, "path", "bytes",
+          targetBytes = 8388608L)
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+          min($"path").as("first_path"), max($"path").as("last_path"))
+        .orderBy($"bin")
+    },
+    Some("""
+      WITH files AS (
+        SELECT 'data/part-' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+                 || '.parquet' AS path,
+               CAST(CASE WHEN p_partkey % 13 = 0 THEN 6000000 ELSE 0 END
+                 + (p_partkey * 7919) % 500000 + 50000 AS BIGINT) AS bytes
+        FROM part
+      ), offs AS (
+        SELECT path, bytes,
+               coalesce(sum(bytes) OVER (ORDER BY path
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS off
+        FROM files
+      )
+      SELECT CAST(off // 8388608 AS BIGINT) AS bin,
+             count(*) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             min(path) AS first_path, max(path) AS last_path
+      FROM offs GROUP BY 1 ORDER BY 1"""))
+
   /** The fuzzy-dedup pipeline as ONE integration row — the exact chain
     * a 100 TB curation run executes: MinHash-LSH candidate pairs
     * (q33's operator) → exact-Jaccard VERIFY on the candidates only
@@ -1339,5 +1386,5 @@ object CurationQ {
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156)
+      q156, q159)
 }

@@ -105,6 +105,23 @@ class PhashSpec extends SparkSpec {
     assert(!brute.exists { case (a, b, _) => a == 0L && b == 102L })
   }
 
+  /** The hot-bucket guard: identical hashes (the blank-page/black-frame
+    * shape) collide into single band buckets that would expand
+    * quadratically; maxBucket drops them while distinct near-dups keep
+    * pairing. */
+  test("hammingCandidates maxBucket drops hyper-hot buckets only") {
+    val rows = (0L until 40L).map(i => (i, 0xDEADBEEFL)) ++ // 40 clones
+      Seq((100L, 0x1234L), (101L, 0x1234L ^ (1L << 7))) // distance-1 pair
+    val df = rows.toDF("id", "ph")
+    val uncapped = Phash.hammingCandidates(df, "id", "ph", maxDist = 3)
+    assert(uncapped.count() == 40L * 39 / 2 + 1)
+    val capped = Phash
+      .hammingCandidates(df, "id", "ph", maxDist = 3, maxBucket = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the clone blob is gone, the genuine near-dup pair survives
+    assert(capped == Set((100L, 101L)))
+  }
+
   /** A real 8-bit grayscale PNG (JDK writer) with caller-chosen pixels. */
   private def grayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
