@@ -95,6 +95,12 @@ object Store {
       targetBytes: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(pathCol != "offset" && pathCol != "bin" &&
+        bytesCol != "offset" && bytesCol != "bin",
+      "compactionPlan emits 'offset' and 'bin' columns — rename the " +
+        s"input columns first (got pathCol=$pathCol, bytesCol=$bytesCol)")
+    // paths must be unique (true of any real file listing): ties in the
+    // prefix-sum sort order would make per-file offsets nondeterministic
     graft.operators.Ranks.withGlobalPrefixSum(
         files.select(col(pathCol), col(bytesCol).cast("long").as(bytesCol)),
         Seq(col(pathCol)), bytesCol, "offset", exclusive = true)

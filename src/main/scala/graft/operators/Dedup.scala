@@ -797,20 +797,13 @@ object Dedup {
     * calls now fail fast — use more/narrower bands if you genuinely
     * need a larger Hamming radius. */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only guarantee " +
         "a shared exact chunk for pairs within Hamming distance 3")
     val hashes = simHash(df, idCol, textCol)
-    val banded = hashes.select(col(idCol).as("id"), col("simhash"),
-      posexplode(expr(
-        """transform(sequence(0, 3),
-            b -> shiftright(simhash, b * 16) & 65535)"""))
-        .as(Seq("band", "chunk")))
-    val inv = banded.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    expandPairs(inv)
+      .select(col(idCol).as("id"), col("simhash"))
+    bandCandidates64(hashes, "simhash", Seq("simhash"), maxBucket)
       .select(col("a.id").as("id_a"), col("a.simhash").as("h_a"),
         col("b.id").as("id_b"), col("b.simhash").as("h_b"))
       .dropDuplicates("id_a", "id_b")
@@ -818,6 +811,47 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Shared 4×16-bit band inverted index over a 64-bit hash/sketch
+    * column — the candidate engine behind [[simHashCandidates]],
+    * [[graft.operators.Phash.hammingCandidates]] and
+    * [[graft.operators.Multimodal.nearDupCandidates]]. `df` must carry
+    * a unique `id` column plus `hashCol` and the payload columns; the
+    * result is [[expandPairs]] output, one row per co-bucketed (a, b)
+    * with a.id < b.id and struct fields (id, payloadCols...).
+    *
+    * The hot-bucket guard runs BEFORE list materialization: when
+    * `maxBucket` is set, bucket sizes are counted first — the
+    * (band, chunk) domain is bounded at 4·2^16 rows, so the census
+    * always broadcasts — and over-cap buckets drop via a broadcast
+    * semi-filter. A corpus of near-constant payloads (blank pages,
+    * black frames, boilerplate text) would otherwise assemble one
+    * multi-GB collect_list buffer on a single reducer and only THEN
+    * size-filter it away. None = exact pigeonhole completeness at
+    * distance ≤ 3, the default. */
+  private[operators] def bandCandidates64(df: DataFrame, hashCol: String,
+      payloadCols: Seq[String], maxBucket: Option[Int]): DataFrame = {
+    val banded = df.select(
+      (col("id") +: payloadCols.map(col)) :+
+        posexplode(expr(
+          s"""transform(sequence(0, 3),
+              b -> shiftright($hashCol, b * 16) & 65535)"""))
+          .as(Seq("band", "chunk")): _*)
+    val eligible = maxBucket match {
+      case Some(c) =>
+        val small = banded.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") <= c)
+          .select("band", "chunk")
+        banded.join(broadcast(small), Seq("band", "chunk"), "left_semi")
+      case None => banded
+    }
+    val inv = eligible.groupBy("band", "chunk")
+      .agg(collect_list(
+        struct(col("id") +: payloadCols.map(col): _*)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    expandPairs(inv)
   }
 
   /** Edit-distance-1 pairs via deletion-neighborhood hashing (the

@@ -638,17 +638,8 @@ object Multimodal {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("sketch",
         graft.functions.Expressions.srpSketch64(col("v"), dim))
-    val banded = sk.select(col("id"), col("v"),
-      posexplode(expr(
-        """transform(sequence(0, 3),
-            b -> shiftright(sketch, b * 16) & 65535)"""))
-        .as(Seq("band", "chunk")))
-    val inv0 = banded.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val inv = maxBucket.map(c => inv0.filter(size(col("ds")) <= c))
-      .getOrElse(inv0)
-    Dedup.expandPairs(inv)
+    Dedup.bandCandidates64(sk.select(col("id"), col("v"), col("sketch")),
+        "sketch", Seq("v"), maxBucket)
       .select(col("a.id").as("id_a"), col("a.v").as("va"),
         col("b.id").as("id_b"), col("b.v").as("vb"))
       .dropDuplicates("id_a", "id_b")

@@ -210,17 +210,8 @@ object Phash {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist ($maxDist) must be <= 3: 4 bands of 16 bits only " +
         "guarantee a shared exact chunk within Hamming distance 3")
-    val banded = df.select(col(idCol).as("id"), col(hashCol).as("ph"),
-      posexplode(expr(
-        s"""transform(sequence(0, 3),
-            b -> shiftright($hashCol, b * 16) & 65535)"""))
-        .as(Seq("band", "chunk")))
-    val inv0 = banded.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("ph"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val inv = maxBucket.map(c => inv0.filter(size(col("ds")) <= c))
-      .getOrElse(inv0)
-    Dedup.expandPairs(inv)
+    val hashes = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
+    Dedup.bandCandidates64(hashes, "ph", Seq("ph"), maxBucket)
       .select(col("a.id").as("id_a"), col("a.ph").as("h_a"),
         col("b.id").as("id_b"), col("b.ph").as("h_b"))
       .dropDuplicates("id_a", "id_b")

@@ -1222,7 +1222,7 @@ object CurationQ {
       val k = $"p_partkey"
       val files = t(s, d, "part").select(
         concat(lit("data/part-"),
-          lpad(k.cast("string"), 6, "0"), lit(".parquet")).as("path"),
+          lpad(k.cast("string"), 12, "0"), lit(".parquet")).as("path"),
         (when(k % 13 === 0, 6000000L).otherwise(0L) +
           (k * 7919) % 500000 + 50000).cast("long").as("bytes"))
       graft.io.Store.compactionPlan(files, "path", "bytes",
@@ -1234,7 +1234,7 @@ object CurationQ {
     },
     Some("""
       WITH files AS (
-        SELECT 'data/part-' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+        SELECT 'data/part-' || lpad(CAST(p_partkey AS VARCHAR), 12, '0')
                  || '.parquet' AS path,
                CAST(CASE WHEN p_partkey % 13 = 0 THEN 6000000 ELSE 0 END
                  + (p_partkey * 7919) % 500000 + 50000 AS BIGINT) AS bytes

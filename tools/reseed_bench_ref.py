@@ -5,10 +5,10 @@ Usage: python3 tools/reseed_bench_ref.py [bench_json] [out_json]
 
 Reads the one-line JSON record graft.Bench writes (default
 target/bench.json), extracts the per-query MEDIANS, and writes the flat
-{"name": seconds} map the outlier protocol loads. Refuses records that
-look partial (fewer queries than the current ref) unless --force, so a
-filtered SPARK_GRAFT_BENCH_ONLY run can't silently shrink the
-reference.
+{"name": seconds} map the outlier protocol loads. Refuses (unless --force)
+whenever the new record is missing ANY query the current ref covers —
+whether from a filtered SPARK_GRAFT_BENCH_ONLY run or from queries that
+failed in the bench — so reference bounds never vanish silently.
 """
 import json
 import sys
