@@ -91,6 +91,85 @@ object HashFuncs {
     h ^ (h >>> 31)
   }
 
+  /** 64-bit aHash over row-major integer pixel levels (w×h, both
+    * divisible by 8): equal-area average-pool to an 8×8 grid, bit
+    * k = 64·cellSum(k) > totalSum — one tight two-level loop instead of
+    * the interpreted HOF fold (same ~10× codegen-vs-HOF gap as
+    * [[tokenHashes]]). Levels must be non-null and ≤ 2^24 (the
+    * [[graft.operators.Phash.quantize24]] contract) so no product
+    * approaches BIGINT range. Semantics bit-identical to the SQL-HOF
+    * formulation PhashSpec pins and the q155 DuckDB oracle replays. */
+  def aHash64(levels: ArrayData, w: Int, h: Int): Long = {
+    val bw = w / 8
+    val bh = h / 8
+    val cells = new Array[Long](64)
+    var tot = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += levels.getLong((cy * bh + dy) * w + cx * bw + dx)
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(cy * 8 + cx) = s
+        tot += s
+        cx += 1
+      }
+      cy += 1
+    }
+    var hsh = 0L
+    var k = 0
+    while (k < 64) {
+      if (64L * cells(k) > tot) hsh |= 1L << k
+      k += 1
+    }
+    hsh
+  }
+
+  /** 64-bit dHash over row-major integer pixel levels (w divisible by
+    * 9, h by 8): pool to a 9×8 grid, bit r·8+c = cell(r,c) > cell(r,c+1)
+    * — strict integer compare, one pass. Same kernel-vs-HOF rationale
+    * and bit-identity contract as [[aHash64]]. */
+  def dHash64(levels: ArrayData, w: Int, h: Int): Long = {
+    val bw = w / 9
+    val bh = h / 8
+    val cells = new Array[Long](72)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += levels.getLong((r * bh + dy) * w + c * bw + dx)
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(r * 9 + c) = s
+        c += 1
+      }
+      r += 1
+    }
+    var hsh = 0L
+    var k = 0
+    while (k < 64) {
+      if (cells((k / 8) * 9 + k % 8) > cells((k / 8) * 9 + k % 8 + 1))
+        hsh |= 1L << k
+      k += 1
+    }
+    hsh
+  }
+
   /** Morton/Z-order interleave of the low `bits` bits of two longs:
     * result bit 2i is bit i of `a`, bit 2i+1 is bit i of `b`. Range-
     * clustering both dimensions at once is the layout trick behind
@@ -728,6 +807,53 @@ object Expressions {
         r: Expression): ZOrder2 = copy(left = l, right = r)
   }
 
+  /** ahash64(levels, w, h) / dhash64(levels, w, h) — perceptual-hash
+    * pooling kernels over array<long> pixel levels; see
+    * HashFuncs.{aHash64,dHash64} for semantics and the divisibility /
+    * non-null / ≤ 2^24 level contract. */
+  abstract class PixelHashKernel extends UnaryExpression {
+    def w: Int
+    def h: Int
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(
+              s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+      }
+  }
+
+  case class AHash64(child: Expression, w: Int, h: Int)
+      extends PixelHashKernel {
+    require(w % 8 == 0 && h % 8 == 0,
+      s"ahash64 needs dimensions divisible by 8, got ${w}x$h")
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.aHash64(v.asInstanceOf[ArrayData], w, h)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.aHash64($c, $w, $h)")
+    override protected def withNewChildInternal(c: Expression): AHash64 =
+      copy(child = c)
+  }
+
+  case class DHash64(child: Expression, w: Int, h: Int)
+      extends PixelHashKernel {
+    require(w % 9 == 0 && h % 8 == 0,
+      s"dhash64 needs width divisible by 9 and height by 8, got ${w}x$h")
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.dHash64(v.asInstanceOf[ArrayData], w, h)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.dHash64($c, $w, $h)")
+    override protected def withNewChildInternal(c: Expression): DHash64 =
+      copy(child = c)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -782,6 +908,11 @@ object Expressions {
 
   def zorder2(a: Column, b: Column, bits: Int): Column =
     column(ZOrder2(toL(expression(a)), toL(expression(b)), bits))
+
+  def aHash64(levels: Column, w: Int, h: Int): Column =
+    column(AHash64(expression(levels), w, h))
+  def dHash64(levels: Column, w: Int, h: Int): Column =
+    column(DHash64(expression(levels), w, h))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
@@ -912,6 +1043,14 @@ class GraftExtensions
       (es: Seq[Expression]) =>
         Expressions.ZOrder2(Expressions.toL(es(0)), Expressions.toL(es(1)),
           litInt(es(2)))))
+    e.injectFunction((FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[Expressions.AHash64].getName, "ahash64"),
+      (es: Seq[Expression]) =>
+        Expressions.AHash64(es.head, litInt(es(1)), litInt(es(2)))))
+    e.injectFunction((FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[Expressions.DHash64].getName, "dhash64"),
+      (es: Seq[Expression]) =>
+        Expressions.DHash64(es.head, litInt(es(1)), litInt(es(2)))))
   }
 
   /** Integer literal argument of a SQL call (k, numHashes, dim …). */

@@ -42,8 +42,19 @@ object Phash {
     * k = cy·8+cx set when cell (cy,cx)'s sum exceeds the global
     * per-cell average — `64·cell_sum > total_sum`, exact because all
     * 64 cells have equal area. Levels ≤ 2^24 keep every product far
-    * from BIGINT range (total ≤ n·2^24, ×64 ≤ 2^36+log2 n). */
-  def aHash64(levelsCol: String, w: Int, h: Int): Column = {
+    * from BIGINT range (total ≤ n·2^24, ×64 ≤ 2^36+log2 n).
+    *
+    * Runs as the codegen kernel [[graft.functions.Expressions.AHash64]]
+    * (one tight pooling loop in generated code); [[aHash64Hof]] is the
+    * same math as pure SQL higher-order functions — the formulation the
+    * q155 DuckDB oracle replays relationally — and PhashSpec asserts
+    * kernel ≡ HOF bit-for-bit on random images. */
+  def aHash64(levelsCol: String, w: Int, h: Int): Column =
+    graft.functions.Expressions.aHash64(col(levelsCol), w, h)
+
+  /** [[aHash64]] as pure SQL HOFs (the spec/oracle cross-check). */
+  private[operators] def aHash64Hof(levelsCol: String, w: Int,
+      h: Int): Column = {
     require(w % 8 == 0 && h % 8 == 0,
       s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
     val bw = w / 8; val bh = h / 8
@@ -74,8 +85,14 @@ object Phash {
     * w divisible by 9 and h by 8): average-pool to a 9×8 grid, bit
     * k = r·8+c set when pooled cell (r,c) > cell (r,c+1) — a pure
     * integer sum compare (the 72 cells share one area). The horizontal
-    * luma gradient survives brightness shifts that flip aHash bits. */
-  def dHash64(levelsCol: String, w: Int, h: Int): Column = {
+    * luma gradient survives brightness shifts that flip aHash bits.
+    * Codegen kernel + HOF cross-check, as [[aHash64]]. */
+  def dHash64(levelsCol: String, w: Int, h: Int): Column =
+    graft.functions.Expressions.dHash64(col(levelsCol), w, h)
+
+  /** [[dHash64]] as pure SQL HOFs (the spec/oracle cross-check). */
+  private[operators] def dHash64Hof(levelsCol: String, w: Int,
+      h: Int): Column = {
     require(w % 9 == 0 && h % 8 == 0,
       s"dHash64 needs width divisible by 9 and height by 8, got ${w}x$h")
     val bw = w / 9; val bh = h / 8

@@ -105,6 +105,25 @@ class PhashSpec extends SparkSpec {
     assert(!brute.exists { case (a, b, _) => a == 0L && b == 102L })
   }
 
+  /** The codegen kernels must equal the SQL-HOF formulations (which the
+    * q155 DuckDB oracle replays) bit-for-bit on random images. */
+  test("aHash64/dHash64 kernels equal the HOF formulations") {
+    val rnd = new scala.util.Random(7)
+    val imgs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(256)(rnd.nextInt(1 << 24).toLong),
+        Array.fill(288)(rnd.nextInt(1 << 24).toLong)))
+      .toDF("id", "lv_a", "lv_d")
+    val r = imgs.select(
+      Phash.aHash64("lv_a", 16, 16).as("ka"),
+      Phash.aHash64Hof("lv_a", 16, 16).as("ha"),
+      Phash.dHash64("lv_d", 18, 16).as("kd"),
+      Phash.dHash64Hof("lv_d", 18, 16).as("hd")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), "aHash kernel != HOF")
+      assert(row.getLong(2) == row.getLong(3), "dHash kernel != HOF")
+    }
+  }
+
   /** The hot-bucket guard: identical hashes (the blank-page/black-frame
     * shape) collide into single band buckets that would expand
     * quadratically; maxBucket drops them while distinct near-dups keep
