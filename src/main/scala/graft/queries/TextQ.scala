@@ -1711,8 +1711,63 @@ object TextQ {
                '', 'g'), ' +', ' ', 'g'))) AS n_chars_clean
       FROM m ORDER BY doc_id"""))
 
+  /** Normalization-aware exact dedup — the integration the q157 kernel
+    * exists for: byte-DIFFERENT but canonically-equal copies (composed
+    * vs decomposed accents, zero-width joiners, ragged spacing) must
+    * collapse to one hash AFTER [[graft.functions.Expressions
+    * .NormalizeText]] while raw md5 keeps them apart. The fixture
+    * plants one composed and one decomposed variant of every document;
+    * the output proves each pair lands in ONE group of exactly two
+    * copies with the composed variant's id kept (min id), and carries
+    * the raw-hash distinct count as the negative control (2 per pair).
+    * Oracle: DuckDB md5 over its independent nfc_normalize chain. */
+  val q160 = Q(
+    "q160_normalized_dedup",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.Expressions.register(s)
+      val docs = t(s, d, "documents")
+      val variants = docs.select($"doc_id",
+          concat($"text", lit(" caf\u00E9  ")).as("text")) // composed
+        .unionByName(docs.select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text",
+            lit("  cafe\u0301 \u200B")).as("text"))) // decomposed + ZWSP
+      val normalized = variants.select($"doc_id",
+        graft.functions.Expressions.normalizeText($"text").as("norm"),
+        $"text")
+      val groups = normalized
+        .groupBy(md5($"norm").as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min($"doc_id").as("keep_id"),
+          countDistinct(md5($"text")).as("n_raw_hashes"))
+      groups.select($"keep_id", $"n_copies", $"n_raw_hashes")
+        .orderBy($"keep_id")
+    },
+    Some("""
+      WITH variants AS (
+        SELECT doc_id, text || ' caf' || chr(233) || '  ' AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text || '  cafe' || chr(769) || ' ' || chr(8203) AS text
+        FROM documents
+      ), normalized AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                 '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM variants
+      )
+      SELECT min(doc_id) AS keep_id,
+             count(*) AS n_copies,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_hashes
+      FROM normalized
+      GROUP BY md5(norm)
+      ORDER BY keep_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
-      q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157)
+      q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157,
+      q160)
 }

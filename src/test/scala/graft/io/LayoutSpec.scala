@@ -54,4 +54,32 @@ class LayoutSpec extends SparkSpec {
     val zA = filesTouched(s"$dir/z", $"a" < 16)
     assert(zA <= 8, s"z-order should confine a < 16 to few files: $zA")
   }
+
+  test("compactionPlan: greedy bins, oversized-file isolation, guards") {
+    import graft.io.Store
+    import spark.implicits._
+    // 4 small files then one oversized then more small, target 100
+    val files = Seq(("a", 40L), ("b", 40L), ("c", 40L), ("d", 40L),
+      ("e", 250L), ("f", 40L), ("g", 40L)).toDF("path", "bytes")
+    val plan = Store.compactionPlan(files, "path", "bytes", 100L)
+      .select($"path", $"offset", $"bin")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // offsets are the exclusive prefix sums in path order
+    assert(plan.map(_._2) == Seq(0L, 40L, 80L, 120L, 160L, 410L, 450L))
+    // greedy: a,b,c share bin 0 (c STARTS inside it), d+e bin 1 (e
+    // starts at 160 — a bin may overshoot by one file, never split),
+    // f bin 4 (e pushed the offset past bins 2-3), g bin 4
+    assert(plan.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L, 4L, 4L))
+    // column-name guards
+    intercept[IllegalArgumentException] {
+      Store.compactionPlan(files.withColumnRenamed("bytes", "offset"),
+        "path", "offset", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Store.compactionPlan(files, "path", "bytes", 0L)
+    }
+    // empty listing → empty plan
+    assert(Store.compactionPlan(files.limit(0), "path", "bytes", 100L)
+      .count() == 0L)
+  }
 }
