@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
-  IntegerType, LongType, StringType}
+  FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels called from generated code. */
@@ -30,26 +30,45 @@ object HashFuncs {
   /** Unicode text normalization — the first pass of every production
     * corpus pipeline (pre-tokenizer, pre-dedup: byte-different but
     * canonically-equal texts must hash equal downstream). Exactly, in
-    * order: (1) NFC canonical composition (standard-defined, so the
-    * DuckDB oracle's utf8proc `nfc_normalize` agrees with
-    * `java.text.Normalizer` char-for-char); (2) drop C0 controls except
-    * tab/newline, plus DEL, the zero-width joiner/non-joiner/space and
-    * the BOM — codepoints 00-08, 0B-1F, 7F, 200B-200D, FEFF;
-    * (3) collapse runs of ASCII space; (4) trim spaces. Every step is a
-    * pure character map, so the result is bit-identical at any
-    * parallelism; removal-then-collapse interleaves into one pass. */
+    * order: (1) drop C0 controls except tab/newline, plus DEL, the
+    * zero-width joiner/non-joiner/space and the BOM — codepoints
+    * 00-08, 0B-1F, 7F, 200B-200D, FEFF; (2) NFC canonical composition
+    * (standard-defined, so the DuckDB oracle's utf8proc
+    * `nfc_normalize` agrees with `java.text.Normalizer`
+    * char-for-char); (3) collapse runs of ASCII space; (4) trim
+    * spaces. Every step is a pure character map, so the result is
+    * bit-identical at any parallelism.
+    *
+    * Stripping runs BEFORE composition so the function is truly
+    * idempotent (PropertySpec randomizes this): with the orders
+    * swapped, a zero-width char between a base letter and a combining
+    * mark blocks NFC, the strip then juxtaposes them, and a SECOND
+    * application would compose what the first left decomposed. The
+    * fixpoint argument for this order: the output contains no
+    * strippables (NFC never produces them — none appear in canonical
+    * compositions), is NFC-normalized (collapse/trim only remove
+    * spaces, which never participate in canonical composition, so
+    * removal preserves NFC-ness), and is space-collapsed/trimmed —
+    * all four passes are no-ops on re-application. */
   def normalizeText(s: UTF8String): UTF8String = {
-    val nfc = java.text.Normalizer.normalize(s.toString,
+    val raw = s.toString
+    val stripped = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    while (j < raw.length) {
+      val c = raw.charAt(j)
+      val drop = c <= '\u0008' ||
+        (c >= '\u000B' && c <= '\u001F') || c == '\u007F' ||
+        (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
+      if (!drop) stripped.append(c)
+      j += 1
+    }
+    val nfc = java.text.Normalizer.normalize(stripped,
       java.text.Normalizer.Form.NFC)
     val sb = new java.lang.StringBuilder(nfc.length)
     var i = 0
     while (i < nfc.length) {
       val c = nfc.charAt(i)
-      val drop = c <= '\u0008' ||
-        (c >= '\u000B' && c <= '\u001F') || c == '\u007F' ||
-        (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
-      if (!drop &&
-          !(c == ' ' && sb.length > 0 && sb.charAt(sb.length - 1) == ' '))
+      if (!(c == ' ' && sb.length > 0 && sb.charAt(sb.length - 1) == ' '))
         sb.append(c)
       i += 1
     }
@@ -99,7 +118,25 @@ object HashFuncs {
     * [[graft.operators.Phash.quantize24]] contract) so no product
     * approaches BIGINT range. Semantics bit-identical to the SQL-HOF
     * formulation PhashSpec pins and the q155 DuckDB oracle replays. */
+  /** The kernels index `levels` positionally up to w·h-1; a too-short
+    * array would read past UnsafeArrayData's element region and hash
+    * garbage SILENTLY (the HOF path's element_at failed safe with
+    * null). Both ahash64/dhash64 are SQL-registered and therefore
+    * user-reachable with arbitrary arrays — contract violations must
+    * fail loudly, not nondeterministically. NULL elements are NOT
+    * rejected (a per-element null scan would double the pass): on
+    * UnsafeArrayData getLong reads the zeroed slot of a null element
+    * as 0L, i.e. nulls pool as black pixels — the quantize24 producer
+    * contract never emits them. */
+  private def checkLevels(levels: ArrayData, w: Int, h: Int,
+      fn: String): Unit =
+    if (levels.numElements() != w * h)
+      throw new IllegalArgumentException(
+        s"$fn expects exactly ${w * h} pixel levels (${w}x$h " +
+          s"row-major), got ${levels.numElements()}")
+
   def aHash64(levels: ArrayData, w: Int, h: Int): Long = {
+    checkLevels(levels, w, h, "ahash64")
     val bw = w / 8
     val bh = h / 8
     val cells = new Array[Long](64)
@@ -138,6 +175,7 @@ object HashFuncs {
     * — strict integer compare, one pass. Same kernel-vs-HOF rationale
     * and bit-identity contract as [[aHash64]]. */
   def dHash64(levels: ArrayData, w: Int, h: Int): Long = {
+    checkLevels(levels, w, h, "dhash64")
     val bw = w / 9
     val bh = h / 8
     val cells = new Array[Long](72)
@@ -168,6 +206,43 @@ object HashFuncs {
       k += 1
     }
     hsh
+  }
+
+  /** 64-segment integer energy profile of a decoded audio signal — the
+    * perceptual-fingerprint front half ([[graft.operators.Phash
+    * .audioFingerprint]]): split the n samples into 64 equal-area
+    * segments (segment s covers [n·s div 64, n·(s+1) div 64); empty
+    * segments — n < 64 — profile as 0), and record each segment's mean
+    * |amplitude| quantized to 24 bits: (Σ trunc(|x|·2^24)) div count,
+    * BIGINT throughout, so the profile is a deterministic pure function
+    * of the samples at any parallelism. One pass, no allocation beyond
+    * the 64-slot output — replaces an interpreted HOF that `slice()`d a
+    * fresh sub-array per segment (O(64·n) copy churn per row; the same
+    * ~10× codegen-vs-HOF gap as [[tokenHashes]]). `isFloat` selects the
+    * element reader (the [[graft.operators.Multimodal]] decoder emits
+    * float32 samples; SQL callers may pass array<double>). Semantics
+    * bit-identical to the HOF formulation PhashSpec pins and the q162
+    * DuckDB oracle replays relationally. */
+  def energyProfile64(smp: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = smp.numElements().toLong
+    val out = new Array[Long](64)
+    var s = 0
+    while (s < 64) {
+      val lo = n * s / 64
+      val hi = n * (s + 1) / 64
+      if (hi > lo) {
+        var acc = 0L
+        var i = lo.toInt
+        while (i < hi) {
+          val d = if (isFloat) smp.getFloat(i).toDouble else smp.getDouble(i)
+          acc += (math.abs(d) * 16777216.0).toLong
+          i += 1
+        }
+        out(s) = acc / (hi - lo)
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Morton/Z-order interleave of the low `bits` bits of two longs:
@@ -854,6 +929,37 @@ object Expressions {
       copy(child = c)
   }
 
+  /** energy_profile64(samples) — the 64-segment quantized audio energy
+    * profile (HashFuncs.energyProfile64) as one codegen pass; accepts
+    * ARRAY<FLOAT> (the decoder's native sample type) or ARRAY<DOUBLE>.
+    * Null elements read as 0 amplitude (silence) — the decoder contract
+    * never emits them. */
+  case class EnergyProfile64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, false)
+    private def isFloat: Boolean =
+      child.dataType == ArrayType(FloatType, false) ||
+        child.dataType == ArrayType(FloatType, true)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(
+              s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+                s"got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.energyProfile64(v.asInstanceOf[ArrayData], isFloat)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.energyProfile64($c, $isFloat)")
+    override protected def withNewChildInternal(
+        c: Expression): EnergyProfile64 = copy(c)
+  }
+
   import GraftBridge.{column, expression}
 
   /** Children are cast to double explicitly (the kernels are
@@ -913,6 +1019,8 @@ object Expressions {
     column(AHash64(expression(levels), w, h))
   def dHash64(levels: Column, w: Int, h: Int): Column =
     column(DHash64(expression(levels), w, h))
+  def energyProfile64(samples: Column): Column =
+    column(EnergyProfile64(expression(samples)))
 
   /** Register the kernels as SQL functions on a session
     * (`SELECT erfc(x)`, `norm_log_sf(z)`, `norm_inv(p)`). */
@@ -1051,6 +1159,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.DHash64].getName, "dhash64"),
       (es: Seq[Expression]) =>
         Expressions.DHash64(es.head, litInt(es(1)), litInt(es(2)))))
+    e.injectFunction((FunctionIdentifier("energy_profile64"),
+      new ExpressionInfo(classOf[Expressions.EnergyProfile64].getName,
+        "energy_profile64"),
+      (es: Seq[Expression]) => Expressions.EnergyProfile64(es.head)))
   }
 
   /** Integer literal argument of a SQL call (k, numHashes, dim …). */

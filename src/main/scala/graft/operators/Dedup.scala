@@ -822,13 +822,21 @@ object Dedup {
     * with a.id < b.id and struct fields (id, payloadCols...).
     *
     * The hot-bucket guard runs BEFORE list materialization: when
-    * `maxBucket` is set, bucket sizes are counted first — the
-    * (band, chunk) domain is bounded at 4·2^16 rows, so the census
-    * always broadcasts — and over-cap buckets drop via a broadcast
-    * semi-filter. A corpus of near-constant payloads (blank pages,
-    * black frames, boilerplate text) would otherwise assemble one
-    * multi-GB collect_list buffer on a single reducer and only THEN
-    * size-filter it away. None = exact pigeonhole completeness at
+    * `maxBucket` is set, the bucket census rides the SAME
+    * (band, chunk) exchange as the inverted index — a window count
+    * partitioned by the bucket key, filtered before the collect_list
+    * aggregation that follows on identical keys (no second exchange).
+    * A corpus of near-constant payloads (blank pages, black frames,
+    * boilerplate text) would otherwise assemble one multi-GB
+    * collect_list buffer on a single reducer and only THEN
+    * size-filter it away; the window's sort buffer is disk-spillable,
+    * a collect_list agg buffer is not. An earlier formulation counted
+    * the census as a separate aggregation + broadcast semi-join, which
+    * dropped hot rows map-side but recomputed the ENTIRE upstream
+    * lineage (shingle/feature extraction, SRP sketching) a second
+    * time — at corpus scale, two passes over the expensive upstream
+    * cost far more than shuffling the hot buckets' fixed-width
+    * (id, hash) rows once. None = exact pigeonhole completeness at
     * distance ≤ 3, the default. */
   private[operators] def bandCandidates64(df: DataFrame, hashCol: String,
       payloadCols: Seq[String], maxBucket: Option[Int]): DataFrame = {
@@ -840,11 +848,11 @@ object Dedup {
           .as(Seq("band", "chunk")): _*)
     val eligible = maxBucket match {
       case Some(c) =>
-        val small = banded.groupBy("band", "chunk")
-          .agg(count(lit(1)).as("_bc"))
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "chunk")
+        banded.withColumn("_bc", count(lit(1)).over(byBucket))
           .filter(col("_bc") <= c)
-          .select("band", "chunk")
-        banded.join(broadcast(small), Seq("band", "chunk"), "left_semi")
+          .drop("_bc")
       case None => banded
     }
     val inv = eligible.groupBy("band", "chunk")

@@ -130,11 +130,21 @@ object Phash {
     * index and the final (vid_a, vid_b) count — never a video×video or
     * frame×frame join. Frame identity packs as media_id·10^6+frame_idx
     * (frame index < 10^6 enforced), so the band index stays one LONG
-    * column. Output: (vid_a, vid_b, n_shared_frames), vid_a < vid_b. */
+    * column. Output: (vid_a, vid_b, n_shared_frames), vid_a < vid_b.
+    *
+    * `maxBucket` DEFAULTS ON (4096): film/scan corpora are full of
+    * black/blank frames that appear in EVERY video, collide into one
+    * band bucket and would pair all videos with all videos through
+    * their fade-outs — the 100 TB-safe behavior is opt-out. Pass None
+    * only when exact pigeonhole completeness over a curated frame set
+    * is genuinely wanted. Decode aside, the whole post-decode chain is
+    * [[frameLevelNearDup]], whose integer math the q161 oracle replays
+    * relationally. */
   def videoNearDup(spark: SparkSession,
       media: Dataset[Multimodal.MediaRow], stride: Int = 2,
       w: Int = 16, h: Int = 16, maxDist: Int = 3,
-      minShared: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
+      minShared: Int = 2,
+      maxBucket: Option[Int] = Some(4096)): DataFrame = {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(spark, media, stride)
       .map { f =>
@@ -146,19 +156,49 @@ object Phash {
         require(f.media_id >= 0 && f.media_id < 9223372036854L,
           s"media_id ${f.media_id} outside the packable range " +
             "[0, 9.22e12) for frame-id packing")
+        // pack the frame id BEFORE decode so the image pipeline treats
+        // each frame as a standalone image keyed by one long
         Multimodal.MediaRow(f.media_id * 1000000L + f.frame_idx,
           "image", f.content, w, h, 0, 0)
       }
     val imgs = Multimodal.resize(spark,
       Multimodal.decodeImages(spark, frames), w, h)
-    val hashed = imgs.toDF()
-      .select(col("media_id").as("fid"),
-        quantize24(col("pixels")).as("lv"))
-      .select(col("fid"), aHash64("lv", w, h).as("ph"))
-    // frame ids sort like (video, frame), so id_a < id_b ⇒ vid_a ≤ vid_b.
-    // For film/scan corpora pass maxBucket: black/blank frames appear in
-    // EVERY video, collide into one band bucket and would otherwise pair
-    // all videos with all videos through their fade-outs.
+    // unpack back to (media_id, frame_idx, lv): the hash/band/count
+    // chain below is the q161-gated production function, which owns
+    // the packing arithmetic
+    val lvls = imgs.toDF().select(
+      expr("media_id div 1000000").as("media_id"),
+      expr("CAST(media_id % 1000000 AS INT)").as("frame_idx"),
+      quantize24(col("pixels")).as("lv"))
+    frameLevelNearDup(lvls, w, h, maxDist, minShared, maxBucket)
+  }
+
+  /** The post-decode half of [[videoNearDup]] — pack frame identity as
+    * media_id·10^6+frame_idx (range-guarded row-locally), [[aHash64]]
+    * each frame's integer levels, band-pair via [[hammingCandidates]],
+    * unpack back to video ids and keep pairs sharing ≥ `minShared`
+    * frames within `maxDist` bits. Pure integer arithmetic end-to-end:
+    * the q161 DuckDB oracle replays packing, pooling bits, band
+    * chunks, the hot-bucket census and the shared-frame count
+    * relationally on synthetic frame levels. Input: one row per frame
+    * with `media_id` (long), `frame_idx` (int) and `lv`
+    * (array<long> w×h row-major levels, the [[quantize24]] contract).
+    * Output: (vid_a, vid_b, n_shared_frames), vid_a < vid_b. */
+  def frameLevelNearDup(frames: DataFrame, w: Int, h: Int,
+      maxDist: Int = 3, minShared: Int = 2,
+      maxBucket: Option[Int] = Some(4096)): DataFrame = {
+    // assert_true is NULL on success, so the `when` keeps codegen and
+    // out-of-range identities fail loudly instead of packing wrong
+    val guarded = when(
+      assert_true(col("frame_idx").between(0, 999999) &&
+          col("media_id").between(0L, 9223372036853L),
+        concat(lit("frame id packing out of range: media_id="),
+          col("media_id").cast("string"),
+          lit(" frame_idx="), col("frame_idx").cast("string"))).isNull,
+      col("media_id") * 1000000L + col("frame_idx"))
+    val hashed = frames.select(guarded.as("fid"),
+      aHash64("lv", w, h).as("ph"))
+    // frame ids sort like (video, frame), so id_a < id_b ⇒ vid_a ≤ vid_b
     hammingCandidates(hashed, "fid", "ph", maxDist, maxBucket)
       .select(expr("id_a div 1000000").as("vid_a"),
         expr("id_b div 1000000").as("vid_b"))
@@ -181,29 +221,42 @@ object Phash {
     * count — BIGINT throughout), so the fingerprint is a deterministic
     * pure function of the decoded samples at any parallelism. Row-local
     * except the decode mapPartitions; pair with [[hammingCandidates]].
-    * Output: (media_id, n_samples, fingerprint). */
+    * Output: (media_id, n_samples, fingerprint).
+    *
+    * The profile runs as the codegen kernel
+    * [[graft.functions.Expressions.EnergyProfile64]] (one pass, no
+    * per-segment array copies); [[energyProfile64Hof]] keeps the same
+    * math as pure SQL HOFs — the formulation the q162 DuckDB oracle
+    * replays relationally — and PhashSpec asserts kernel ≡ HOF
+    * bit-for-bit on random signals. */
   def audioFingerprint(spark: SparkSession,
       media: Dataset[Multimodal.MediaRow]): DataFrame = {
     val decoded = Multimodal.decodeAudio(spark, media).toDF()
     val energies = decoded.select(col("media_id"),
       size(col("samples")).cast("long").as("n_samples"),
-      expr("""element_at(transform(array(samples), smp ->
-          transform(sequence(0, 63), s ->
-            CASE WHEN (CAST(size(smp) AS BIGINT) * (s + 1)) div 64
-                      - (CAST(size(smp) AS BIGINT) * s) div 64 = 0 THEN 0L
-            ELSE aggregate(
-              slice(smp,
-                CAST((CAST(size(smp) AS BIGINT) * s) div 64 + 1 AS INT),
-                CAST((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
-                     - (CAST(size(smp) AS BIGINT) * s) div 64 AS INT)),
-              0L, (acc, x) ->
-                acc + CAST(abs(CAST(x AS DOUBLE)) * 16777216.0 AS BIGINT))
-              div ((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
-                   - (CAST(size(smp) AS BIGINT) * s) div 64)
-            END)), 1)""").as("lv"))
+      graft.functions.Expressions.energyProfile64(col("samples")).as("lv"))
     energies.select(col("media_id"), col("n_samples"),
       aHash64("lv", 8, 8).as("fingerprint"))
   }
+
+  /** [[graft.functions.Expressions.energyProfile64]] as pure SQL HOFs
+    * over a samples column — the spec/oracle cross-check. Interpreted
+    * and O(64·n) in `slice()` copies; never on the production path. */
+  private[operators] def energyProfile64Hof(samplesCol: String): Column =
+    expr(s"""element_at(transform(array($samplesCol), smp ->
+        transform(sequence(0, 63), s ->
+          CASE WHEN (CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                    - (CAST(size(smp) AS BIGINT) * s) div 64 = 0 THEN 0L
+          ELSE aggregate(
+            slice(smp,
+              CAST((CAST(size(smp) AS BIGINT) * s) div 64 + 1 AS INT),
+              CAST((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                   - (CAST(size(smp) AS BIGINT) * s) div 64 AS INT)),
+            0L, (acc, x) ->
+              acc + CAST(abs(CAST(x AS DOUBLE)) * 16777216.0 AS BIGINT))
+            div ((CAST(size(smp) AS BIGINT) * (s + 1)) div 64
+                 - (CAST(size(smp) AS BIGINT) * s) div 64)
+          END)), 1)""")
 
   /** Near-dup candidates among 64-bit perceptual hashes with Hamming
     * distance ≤ maxDist (≤ 3), via the same 4×16-bit band pigeonhole

@@ -816,10 +816,14 @@ object EventTimeQ {
     * (`get_json_object`, codegen'd — no UDF, no schema inference pass
     * over the corpus) with malformed payloads surfacing as NULL instead
     * of failing the batch (planted here on every 97th event), then a
-    * grouped rollup of the extracted value. The oracle replays the
-    * extraction with DuckDB's native JSON functions (`json_valid` +
+    * grouped rollup of the extracted value. `n_null_k` counts NULL
+    * extractions — malformed JSON and valid JSON lacking `$.k` alike
+    * (named for what it measures; a malformed-only census would need a
+    * validity predicate, which `get_json_object` does not expose
+    * separately from extraction). The oracle replays the extraction
+    * with DuckDB's native JSON functions (`json_valid` +
     * `json_extract`) — two independent JSON parsers agreeing on both
-    * the values and the malformed census. All-integer output. */
+    * the values and the NULL census. All-integer output. */
   val q158 = Q(
     "q158_json_props",
     (s, d) => {
@@ -830,7 +834,7 @@ object EventTimeQ {
             .otherwise($"props"), "$.k").cast("long").as("k"))
       parsed.groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_k"),
           sum($"k").as("sum_k"),
           min($"k").as("min_k"), max($"k").as("max_k"))
         .orderBy($"event_type")
@@ -850,7 +854,7 @@ object EventTimeQ {
       SELECT event_type,
              count(*) AS n_events,
              CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_malformed,
+               AS BIGINT) AS n_null_k,
              CAST(sum(k) AS BIGINT) AS sum_k,
              min(k) AS min_k, max(k) AS max_k
       FROM p GROUP BY 1 ORDER BY 1"""))

@@ -659,6 +659,170 @@ object SimilarityQ {
       SELECT method, id_a, id_b, hamming FROM pd
       ORDER BY method, id_a, id_b"""))
 
+  /** Video near-dup band math ([[graft.operators.Phash
+    * .frameLevelNearDup]] — the q155 pattern one level up): 40 synthetic
+    * videos × 8 frames of 16×16 integer levels run through the
+    * PRODUCTION post-decode chain — frame-id packing
+    * (media_id·10^6+frame_idx), aHash pooling, 4×16-bit band chunks,
+    * the hot-bucket census (cap 8), pair dedup across bands, Hamming ≤ 3
+    * verify, video unpack and the ≥ minShared shared-frame count. The
+    * fixture plants all three regimes: texture groups shared by 3-4
+    * videos (variant 0 = base, 1 = one +1-level pixel so the hash is
+    * identical, ≥ 2 = plateau cells drifting a data-dependent handful
+    * of bits), and a BLANK frame 7 in every video — all 40 collide into
+    * one bucket per band, which the census drops, so blank frames
+    * contribute to NO pair count (without the cap every same-texture
+    * pair would count one more shared frame). The oracle replays every
+    * stage relationally — packing, pooling bits, chunk values, census,
+    * banding, Hamming, counts — in pure integer arithmetic. */
+  val q161 = Q(
+    "q161_video_neardup_bands",
+    (s, d) => {
+      import s.implicits._
+      val lv = """transform(sequence(0, 255), i -> CAST(
+          CASE WHEN frame_idx = 7 THEN 5000
+          ELSE ((media_id % 12) * 7919 + frame_idx * 131 + i * 104729)
+                 % 1000 * 16
+            + CASE WHEN (media_id div 12) = 1 AND i = 0 THEN 1 ELSE 0 END
+            + CASE WHEN (media_id div 12) >= 2
+                AND ((i div 16) div 2) * 8 + ((i % 16) div 2)
+                    = (5 * (frame_idx + 1)) % 64
+              THEN 100000 ELSE 0 END
+            + CASE WHEN (media_id div 12) >= 3
+                AND ((i div 16) div 2) * 8 + ((i % 16) div 2)
+                    = (11 * (frame_idx + 3)) % 64
+              THEN 100000 ELSE 0 END
+          END AS BIGINT))"""
+      val frames = t(s, d, "part")
+        .filter($"p_partkey" >= 0 && $"p_partkey" < 320)
+        .selectExpr("p_partkey div 8 AS media_id",
+          "CAST(p_partkey % 8 AS INT) AS frame_idx")
+        .select($"media_id", $"frame_idx", expr(lv).as("lv"))
+      graft.operators.Phash.frameLevelNearDup(frames, 16, 16,
+          maxDist = 3, minShared = 2, maxBucket = Some(8))
+        .orderBy($"vid_a", $"vid_b")
+    },
+    Some("""
+      WITH fr AS (
+        SELECT p_partkey // 8 AS vid, p_partkey % 8 AS fidx
+        FROM part WHERE p_partkey >= 0 AND p_partkey < 320
+      ), px AS (
+        SELECT vid, fidx, i,
+          CASE WHEN fidx = 7 THEN 5000
+          ELSE ((vid % 12) * 7919 + fidx * 131 + i * 104729) % 1000 * 16
+            + CASE WHEN (vid // 12) = 1 AND i = 0 THEN 1 ELSE 0 END
+            + CASE WHEN (vid // 12) >= 2
+                AND ((i // 16) // 2) * 8 + ((i % 16) // 2)
+                    = (5 * (fidx + 1)) % 64
+              THEN 100000 ELSE 0 END
+            + CASE WHEN (vid // 12) >= 3
+                AND ((i // 16) // 2) * 8 + ((i % 16) // 2)
+                    = (11 * (fidx + 3)) % 64
+              THEN 100000 ELSE 0 END
+          END AS px
+        FROM fr, range(0, 256) t(i)
+      ), cells AS (
+        SELECT vid, fidx, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS c,
+               sum(px) AS cs
+        FROM px GROUP BY 1, 2, 3
+      ), tots AS (
+        SELECT vid, fidx, sum(cs) AS tot FROM cells GROUP BY 1, 2
+      ), bits AS (
+        SELECT c1.vid, c1.fidx, c1.c AS bit,
+               CASE WHEN 64 * c1.cs > t.tot THEN 1 ELSE 0 END AS b
+        FROM cells c1 JOIN tots t
+          ON t.vid = c1.vid AND t.fidx = c1.fidx
+      ), chunks AS (
+        SELECT vid, fidx, bit // 16 AS band,
+               CAST(sum(b * (1 << (bit % 16))) AS BIGINT) AS cv
+        FROM bits GROUP BY 1, 2, 3
+      ), census AS (
+        SELECT band, cv, count(*) AS bc FROM chunks GROUP BY 1, 2
+      ), elig AS (
+        SELECT c.vid, c.fidx, c.band, c.cv
+        FROM chunks c JOIN census u ON u.band = c.band AND u.cv = c.cv
+        WHERE u.bc <= 8
+      ), cand AS (
+        SELECT DISTINCT a.vid AS vid_a, a.fidx AS fa,
+                        b.vid AS vid_b, b.fidx AS fb
+        FROM elig a JOIN elig b
+          ON a.band = b.band AND a.cv = b.cv
+         AND a.vid * 1000000 + a.fidx < b.vid * 1000000 + b.fidx
+      ), ham AS (
+        SELECT c.vid_a, c.fa, c.vid_b, c.fb
+        FROM cand c
+        JOIN bits x ON x.vid = c.vid_a AND x.fidx = c.fa
+        JOIN bits y ON y.vid = c.vid_b AND y.fidx = c.fb
+                   AND y.bit = x.bit
+        GROUP BY 1, 2, 3, 4
+        HAVING sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 3
+      )
+      SELECT vid_a, vid_b, CAST(count(*) AS BIGINT) AS n_shared_frames
+      FROM ham WHERE vid_a <> vid_b
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY vid_a, vid_b"""))
+
+  /** Audio perceptual fingerprint math ([[graft.operators.Phash
+    * .audioFingerprint]]'s post-decode half): synthetic PCM signals of
+    * VARYING length (including n < 64, so some of the 64 equal-area
+    * segments are empty) with amplitudes k/256 — exact in binary, so
+    * trunc(|x|·2^24) is pure integer arithmetic (|k|·2^16) the oracle
+    * computes without ever touching a float. The
+    * [[graft.functions.Expressions.EnergyProfile64]] codegen kernel
+    * produces the 64-segment quantized profile, aHash64 the 8×8
+    * compare-to-mean fingerprint; output is one row per (signal,
+    * segment) carrying the profile level AND that fingerprint bit, so
+    * both the segmentation rule (n·s div 64 boundaries, empty → 0,
+    * Σ div count) and the threshold bits are hash-gated. */
+  val q162 = Q(
+    "q162_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val smp = """transform(
+          sequence(0, 31 + CAST((id * 7) % 400 AS INT)),
+          i -> CAST(((id * 31 + i * 17) % 512) - 256 AS DOUBLE) / 256.0D)"""
+      val prof = t(s, d, "part").filter($"p_partkey" <= 60)
+        .select($"p_partkey".as("id"))
+        .select($"id", expr(smp).as("samples"))
+        .select($"id", size($"samples").cast("long").as("n_samples"),
+          graft.functions.Expressions.energyProfile64($"samples").as("lv"))
+      prof.select($"id", $"n_samples",
+          graft.operators.Phash.aHash64("lv", 8, 8).as("fp"),
+          posexplode($"lv").as(Seq("seg", "p")))
+        .select($"id", $"n_samples", $"seg".cast("long").as("seg"),
+          $"p", expr("shiftright(fp, seg) & 1").as("bit"))
+        .orderBy($"id", $"seg")
+    },
+    Some("""
+      WITH base AS (
+        SELECT p_partkey AS id, 32 + (p_partkey * 7) % 400 AS n
+        FROM part WHERE p_partkey <= 60
+      ), smp AS (
+        SELECT id, n, i, abs((id * 31 + i * 17) % 512 - 256) AS anum
+        FROM base, range(0, 432) t(i) WHERE i < n
+      ), segs AS (
+        SELECT b.id, b.n, s.s,
+               (b.n * s.s) // 64 AS lo, (b.n * (s.s + 1)) // 64 AS hi
+        FROM base b, range(0, 64) s(s)
+      ), prof AS (
+        SELECT g.id, g.n, g.s AS seg,
+               CASE WHEN g.hi = g.lo THEN 0
+                    ELSE CAST(sum(m.anum) * 65536 // (g.hi - g.lo)
+                              AS BIGINT) END AS p
+        FROM segs g LEFT JOIN smp m
+          ON m.id = g.id AND m.i >= g.lo AND m.i < g.hi
+        GROUP BY g.id, g.n, g.s, g.hi, g.lo
+      ), tots AS (
+        SELECT id, sum(p) AS tot FROM prof GROUP BY 1
+      )
+      SELECT prof.id, CAST(prof.n AS BIGINT) AS n_samples, prof.seg,
+             prof.p,
+             CAST(CASE WHEN 64 * prof.p > t.tot THEN 1 ELSE 0 END
+               AS BIGINT) AS bit
+      FROM prof JOIN tots t ON t.id = prof.id
+      ORDER BY prof.id, prof.seg"""))
+
   val all: Seq[Q] =
-    Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147, q155)
+    Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147, q155,
+      q161, q162)
 }

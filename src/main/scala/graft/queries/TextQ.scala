@@ -1703,12 +1703,12 @@ object TextQ {
         FROM documents
       )
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             trim(regexp_replace(nfc_normalize(regexp_replace(raw,
                '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-               '', 'g'), ' +', ' ', 'g')) AS clean,
-             length(trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '', 'g')), ' +', ' ', 'g')) AS clean,
+             length(trim(regexp_replace(nfc_normalize(regexp_replace(raw,
                '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-               '', 'g'), ' +', ' ', 'g'))) AS n_chars_clean
+               '', 'g')), ' +', ' ', 'g'))) AS n_chars_clean
       FROM m ORDER BY doc_id"""))
 
   /** Normalization-aware exact dedup — the integration the q157 kernel
@@ -1753,9 +1753,9 @@ object TextQ {
         FROM documents
       ), normalized AS (
         SELECT doc_id, text,
-               trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               trim(regexp_replace(nfc_normalize(regexp_replace(text,
                  '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-                 '', 'g'), ' +', ' ', 'g')) AS norm
+                 '', 'g')), ' +', ' ', 'g')) AS norm
         FROM variants
       )
       SELECT min(doc_id) AS keep_id,

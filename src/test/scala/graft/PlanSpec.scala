@@ -49,6 +49,71 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** The broadcast discipline, made mechanical (registry-wide): a join
+    * side that planning-time statistics put under the broadcast
+    * threshold must never arrive at a shuffled join through an
+    * exchange — Catalyst's JoinSelection broadcasts such sides, so a
+    * hit means something forced a shuffle (hint, config, repartition)
+    * on a broadcast-able frame. Conversely every nested-loop join's
+    * broadcast build side must BE statically tiny — a big build is
+    * cartesian-scale exposure. AQE is disabled for the sweep because
+    * AdaptiveSparkPlanExec is a leaf that hides the walkable plan; the
+    * static plan is what this audit is about. */
+  test("no shuffled join side is statically broadcast-able; nested-loop" +
+      " builds are tiny (registry sweep)") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val thresh =
+      BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- SparkEntry.registry) {
+        val exec =
+          q.run(spark, sf("sf0.001")).queryExecution.executedPlan
+        // the exchange feeding a join side sits directly under it
+        // (modulo the SMJ sort); stats come from its logical child
+        def shuffledStats(side: SparkPlan): Option[BigInt] = {
+          val inner = side match {
+            case s: SortExec => s.child
+            case p => p
+          }
+          inner match {
+            case e: ShuffleExchangeExec =>
+              e.child.logicalLink.map(_.stats.sizeInBytes)
+            case _ => None
+          }
+        }
+        exec.foreach {
+          case j: SortMergeJoinExec =>
+            Seq(j.left, j.right).flatMap(shuffledStats).foreach { sz =>
+              assert(sz > thresh,
+                s"${q.name}: a $sz-byte side (<= broadcast threshold " +
+                  s"$thresh) reaches a SortMergeJoin through a shuffle")
+            }
+          case j: ShuffledHashJoinExec =>
+            Seq(j.left, j.right).flatMap(shuffledStats).foreach { sz =>
+              assert(sz > thresh,
+                s"${q.name}: a $sz-byte side (<= broadcast threshold " +
+                  s"$thresh) reaches a ShuffledHashJoin through a shuffle")
+            }
+          case j: BroadcastNestedLoopJoinExec =>
+            val bcast = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                j.left
+              case _ => j.right
+            }
+            val sz = bcast.logicalLink.map(_.stats.sizeInBytes)
+            assert(sz.forall(_ <= thresh),
+              s"${q.name}: nested-loop build side is $sz bytes — " +
+                "cartesian-scale exposure")
+          case _ =>
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("interval overlap join is an equi join on (chrom, bin), not theta") {
     val p = plan(IntervalQ.q27)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||

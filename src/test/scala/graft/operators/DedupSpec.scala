@@ -265,6 +265,27 @@ class DedupSpec extends SparkSpec {
     assert(cands.get((1L, 2L)).contains(0))
   }
 
+  /** The hot-bucket guard on the simhash surface — the boilerplate-text
+    * analogue of PhashSpec's blank-frame cap test: 40 byte-identical
+    * boilerplate docs collide into one (band, chunk) bucket per band
+    * that would expand quadratically; maxBucket drops those buckets
+    * while a genuine near-dup pair in a small bucket survives. */
+  test("simHashCandidates maxBucket drops boilerplate buckets only") {
+    val boiler =
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val uniq =
+      "a genuinely distinctive longer document about engine internals"
+    val rows = (0L until 40L).map(i => (i, boiler)) ++
+      Seq((100L, uniq), (101L, uniq))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.simHashCandidates(df, "doc_id", "text")
+    assert(uncapped.count() == 40L * 39 / 2 + 1)
+    val capped = Dedup
+      .simHashCandidates(df, "doc_id", "text", maxBucket = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+  }
+
   test("deterministic signatures across runs") {
     val s1 = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
       .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq

@@ -124,6 +124,72 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  /** The energyProfile64 codegen kernel must equal the SQL-HOF
+    * formulation (which the q162 DuckDB oracle replays) bit-for-bit on
+    * random float signals — including n < 64 (empty segments profile
+    * as 0), the boundary lengths around 64, and the empty signal. */
+  test("energyProfile64 kernel equals the HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val sigs = (Seq(0, 1, 63, 64, 65) ++ Seq.fill(30)(rnd.nextInt(2000)))
+      .zipWithIndex.map { case (n, i) =>
+        (i.toLong, Array.fill(n)(rnd.nextFloat() * 2f - 1f))
+      }
+    val r = sigs.toDF("id", "smp").select(
+      graft.functions.Expressions.energyProfile64(col("smp")).as("k"),
+      Phash.energyProfile64Hof("smp").as("h")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+        "energyProfile64 kernel != HOF")
+      assert(row.getSeq[Long](0).size == 64)
+    }
+  }
+
+  /** Contract violations must fail LOUDLY: the kernels index the level
+    * array positionally, so a wrong-length array would otherwise read
+    * out of bounds and hash garbage silently. */
+  test("aHash64/dHash64 reject arrays that do not match w*h") {
+    def rootMsg(t: Throwable): String = {
+      var e = t
+      while (e.getCause != null) e = e.getCause
+      String.valueOf(e.getMessage)
+    }
+    val short = Seq(Tuple1(Array.fill(63)(1L))).toDF("lv")
+    val ea = intercept[Exception] {
+      short.select(Phash.aHash64("lv", 8, 8)).collect()
+    }
+    assert(rootMsg(ea).contains("pixel levels"), rootMsg(ea))
+    val long9 = Seq(Tuple1(Array.fill(100)(1L))).toDF("lv")
+    val ed = intercept[Exception] {
+      long9.select(Phash.dHash64("lv", 9, 8)).collect()
+    }
+    assert(rootMsg(ed).contains("pixel levels"), rootMsg(ed))
+  }
+
+  /** The video path's maxBucket DEFAULT is the safe one: a blank-frame
+    * blob bigger than the default cap (4096 entries in one band
+    * bucket) is dropped at the index — no quadratic expansion ever
+    * materializes — while genuinely matching textured frames still
+    * pair. Exact pigeonhole completeness is opt-in via None. */
+  test("frameLevelNearDup drops a >4096 blank-frame bucket by default") {
+    val blank = Array.fill(64)(5000L)
+    def tex(seed: Long) =
+      Array.tabulate(64)(i => (seed * 31 + i * 104729L) % 50000)
+    // 2050 videos x 2 blank frames = 4100 colliding entries per band
+    val blanks = (0L until 2050L).flatMap(v =>
+      Seq((v, 0, blank), (v, 1, blank)))
+    val texd = Seq((9000001L, 0, tex(7)), (9000001L, 1, tex(8)),
+      (9000002L, 0, tex(7)), (9000002L, 1, tex(8)))
+    val frames = (blanks ++ texd).toDF("media_id", "frame_idx", "lv")
+    val got = Phash.frameLevelNearDup(frames, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // ONLY the textured pair survives — every blank-blob pair is gone
+    // (tex(7)/tex(8) differ by a constant shift, so cross-frame pairs
+    // also land within distance 3: 4 shared frame pairs, not 2)
+    assert(got.keySet == Set((9000001L, 9000002L)), s"got $got")
+    assert(got.head._2 >= 2L)
+  }
+
   /** The hot-bucket guard: identical hashes (the blank-page/black-frame
     * shape) collide into single band buckets that would expand
     * quadratically; maxBucket drops them while distinct near-dups keep

@@ -45,6 +45,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  /** normalize_text over randomized unicode: idempotent, agrees across
+    * canonically-equivalent (composed vs decomposed) spellings, and the
+    * output is hygienic — no stripped controls/zero-widths, no space
+    * runs, no leading/trailing spaces. Atoms mix ASCII, strippable
+    * codepoints (C0 controls, DEL, ZWSP/ZWJ/ZWNJ, BOM), kept whitespace
+    * (tab/newline) and composed/decomposed accent pairs. */
+  test("normalize_text: idempotent, NFC-stable, hygienic on random " +
+      "unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val strippable = Seq(1, 7, 0xb, 0x1f, 0x7f, 0x200b, 0x200c, 0x200d,
+      0xfeff).map(cp => new String(Character.toChars(cp)))
+    val accents = Seq("\u00e9", "e\u0301", "\u00c5", "A\u030a",
+      "\u00f1", "n\u0303", "\u4e16", "\u754c")
+    // the idempotence killer the kernel's strip-before-NFC order
+    // exists for: a strippable BETWEEN a base letter and a combining
+    // mark (NFC-first would leave it decomposed on the first pass and
+    // compose it on the second)
+    val mark = new String(Character.toChars(0x301))
+    val patho = strippable.map(z => "e" + z + mark)
+    val atom = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(Seq(" ", "  ", "\t", "\n") ++ strippable),
+      Gen.oneOf(accents ++ patho))
+    val strGen = Gen.listOf(atom).map(_.mkString)
+    def norm(s: String): String =
+      HashFuncs.normalizeText(UTF8String.fromString(s)).toString
+    holds(forAll(strGen) { s =>
+      val n = norm(s)
+      val nfd = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFD)
+      val hygienic =
+        !n.exists(c => (c < ' ' && c != '\t' && c != '\n') ||
+          strippable.exists(_.charAt(0) == c)) &&
+        !n.contains("  ") && !n.startsWith(" ") && !n.endsWith(" ")
+      norm(n) == n && norm(nfd) == n && hygienic
+    })
+  }
+
   test("URL canonicalization is idempotent on randomized URL shapes") {
     val seg = Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty)
     val urlGen = for {

@@ -14,9 +14,12 @@ import json
 import sys
 from pathlib import Path
 
-src = Path(sys.argv[1] if len(sys.argv) > 1 else "target/bench.json")
-out = Path(sys.argv[2] if len(sys.argv) > 2 else "tools/bench_ref.json")
-force = "--force" in sys.argv
+# strip flags BEFORE positional parsing: `reseed_bench_ref.py --force`
+# must not read Path("--force") as the bench record
+force = "--force" in sys.argv[1:]
+args = [a for a in sys.argv[1:] if a != "--force"]
+src = Path(args[0] if len(args) > 0 else "target/bench.json")
+out = Path(args[1] if len(args) > 1 else "tools/bench_ref.json")
 
 rec = json.loads(src.read_text())
 queries = rec["queries"]
