@@ -149,21 +149,29 @@ object Cnv {
       col("start").cast("long"), col("end").cast("long"))
     val pr = probes.select(col("chrom"),
       col("start").cast("long").as("ps"), col("end").cast("long").as("pe"))
-    def nl = lit(null).cast("long")
-    val bgA = pr.select(col("chrom"), col("ps").as("v"),
-      lit(1L).as("bga"), lit(0L).as("bgb"),
-      nl.as("qs"), nl.as("qe"), lit(null).cast("string").as("kind"))
-    val bgB = pr.select(col("chrom"), col("pe").as("v"),
-      lit(0L).as("bga"), lit(1L).as("bgb"),
-      nl.as("qs"), nl.as("qe"), lit(null).cast("string").as("kind"))
+    // ONE scan each of probes and bins, exploding both roles per row —
+    // the earlier four-branch union evaluated the probe source twice
+    // and the whole bins LINEAGE twice (bins0 is often itself a
+    // join+window pipeline, e.g. gapAwareTiles: measured ~1.5 s per
+    // redundant evaluation at EPICv2 scale).
     // a-queries probe the prefix at end−1 (so "< end" over integral
-    // positions), b-queries at start (so "≤ start")
-    val qA = binsL.select(col("chrom"), (col("end") - 1L).as("v"),
-      lit(0L).as("bga"), lit(0L).as("bgb"),
-      col("start").as("qs"), col("end").as("qe"), lit("a").as("kind"))
-    val qB = binsL.select(col("chrom"), col("start").as("v"),
-      lit(0L).as("bga"), lit(0L).as("bgb"),
-      col("start").as("qs"), col("end").as("qe"), lit("b").as("kind"))
+    // positions), b-queries at start (so "≤ start").
+    val bg = pr.select(col("chrom"), explode(array(
+        struct(col("ps").as("v"), lit(1L).as("bga"), lit(0L).as("bgb"),
+          lit(null).cast("long").as("qs"), lit(null).cast("long").as("qe"),
+          lit(null).cast("string").as("kind")),
+        struct(col("pe").as("v"), lit(0L).as("bga"), lit(1L).as("bgb"),
+          lit(null).cast("long").as("qs"), lit(null).cast("long").as("qe"),
+          lit(null).cast("string").as("kind")))).as("r"))
+      .select(col("chrom"), col("r.*"))
+    val q = binsL.select(col("chrom"), explode(array(
+        struct((col("end") - 1L).as("v"), lit(0L).as("bga"),
+          lit(0L).as("bgb"), col("start").as("qs"), col("end").as("qe"),
+          lit("a").as("kind")),
+        struct(col("start").as("v"), lit(0L).as("bga"), lit(0L).as("bgb"),
+          col("start").as("qs"), col("end").as("qe"),
+          lit("b").as("kind")))).as("r"))
+      .select(col("chrom"), col("r.*"))
     // ≤ semantics: probe rows sort before query rows at equal position.
     // Pin the exchange's parallelism against AQE byte-coalescing, the
     // same reasoning as Ecdf.ecdfLookup.
@@ -174,7 +182,7 @@ object Cnv {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
-    val counted = bgA.unionByName(bgB).unionByName(qA).unionByName(qB)
+    val counted = bg.unionByName(q)
       .repartition(n, col("chrom"))
       .withColumn("cuma", sum(col("bga")).over(w))
       .withColumn("cumb", sum(col("bgb")).over(w))
