@@ -121,11 +121,43 @@ object DomainSkewBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (umTime, udTime, uBins, uSegs) = runStages(spark, skewed = false)
-    val (smTime, sdTime, sBins, sSegs) = runStages(spark, skewed = true)
+    // Untimed warmup (same rationale as DomainBench): the uniform run
+    // goes first and would otherwise absorb all first-job classloading
+    // + codegen, skewing the very ratio this benchmark reports.
+    {
+      val wdf = spark.range(100000L)
+        .select(col("id"), pmod(col("id"), lit(7)).as("g"))
+      wdf.join(wdf.groupBy("g").agg(count(lit(1)).as("c")), "g")
+        .withColumn("r", sum(col("id")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy("id")))
+        .agg(sum("r")).collect()
+    }
+
+    // Two ALTERNATING rounds per shape, min per stage: a single
+    // uniform-then-skew pass conflates shape with run order — measured
+    // 3.2× wall variance between two IDENTICAL uniform runs in one
+    // session (first-run cache population, JIT tiering, ambient load).
+    // Minima of interleaved runs are robust to one-sided interference,
+    // so the reported ratio isolates the data-shape effect this
+    // benchmark exists to measure.
+    val runs = 2
+    val uRuns = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Long, Long)]
+    val sRuns = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Long, Long)]
+    (1 to runs).foreach { _ =>
+      uRuns += runStages(spark, skewed = false)
+      sRuns += runStages(spark, skewed = true)
+    }
+    val (umTime, udTime) = (uRuns.map(_._1).min, uRuns.map(_._2).min)
+    val (smTime, sdTime) = (sRuns.map(_._1).min, sRuns.map(_._2).min)
+    val (uBins, uSegs) = (uRuns.head._3, uRuns.head._4)
+    val (sBins, sSegs) = (sRuns.head._3, sRuns.head._4)
     def r(a: Double, b: Double) = math.round(a / b * 100.0) / 100.0
     println(s"""{"metric":"domain_skew","unit":"sec","probes":$Total,""" +
-      s""""chr1_share_skew":0.08,"uniform":{"bin_merge":$umTime,""" +
+      s""""chr1_share_skew":0.08,"runs":$runs,""" +
+      s""""uniform":{"bin_merge":$umTime,""" +
       s""""dmr_windows":$udTime,"bins":$uBins,"segments":$uSegs},""" +
       s""""skew":{"bin_merge":$smTime,"dmr_windows":$sdTime,""" +
       s""""bins":$sBins,"segments":$sSegs},""" +

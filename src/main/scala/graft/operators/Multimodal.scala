@@ -629,10 +629,13 @@ object Multimodal {
     * loss negligible, the standard LSH recall trade. `maxBucket` drops
     * hyper-hot sketch buckets (near-constant payloads — blank pages,
     * silence — whose features collapse onto one sketch) before the
-    * quadratic pair expansion; None = uncapped. */
+    * quadratic pair expansion; the cap DEFAULTS ON (4096, matching
+    * [[Phash.videoNearDup]]) because a real media corpus always
+    * contains those degenerate payloads — pass None only for curated
+    * inputs where uncapped completeness is genuinely wanted. */
   def nearDupCandidates(spark: SparkSession, media: Dataset[MediaRow],
       threshold: Double = 0.95, dim: Int = 64,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = Some(4096)): DataFrame = {
     val feats = extractFeatures(spark, media, dim).toDF()
     val sk = feats.select(col("media_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
