@@ -134,22 +134,25 @@ object DomainSkewBench {
         .agg(sum("r")).collect()
     }
 
-    // Two ALTERNATING rounds per shape, min per stage: a single
-    // uniform-then-skew pass conflates shape with run order — measured
-    // 3.2× wall variance between two IDENTICAL uniform runs in one
-    // session (first-run cache population, JIT tiering, ambient load).
-    // Minima of interleaved runs are robust to one-sided interference,
-    // so the reported ratio isolates the data-shape effect this
-    // benchmark exists to measure.
+    // Two rounds per shape in ABBA order (uniform, skew, skew,
+    // uniform), min per stage: a single uniform-then-skew pass
+    // conflates shape with run order — measured 3.2× wall variance
+    // between two IDENTICAL uniform runs in one session, improving
+    // MONOTONICALLY (page-cache fill, JIT tiering), so any fixed
+    // order hands the later shape the faster wall. ABBA gives each
+    // shape one early and one late slot; taking minima then leaves
+    // the uniform side the LAST slot, so residual drift biases the
+    // ratio upward — against the ≤1.0 health claim, the conservative
+    // direction for a regression gate.
     val runs = 2
     val uRuns = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double, Long, Long)]
     val sRuns = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double, Long, Long)]
-    (1 to runs).foreach { _ =>
-      uRuns += runStages(spark, skewed = false)
-      sRuns += runStages(spark, skewed = true)
-    }
+    uRuns += runStages(spark, skewed = false)
+    sRuns += runStages(spark, skewed = true)
+    sRuns += runStages(spark, skewed = true)
+    uRuns += runStages(spark, skewed = false)
     val (umTime, udTime) = (uRuns.map(_._1).min, uRuns.map(_._2).min)
     val (smTime, sdTime) = (sRuns.map(_._1).min, sRuns.map(_._2).min)
     val (uBins, uSegs) = (uRuns.head._3, uRuns.head._4)
