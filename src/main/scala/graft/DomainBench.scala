@@ -77,21 +77,7 @@ object DomainBench {
           col("start").between(40000000L, 50000000L), 0.4)
           .otherwise(0.0)).as("cnv"))
 
-    // Untimed warmup: the session's FIRST job pays JVM classloading +
-    // whole-stage-codegen compilation (~5 s at local[32]) that would
-    // otherwise be charged entirely to stage 1 — the single-run stage
-    // timings should measure the operators, as the reference's timings
-    // measure pandas after import. One scan+join+window+agg round trip
-    // loads every code path the stages use.
-    {
-      val wdf = spark.range(100000L)
-        .select(col("id"), pmod(col("id"), lit(7)).as("g"))
-      wdf.join(wdf.groupBy("g").agg(count(lit(1)).as("c")), "g")
-        .withColumn("r", sum(col("id")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("g").orderBy("id")))
-        .agg(sum("r")).collect()
-    }
+    BenchUtil.warmup(spark)
 
     // --- stage 1: gap-aware tiling + bin merge (ref: ~10 s) ---
     val probesForMerge = ranges.select(

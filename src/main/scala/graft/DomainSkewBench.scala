@@ -121,18 +121,9 @@ object DomainSkewBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warmup (same rationale as DomainBench): the uniform run
-    // goes first and would otherwise absorb all first-job classloading
-    // + codegen, skewing the very ratio this benchmark reports.
-    {
-      val wdf = spark.range(100000L)
-        .select(col("id"), pmod(col("id"), lit(7)).as("g"))
-      wdf.join(wdf.groupBy("g").agg(count(lit(1)).as("c")), "g")
-        .withColumn("r", sum(col("id")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("g").orderBy("id")))
-        .agg(sum("r")).collect()
-    }
+    // the first-slot shape would otherwise absorb all first-job
+    // classloading + codegen, skewing the very ratio reported here
+    BenchUtil.warmup(spark)
 
     // Two rounds per shape in ABBA order (uniform, skew, skew,
     // uniform), min per stage: a single uniform-then-skew pass
@@ -142,8 +133,9 @@ object DomainSkewBench {
     // order hands the later shape the faster wall. ABBA gives each
     // shape one early and one late slot; taking minima then leaves
     // the uniform side the LAST slot, so residual drift biases the
-    // ratio upward — against the ≤1.0 health claim, the conservative
-    // direction for a regression gate.
+    // ratio upward — against the health gate (skew/uniform under the
+    // ~1.9 chr1-share bound; r11 idle-box reference ≈ 1.3), the
+    // conservative direction for a regression check.
     val runs = 2
     val uRuns = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double, Long, Long)]

@@ -711,8 +711,9 @@ object Expressions {
         c: Expression): GramRepetition = copy(child = c)
   }
 
-  /** normalize_text(str) — NFC + control/zero-width strip + space
-    * collapse + trim in one codegen pass (HashFuncs.normalizeText). */
+  /** normalize_text(str) — control/zero-width strip, then NFC, then
+    * space collapse + trim, in one codegen pass (strip precedes
+    * composition so the map is idempotent; HashFuncs.normalizeText). */
   case class NormalizeText(child: Expression) extends StringKernel {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =

@@ -821,26 +821,29 @@ object Dedup {
     * result is [[expandPairs]] output, one row per co-bucketed (a, b)
     * with a.id < b.id and struct fields (id, payloadCols...).
     *
-    * The hot-bucket guard runs BEFORE list materialization: when
-    * `maxBucket` is set, the bucket census rides the SAME
-    * (band, chunk) exchange as the inverted index — a window count
-    * partitioned by the bucket key, filtered before the collect_list
-    * aggregation that follows on identical keys (no second exchange).
-    * A corpus of near-constant payloads (blank pages, black frames,
-    * boilerplate text) would otherwise assemble one multi-GB
-    * collect_list buffer on a single reducer and only THEN
-    * size-filter it away; the window's sort buffer is disk-spillable,
-    * a collect_list agg buffer is not. An earlier formulation counted
-    * the census as a separate aggregation + broadcast semi-join, which
-    * dropped hot rows map-side but recomputed the ENTIRE upstream
-    * lineage (shingle/feature extraction, SRP sketching) a second
-    * time — at corpus scale, two passes over the expensive upstream
-    * cost far more than shuffling the hot buckets' fixed-width
-    * (id, hash) rows once. None = exact pigeonhole completeness at
-    * distance ≤ 3, the default. */
+    * The hot-bucket guard runs BEFORE list materialization AND before
+    * the index shuffle: when `maxBucket` is set, the banded frame is
+    * lazily local-checkpointed (one upstream pass — shingle/feature
+    * extraction, SRP sketching — materialized to executor
+    * memory-and-disk on first use, cleaned by the ContextCleaner when
+    * the plan is garbage), a partial-aggregated census over the
+    * checkpoint finds the over-cap buckets (the (band, chunk) domain
+    * is bounded at 4·2^16, and the HOT subset is further bounded by
+    * n/cap — always broadcastable), and a broadcast ANTI join drops
+    * hot rows MAP-SIDE, so a corpus of near-constant payloads (blank
+    * pages, black frames, boilerplate text) never ships its
+    * degenerate mass to any reducer. Rejected alternatives, both
+    * measured or reasoned worse at corpus scale: census + semi-join
+    * WITHOUT the checkpoint recomputes the entire expensive upstream
+    * twice; a window count riding the index exchange evaluates
+    * upstream once but funnels every hot bucket's rows through a
+    * single spill-sorting reducer task before discarding them — a
+    * straggler proportional to the degenerate fraction of the corpus.
+    * None = exact pigeonhole completeness at distance ≤ 3, the
+    * default (and no checkpoint/materialization on that path). */
   private[operators] def bandCandidates64(df: DataFrame, hashCol: String,
       payloadCols: Seq[String], maxBucket: Option[Int]): DataFrame = {
-    val banded = df.select(
+    val banded0 = df.select(
       (col("id") +: payloadCols.map(col)) :+
         posexplode(expr(
           s"""transform(sequence(0, 3),
@@ -848,12 +851,13 @@ object Dedup {
           .as(Seq("band", "chunk")): _*)
     val eligible = maxBucket match {
       case Some(c) =>
-        val byBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "chunk")
-        banded.withColumn("_bc", count(lit(1)).over(byBucket))
-          .filter(col("_bc") <= c)
-          .drop("_bc")
-      case None => banded
+        val banded = banded0.localCheckpoint(false)
+        val hot = banded.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") > c)
+          .select("band", "chunk")
+        banded.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+      case None => banded0
     }
     val inv = eligible.groupBy("band", "chunk")
       .agg(collect_list(
