@@ -286,6 +286,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)), s"got $capped")
   }
 
+  /** The capped band path's design claim, pinned mechanically: the
+    * upstream feeding the band index is computed EXACTLY once per row
+    * (the lazily checkpointed frame serves both the bucket census and
+    * the anti-join) — a regression to the two-pass census would double
+    * the accumulator, a window-census regression would keep it at one
+    * pass but lose the map-side drop (covered by the cap tests). */
+  test("capped band candidates compute the upstream once per row") {
+    val counter = spark.sparkContext.longAccumulator("upstream_rows")
+    val tap = udf((x: Long) => { counter.add(1L); x }).asNondeterministic()
+    // 30 unique hashes + 40 clones of one hash (a hot bucket at cap 8)
+    val rows = spark.range(70).select(col("id"),
+      tap(when(col("id") < 30, col("id") * 1099511627776L)
+        .otherwise(lit(0xDEADBEEFL))).as("ph"))
+    val n = Phash.hammingCandidates(rows, "id", "ph",
+      maxDist = 3, maxBucket = Some(8)).count()
+    // the clone blob is capped out of every band it saturates
+    assert(n == 0L, s"expected no pairs, got $n")
+    assert(counter.value == 70L,
+      s"upstream evaluated ${counter.value} times for 70 rows")
+  }
+
   test("deterministic signatures across runs") {
     val s1 = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
       .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
