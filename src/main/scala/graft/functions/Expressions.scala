@@ -79,6 +79,55 @@ object HashFuncs {
     UTF8String.fromString(sb.substring(start, end))
   }
 
+  private val ScriptP = java.util.regex.Pattern.compile(
+    "<script\\b[^>]*>.*?</script\\s*>",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private val StyleP = java.util.regex.Pattern.compile(
+    "<style\\b[^>]*>.*?</style\\s*>",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private val CommentP = java.util.regex.Pattern.compile(
+    "<!--.*?-->", java.util.regex.Pattern.DOTALL)
+  private val TagP = java.util.regex.Pattern.compile("<[a-zA-Z/!][^>]*>")
+  private val MarkupWsP = java.util.regex.Pattern.compile("[ \\t\\n\\r]+")
+
+  /** Markup → text extraction — the pass BEFORE [[normalizeText]] in a
+    * web-corpus pipeline. Semantics are DEFINED as this exact chain
+    * (replayed verbatim by the q163 DuckDB oracle — every pattern uses
+    * the RE2-compatible subset, so java.util.regex and DuckDB agree):
+    * (1) drop `<script …>…</script>` blocks INCLUDING content
+    * (case-insensitive, dot-matches-newline, lazy to the first close);
+    * (2) same for `<style>`; (3) drop `<!-- comments -->`; (4) replace
+    * tags `<[a-zA-Z/!][^>]*>` with a space — a tag is a word boundary
+    * (`a<br>b` must not fuse), and the leading-char class keeps bare
+    * math text like `a < b` intact; (5) decode the core entities
+    * (&nbsp;→space, &quot; &apos; &#39; &lt; &gt;, and &amp; LAST so
+    * double-encoded `&amp;lt;` correctly yields the TEXT `&lt;`);
+    * (6) collapse all whitespace runs to one space and trim.
+    *
+    * Deliberately NOT idempotent: a decoded `&lt;tag&gt;` is text and
+    * must survive — hence one fused application, never repeated.
+    * Unclosed script/style blocks fall through to the tag pass (the
+    * open tag strips, content stays — the regex-chain convention).
+    * All passes are linear except the lazy script/style scan, which is
+    * O(n·k) in the count k of unclosed `<script` openers — bounded by
+    * document length, row-local, no shuffle anywhere. */
+  def stripMarkup(s: UTF8String): UTF8String = {
+    var x = s.toString
+    x = ScriptP.matcher(x).replaceAll(" ")
+    x = StyleP.matcher(x).replaceAll(" ")
+    x = CommentP.matcher(x).replaceAll(" ")
+    x = TagP.matcher(x).replaceAll(" ")
+    x = x.replace("&nbsp;", " ").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    x = MarkupWsP.matcher(x).replaceAll(" ")
+    var lo = 0
+    var hi = x.length
+    while (lo < hi && x.charAt(lo) == ' ') lo += 1
+    while (hi > lo && x.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(x.substring(lo, hi))
+  }
+
   /** Rabin-Karp polynomial hash over UTF-8 bytes (base 31, wrapping
     * 64-bit: h = fold(0)(h * 31 + byte)) finished with the splitmix64
     * avalanche mixer. Chosen over xxhash64 because every step is
@@ -725,6 +774,21 @@ object Expressions {
         c: Expression): NormalizeText = copy(c)
   }
 
+  /** strip_markup(str) — markup → text extraction (script/style/comment
+    * drop, tag-to-space, core entity decode, whitespace collapse); the
+    * exact chain HashFuncs.stripMarkup documents and the q163 oracle
+    * replays. */
+  case class StripMarkup(child: Expression) extends StringKernel {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.stripMarkup(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.stripMarkup($c)")
+    override protected def withNewChildInternal(
+        c: Expression): StripMarkup = copy(c)
+  }
+
   /** simhash64(str) — whole-document 64-bit SimHash in one pass. */
   case class SimHash64(child: Expression) extends StringKernel {
     override def dataType: DataType = LongType
@@ -983,6 +1047,8 @@ object Expressions {
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
   def normalizeText(c: Column): Column =
     column(NormalizeText(expression(c)))
+  def stripMarkup(c: Column): Column =
+    column(StripMarkup(expression(c)))
   def gramRepetition(c: Column, n: Int): Column =
     column(GramRepetition(expression(c), n))
   def minHashSig(c: Column, k: Int, numHashes: Int): Column =
@@ -1041,6 +1107,8 @@ object Expressions {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("normalize_text",
       es => NormalizeText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("strip_markup",
+      es => StripMarkup(es.head), "built-in")
     reg.createOrReplaceTempFunction("gram_repetition",
       es => GramRepetition(es.head, es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -1100,6 +1168,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.NormalizeText].getName,
         "normalize_text"),
       (es: Seq[Expression]) => Expressions.NormalizeText(es.head)))
+    e.injectFunction((FunctionIdentifier("strip_markup"),
+      new ExpressionInfo(classOf[Expressions.StripMarkup].getName,
+        "strip_markup"),
+      (es: Seq[Expression]) => Expressions.StripMarkup(es.head)))
     e.injectFunction((FunctionIdentifier("gram_repetition"),
       new ExpressionInfo(classOf[Expressions.GramRepetition].getName,
         "gram_repetition"),

@@ -1765,9 +1765,77 @@ object TextQ {
       GROUP BY md5(norm)
       ORDER BY keep_id"""))
 
+  /** Markup → text extraction ([[graft.functions.Expressions
+    * .StripMarkup]], SQL `strip_markup`) — the pass a web corpus runs
+    * BEFORE [[q157]]'s normalization. The fixture wraps every document
+    * in markup exercising each stage: a script block whose CONTENT
+    * must vanish (including a bare `1 < 2` and a newline, behind an
+    * attribute containing `>` so the lazy `[^>]*` boundary is what
+    * decides), a style block, a multi-line comment, tags as word
+    * boundaries (`<b>bold</b>text` → "bold text"), bare math `a < b`
+    * that the `<[a-zA-Z/!]` tag class must NOT eat, the core entities
+    * including the double-encoded `&amp;lt;` (which must decode to the
+    * TEXT `&lt;` — amp strictly last), `&#39;` numeric quotes, and a
+    * case-flipped `</BODY>`. The oracle replays the chain with
+    * DuckDB's independent RE2 engine (every pattern is in the shared
+    * java.util.regex/RE2 subset) plus nested replace(); a second
+    * column composes [[q157]]'s normalize_text on top, gating the
+    * markup→normalize pipeline end-to-end. */
+  val q163 = Q(
+    "q163_strip_markup",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val messy = docs.select($"doc_id", concat(
+        lit("<html><head><SCRIPT type=\"a>b\">var x = 1 < 2;\n" +
+          "</script ><style>.c{color:red}</style></head><body>" +
+          "<!-- note\n --><p class=\"x\">"),
+        $"text",
+        lit(" &amp;lt;i&amp;gt; <b>bold</b>text a < b&nbsp;" +
+          "&lt;tag&gt; &#39;q&#39;</p></BODY></html>")).as("raw"))
+      messy.select($"doc_id",
+          graft.functions.Expressions.stripMarkup($"raw").as("clean"))
+        .select($"doc_id", $"clean",
+          length($"clean").cast("long").as("n_chars"),
+          graft.functions.Expressions.normalizeText($"clean")
+            .as("clean_norm"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               '<html><head><SCRIPT type="a>b">var x = 1 < 2;'
+               || chr(10) || '</script ><style>.c{color:red}</style>'
+               || '</head><body><!-- note' || chr(10)
+               || ' --><p class="x">' || text
+               || ' &amp;lt;i&amp;gt; <b>bold</b>text a < b&nbsp;'
+               || '&lt;tag&gt; &#39;q&#39;</p></BODY></html>' AS raw
+        FROM documents
+      ), st AS (
+        SELECT doc_id,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(raw,
+                  '<script\b[^>]*>.*?</script\s*>', ' ', 'gis'),
+                '<style\b[^>]*>.*?</style\s*>', ' ', 'gis'),
+                '<!--.*?-->', ' ', 'gs'),
+                '<[a-zA-Z/!][^>]*>', ' ', 'g'),
+              '&nbsp;', ' '), '&quot;', '"'), '&apos;', chr(39)),
+              '&#39;', chr(39)), '&lt;', '<'), '&gt;', '>'),
+              '&amp;', '&'),
+            '[ \t\n\r]+', ' ', 'g')) AS clean
+        FROM m
+      )
+      SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars,
+             trim(regexp_replace(nfc_normalize(regexp_replace(clean,
+               '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+               '', 'g')), ' +', ' ', 'g')) AS clean_norm
+      FROM st ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
       q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157,
-      q160)
+      q160, q163)
 }

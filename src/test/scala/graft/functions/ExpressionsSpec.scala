@@ -140,6 +140,36 @@ class ExpressionsSpec extends SparkSpec {
       == "a b")
   }
 
+  test("strip_markup: script/style/comment drop, tag word boundaries, " +
+      "entity decode order, bare math preserved") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def strip(s: String): String =
+      HashFuncs.stripMarkup(UTF8String.fromString(s)).toString
+    // script content vanishes; the attribute's '>' decides the lazy
+    // [^>]* boundary (the rest of the attribute becomes content)
+    assert(strip("<SCRIPT a=\"x>y\">1 < 2\n</script >keep") == "keep")
+    assert(strip("<style>.a{color:red}</style>t") == "t")
+    assert(strip("a<!-- multi\nline -->b") == "a b")
+    // tags are word boundaries, not deletions
+    assert(strip("a<br>b") == "a b")
+    assert(strip("<b>bold</b>text") == "bold text")
+    // bare math text survives the tag class
+    assert(strip("a < b and x > y") == "a < b and x > y")
+    // decode-once: double-encoded entity yields the TEXT &lt;
+    assert(strip("&amp;lt;") == "&lt;")
+    // entities decode AFTER the tag pass — decoded <i> stays as text
+    assert(strip("x&nbsp;&lt;i&gt;&#39;q&#39;") == "x <i>'q'")
+    // unclosed script falls through to the tag pass: content survives
+    assert(strip("<p>unclosed <script>var x;") == "unclosed var x;")
+    assert(strip("") == "")
+    // null passes through; the SQL surface resolves
+    val n = Seq[Option[String]](None).toDF("raw")
+      .select(Expressions.stripMarkup($"raw")).collect()
+    assert(n.head.isNullAt(0))
+    assert(spark.sql("SELECT strip_markup('<b>a</b> c')")
+      .head.getString(0) == "a c")
+  }
+
   test("rolling_hash31 kernel equals the per-character fold on ASCII") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
