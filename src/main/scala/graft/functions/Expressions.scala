@@ -128,6 +128,42 @@ object HashFuncs {
     UTF8String.fromString(x.substring(lo, hi))
   }
 
+  /** Unicode-script census of a string — the script-mix signal a
+    * multilingual curation pipeline pairs with language ID: lang-ID
+    * models mislabel script-mixed documents (spam, spoofing, boilerplate
+    * concatenations), so the per-script CODEPOINT counts gate them
+    * directly. Returns 7 BIGINT counts indexed
+    * [latin, cyrillic, han, greek, arabic, hangul, other]: slots 0-5
+    * count codepoints whose Unicode Script property is that script
+    * (Character.UnicodeScript — the same property RE2's `\p{Latin}`
+    * classes match, which is how the q165 DuckDB oracle and the
+    * PropertySpec Java-regex cross-check replay it independently);
+    * `other` is every remaining codepoint (COMMON punctuation/digits/
+    * spaces, INHERITED marks, all other scripts). One pass,
+    * surrogate-aware (a pair advances once), no allocation beyond the
+    * 7-slot output — vs 6 full regexp_replace scans for the regex
+    * formulation. */
+  def scriptProfile(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](7)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val sc = Character.UnicodeScript.of(cp)
+      val idx =
+        if (sc eq Character.UnicodeScript.LATIN) 0
+        else if (sc eq Character.UnicodeScript.CYRILLIC) 1
+        else if (sc eq Character.UnicodeScript.HAN) 2
+        else if (sc eq Character.UnicodeScript.GREEK) 3
+        else if (sc eq Character.UnicodeScript.ARABIC) 4
+        else if (sc eq Character.UnicodeScript.HANGUL) 5
+        else 6
+      out(idx) += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Rabin-Karp polynomial hash over UTF-8 bytes (base 31, wrapping
     * 64-bit: h = fold(0)(h * 31 + byte)) finished with the splitmix64
     * avalanche mixer. Chosen over xxhash64 because every step is
@@ -789,6 +825,21 @@ object Expressions {
         c: Expression): StripMarkup = copy(c)
   }
 
+  /** script_profile(str) — 7-slot Unicode-script codepoint census
+    * [latin, cyrillic, han, greek, arabic, hangul, other] in one
+    * surrogate-aware pass (HashFuncs.scriptProfile); the q165 oracle
+    * replays each slot with RE2 script classes. */
+  case class ScriptProfile(child: Expression) extends StringKernel {
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(v: Any): Any =
+      HashFuncs.scriptProfile(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$hk.scriptProfile($c)")
+    override protected def withNewChildInternal(
+        c: Expression): ScriptProfile = copy(c)
+  }
+
   /** simhash64(str) — whole-document 64-bit SimHash in one pass. */
   case class SimHash64(child: Expression) extends StringKernel {
     override def dataType: DataType = LongType
@@ -1049,6 +1100,8 @@ object Expressions {
     column(NormalizeText(expression(c)))
   def stripMarkup(c: Column): Column =
     column(StripMarkup(expression(c)))
+  def scriptProfile(c: Column): Column =
+    column(ScriptProfile(expression(c)))
   def gramRepetition(c: Column, n: Int): Column =
     column(GramRepetition(expression(c), n))
   def minHashSig(c: Column, k: Int, numHashes: Int): Column =
@@ -1109,6 +1162,8 @@ object Expressions {
       es => NormalizeText(es.head), "built-in")
     reg.createOrReplaceTempFunction("strip_markup",
       es => StripMarkup(es.head), "built-in")
+    reg.createOrReplaceTempFunction("script_profile",
+      es => ScriptProfile(es.head), "built-in")
     reg.createOrReplaceTempFunction("gram_repetition",
       es => GramRepetition(es.head, es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -1172,6 +1227,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[Expressions.StripMarkup].getName,
         "strip_markup"),
       (es: Seq[Expression]) => Expressions.StripMarkup(es.head)))
+    e.injectFunction((FunctionIdentifier("script_profile"),
+      new ExpressionInfo(classOf[Expressions.ScriptProfile].getName,
+        "script_profile"),
+      (es: Seq[Expression]) => Expressions.ScriptProfile(es.head)))
     e.injectFunction((FunctionIdentifier("gram_repetition"),
       new ExpressionInfo(classOf[Expressions.GramRepetition].getName,
         "gram_repetition"),

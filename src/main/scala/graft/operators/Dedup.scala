@@ -898,4 +898,62 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** The persistable MinHash-LSH inverted index of a corpus: one row
+    * per (band_idx, band_key) posting carrying the doc id AND its full
+    * signature (the signature rides along ×bands so the incremental
+    * join needs no second lookup — the standard space-for-latency
+    * index trade; store it bucketed by (band_idx, band_key) via
+    * [[graft.io.Store]] so batch probes prune to matching buckets).
+    * Same banding domain as [[minHashCandidates]]. */
+  def minHashIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val rows = numHashes / bands
+    minHashSignatures(df, idCol, textCol, k, numHashes)
+      .select(col(idCol).as("id"), col("sig"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+               b -> slice(sig, b * $rows + 1, $rows))"""))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Incremental near-dup candidates of a NEW batch against an
+    * existing corpus index ([[minHashIndex]]) — the daily-ingest
+    * pattern at 100 TB: the corpus's old-vs-old pairs were settled
+    * when the index was built and are NEVER recomputed; only
+    * (new × corpus) and (new × new) pairs move. The batch's band rows
+    * are broadcast (a daily batch is small next to the corpus), so
+    * probing the index is a map-side hash join against the corpus
+    * scan — no corpus shuffle, and with the index stored bucketed by
+    * band the scan itself prunes. New-vs-new pairs come from
+    * [[minHashCandidates]] on the batch alone.
+    *
+    * Output: (id_a, id_b, kind, est_jaccard) — kind `vs_corpus` rows
+    * pair a corpus id (id_a) with a batch id (id_b); `vs_batch` rows
+    * pair two batch ids, id_a < id_b. Gated by the q167 oracle, which
+    * replays signatures, banding, both join sides and the
+    * no-old-vs-old property relationally. */
+  def incrementalCandidates(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val newIdx = minHashIndex(batch, idCol, textCol, k, numHashes, bands)
+      .select(col("band_idx"), col("band_key"),
+        col("id").as("id_new"), col("sig").as("sig_new"))
+    val vsCorpus = index
+      .join(broadcast(newIdx), Seq("band_idx", "band_key"))
+      .filter(col("id") =!= col("id_new"))
+      .select(col("id").as("id_a"), col("id_new").as("id_b"),
+        col("sig"), col("sig_new"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit("vs_corpus").as("kind"),
+        graft.functions.Expressions.longEqFrac(col("sig"), col("sig_new"))
+          .as("est_jaccard"))
+    val vsBatch = minHashCandidates(batch, idCol, textCol, k,
+        numHashes, bands)
+      .select(col("id_a"), col("id_b"), lit("vs_batch").as("kind"),
+        col("est_jaccard"))
+    vsCorpus.unionAll(vsBatch)
+  }
 }

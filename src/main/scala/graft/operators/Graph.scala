@@ -96,4 +96,60 @@ object Graph {
     withDeg.unpersist()
     ranks
   }
+
+  /** `iters` rounds of synchronous label propagation (Raghavan et al.
+    * 2007) over the UNDIRECTED view of `edges` — community detection
+    * for dedup-cluster splitting and topic grouping, one tier finer
+    * than connected components (which merge everything reachable; LPA
+    * keeps densely-linked groups apart across sparse bridges).
+    *
+    * DETERMINISTIC by construction, so the q164 oracle replays it
+    * bit-for-bit: labels start at node id; each round every node takes
+    * the label that is most frequent in its neighbor BAG (both edge
+    * directions, parallel edges count per copy), ties broken by the
+    * SMALLEST label; isolated nodes keep their label. The winner rule
+    * is one `max(struct(count, -label))` aggregation — no RNG, no
+    * visit order, no float.
+    *
+    * Scale shape (per iteration): labels join the symmetrized edge
+    * list on `dst` (one hash shuffle), counts combine map-side on
+    * (src, label), and the winner fold reduces on `src` alone — state
+    * per round is one row per node plus one per live (node, label)
+    * pair, never the neighborhood materialized as an array. Lineage is
+    * truncated every 4 rounds like [[pageRank]]. Synchronous updates
+    * (not the paper's sequential sweep) are the only semantics that
+    * parallelize without a visit-order artifact; the standard
+    * two-community oscillation risk on bipartite-ish graphs is why
+    * `iters` is a hard cap rather than a convergence loop.
+    *
+    * Returns (id, community). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 4, idCol: String = "id"): DataFrame = {
+    require(iters >= 0 && iters <= 64, "iters out of range")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = nodes.select(col(idCol).as("id"))
+    var labels = ids.select(col("id"), col("id").as("lab"))
+    var i = 0
+    while (i < iters) {
+      val counts = und
+        .join(labels.select(col("id").as("_nid"), col("lab")),
+          col("dst") === col("_nid"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // argmax with min-label tie-break as one fold: max count wins,
+      // then the NEGATED label inverts the order so max picks min
+      val winners = counts
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("w"))
+        .select(col("src").as("id"), (-col("w.nl")).as("wlab"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wlab"), col("lab")).as("lab"))
+      i += 1
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lab").as("community"))
+  }
 }

@@ -1383,8 +1383,210 @@ object CurationQ {
       FROM b ORDER BY doc_id"""
     })
 
+  /** Label-propagation communities ([[graft.operators.Graph
+    * .labelPropagation]]) — the community tier between near-dup
+    * components (q62, which merge everything reachable) and raw pair
+    * candidates: densely-linked groups stay apart across sparse
+    * bridges, which is what splits a mega-component of chained
+    * boilerplate into its real clusters. The synthetic graph is
+    * block-local modular arithmetic (two chords inside each 16-id
+    * block, the last block shorter), so both engines build the
+    * identical edge list; labels, counts and the max-count/min-label
+    * winner rule are all integers, so four synchronous rounds are
+    * bit-identical at any parallelism. The oracle unrolls the rounds
+    * as CTE stages with the row_number() spelling of the same winner
+    * rule. Scale: one label-join shuffle + one (node,label) count +
+    * one per-node fold per round — never a materialized neighborhood
+    * array. */
+  val q164 = Q(
+    "q164_label_propagation", {
+      (s, d) => {
+        import s.implicits._
+        val nodes = t(s, d, "documents").select($"doc_id".as("id"))
+        val nDf = nodes.agg(count(lit(1)).as("n"))
+        val chords = (0 until 2).map(j =>
+          expr(s"(id div 16) * 16 + (id - (id div 16) * 16 + 1 + 4 * $j)" +
+            s" % least(16L, n - (id div 16) * 16)"))
+        val edges = nodes.crossJoin(broadcast(nDf))
+          .select($"id".as("src"),
+            explode(array(chords: _*)).as("dst"))
+        graft.operators.Graph.labelPropagation(nodes, edges, iters = 4)
+          .select($"id".as("doc_id"), $"community")
+          .orderBy($"doc_id")
+      }
+    }, {
+      val iter = (i: Int) => {
+        val p = s"l${i - 1}"
+        s"""
+      c$i AS (
+        SELECT ue.src AS id, p.lab AS lab, count(*) AS c
+        FROM ue JOIN $p p ON ue.dst = p.id GROUP BY 1, 2
+      ), w$i AS (
+        SELECT id, lab FROM (
+          SELECT id, lab, row_number() OVER (PARTITION BY id
+            ORDER BY c DESC, lab ASC) AS rn FROM c$i)
+        WHERE rn = 1
+      ), l$i AS (
+        SELECT n.id, COALESCE(w$i.lab, $p.lab) AS lab
+        FROM nodes n
+        LEFT JOIN w$i ON n.id = w$i.id
+        LEFT JOIN $p ON n.id = $p.id)"""
+      }
+      Some(s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      e0 AS (
+        SELECT id AS src,
+               (id // 16) * 16 + (id - (id // 16) * 16 + 1 + 4 * j)
+                 % least(16, cnt.n - (id // 16) * 16) AS dst
+        FROM nodes CROSS JOIN cnt
+        CROSS JOIN (SELECT unnest([0, 1]) AS j)
+      ),
+      ue AS (SELECT src, dst FROM e0
+             UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      l0 AS (SELECT id, id AS lab FROM nodes),${(1 to 4).map(iter).mkString(",")}
+      SELECT id AS doc_id, CAST(lab AS BIGINT) AS community
+      FROM l4 ORDER BY doc_id""")
+    })
+
+  /** Sketch-thresholded adaptive quality filter — the per-group trim a
+    * corpus pipeline runs when one global cutoff is wrong for every
+    * group (each language's quality distribution differs): per-lang
+    * [[graft.operators.QuantileHist]] over an integer lexical-diversity
+    * score (distinct tokens ·10^6 div tokens), P25 read from the
+    * ≤2k-row sketch, threshold broadcast-joined back, docs below it
+    * dropped. The q151 terciles row ranks with a full per-group window
+    * sort; THIS is the shape that replaces it at 100 TB — one map-side-
+    * combinable histogram shuffle builds kilobyte state per group, the
+    * data itself is never sorted, and the join back is a broadcast.
+    * All arithmetic integer (bucket index, midpoint, ceil-rank), so the
+    * oracle replays the sketch and the filter exactly. */
+  val q166 = Q(
+    "q166_adaptive_quality_filter",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.QuantileHist
+      val docs = t(s, d, "documents")
+      val scored = docs.select($"lang",
+        expr("""(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)
+                 * 1000000)
+                div CAST(size(split(text, ' ')) AS BIGINT)""").as("score"))
+      val hist = QuantileHist.histogram(scored, Seq("lang"), "score")
+      val thr = QuantileHist.quantiles(hist, Seq("lang"), Seq(25))
+        .select($"lang", $"est".as("thr"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .groupBy($"lang", $"thr")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"score" >= $"thr", 1L).otherwise(0L)).as("n_kept"))
+        .select($"lang", $"n_docs", $"thr", $"n_kept",
+          ($"n_docs" - $"n_kept").as("n_dropped"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT lang,
+               (CAST(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        FROM documents
+      ), h AS (
+        SELECT lang,
+               ${graft.operators.QuantileHist.bucketIdxSql("score")}
+                 AS bucket,
+               count(*) AS cnt
+        FROM sc GROUP BY 1, 2
+      ), c AS (
+        SELECT lang, bucket, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM h
+      ), thr AS (
+        SELECT lang,
+               ${graft.operators.QuantileHist.bucketMidSql("bucket")}
+                 AS thr
+        FROM c
+        WHERE cum - cnt < (25 * n + 99) // 100
+          AND cum >= (25 * n + 99) // 100
+      )
+      SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(thr.thr AS BIGINT) AS thr,
+             CAST(sum(CASE WHEN sc.score >= thr.thr THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(count(*) - sum(CASE WHEN sc.score >= thr.thr
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM sc JOIN thr ON sc.lang = thr.lang
+      GROUP BY sc.lang, thr.thr
+      ORDER BY sc.lang"""))
+
+  /** Incremental dedup against a persisted LSH index
+    * ([[graft.operators.Dedup.minHashIndex]] /
+    * [[graft.operators.Dedup.incrementalCandidates]]) — the
+    * daily-ingest pattern: the corpus (doc_id % 5 ≠ 0) is indexed
+    * once; the new batch (doc_id % 5 = 0) probes it with a BROADCAST
+    * of its own band rows, so old-vs-old pairs are never recomputed
+    * and the corpus never shuffles. The oracle replays signatures,
+    * banding, the new-vs-corpus probe, the new-vs-new self-join, and
+    * — by construction of its two join predicates — the no-old-vs-old
+    * property. est_jaccard = matching-position fraction, k/32, exact
+    * in both engines. */
+  val q167 = Q(
+    "q167_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter($"doc_id" % 5L =!= 0L)
+      val batch = docs.filter($"doc_id" % 5L === 0L)
+      val index = graft.operators.Dedup
+        .minHashIndex(corpus, "doc_id", "text")
+      graft.operators.Dedup
+        .incrementalCandidates(index, batch, "doc_id", "text")
+        .orderBy($"kind", $"id_a", $"id_b")
+    },
+    Some {
+      val affine = DuckOracle.toSigned(
+        "(p.a * h + p.b) % 18446744073709551616::UHUGEINT")
+      val bandMatch = (a: String, b: String) =>
+        s"""len(list_filter(range(0, 8),
+              bb -> list_slice($a.sig, bb * 4 + 1, bb * 4 + 4)
+                  = list_slice($b.sig, bb * 4 + 1, bb * 4 + 4))) > 0"""
+      val estJ = (a: String, b: String) =>
+        s"""len(list_filter(range(1, 33),
+              i -> $a.sig[i] = $b.sig[i])) / 32.0"""
+      s"""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> ${DuckOracle.phU(
+                   "array_to_string(list_slice(t, i, i + 2), ' ')")})) AS hs
+        FROM tk WHERE len(t) >= 3
+      ), sig AS (
+        SELECT doc_id,
+               list_transform(${DuckOracle.mixPairs(32)},
+                 p -> list_min(list_transform(hs, h -> $affine))) AS sig
+        FROM hs
+      ), corpus AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+      batch AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+      vc AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               'vs_corpus' AS kind, ${estJ("a", "b")} AS est_jaccard
+        FROM corpus a JOIN batch b ON ${bandMatch("a", "b")}
+      ), vb AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               'vs_batch' AS kind, ${estJ("a", "b")} AS est_jaccard
+        FROM batch a JOIN batch b
+          ON a.doc_id < b.doc_id AND ${bandMatch("a", "b")}
+      )
+      SELECT id_a, id_b, kind, est_jaccard FROM vc
+      UNION ALL
+      SELECT id_a, id_b, kind, est_jaccard FROM vb
+      ORDER BY kind, id_a, id_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156, q159)
+      q156, q159, q164, q166, q167)
 }

@@ -1833,9 +1833,117 @@ object TextQ {
                '', 'g')), ' +', ' ', 'g')) AS clean_norm
       FROM st ORDER BY doc_id"""))
 
+  /** Unicode-script census ([[graft.functions.Expressions
+    * .ScriptProfile]]) — the script-mix signal a multilingual pipeline
+    * pairs with language ID (q29): lang-ID n-gram models mislabel
+    * script-mixed documents (spam, spoofed homoglyphs, boilerplate
+    * concatenations), so the per-script codepoint counts gate them
+    * directly. The fixture splices Cyrillic/Han/Greek/Arabic/Hangul
+    * snippets onto the ASCII corpus by doc_id residue; the kernel is
+    * ONE surrogate-aware pass per row (vs 6 regex scans), and the
+    * oracle replays every slot with DuckDB's INDEPENDENT Unicode
+    * implementation — RE2 `\\p{Script}` classes + codepoint length —
+    * two Unicode Script tables agreeing count-for-count, the q157
+    * normalize_text discipline applied to script detection. Dominant
+    * script and the mixed-script degree derive from the counts with a
+    * fixed tie order, so the whole row is integer/string-exact. */
+  /** The q165 script fixture snippets, spliced by doc_id residue —
+    * shared verbatim by the Spark side and the DuckDB oracle literal. */
+  private val FixCyr = " Привет мир"
+  private val FixHan = " 你好世界漢字"
+  private val FixGrk = " γειά σου Κόσμε"
+  private val FixAra = " مرحبا بالعالم"
+  private val FixHgl = " 한글 테스트"
+
+  val q165 = Q(
+    "q165_script_profile",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val raw = concat($"text",
+        when(pmod($"doc_id", lit(4L)) === 0L, lit(FixCyr))
+          .when(pmod($"doc_id", lit(4L)) === 1L, lit(FixHan))
+          .when(pmod($"doc_id", lit(4L)) === 2L, lit(FixGrk))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(7L)) === 0L, lit(FixAra))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(11L)) === 0L, lit(FixHgl))
+          .otherwise(lit("")))
+      val named = docs
+        .select($"doc_id",
+          graft.functions.Expressions.scriptProfile(raw).as("sp"))
+        .select($"doc_id",
+          element_at($"sp", 1).as("n_latin"),
+          element_at($"sp", 2).as("n_cyrillic"),
+          element_at($"sp", 3).as("n_han"),
+          element_at($"sp", 4).as("n_greek"),
+          element_at($"sp", 5).as("n_arabic"),
+          element_at($"sp", 6).as("n_hangul"),
+          element_at($"sp", 7).as("n_other"))
+      val six = Seq("n_latin", "n_cyrillic", "n_han", "n_greek",
+        "n_arabic", "n_hangul")
+      val mx = greatest(six.map(col): _*)
+      named.select($"doc_id", $"n_latin", $"n_cyrillic", $"n_han",
+          $"n_greek", $"n_arabic", $"n_hangul", $"n_other",
+          when($"n_latin" === mx, "latin")
+            .when($"n_cyrillic" === mx, "cyrillic")
+            .when($"n_han" === mx, "han")
+            .when($"n_greek" === mx, "greek")
+            .when($"n_arabic" === mx, "arabic")
+            .otherwise("hangul").as("dominant_script"),
+          six.map(c => when(col(c) > 0L, 1L).otherwise(0L))
+            .reduce(_ + _).as("n_scripts"))
+        .orderBy($"doc_id")
+    }, {
+      val cnt = (script: String) =>
+        s"""length(raw) - length(regexp_replace(raw,
+               '[\\p{$script}]', '', 'g'))"""
+      Some(s"""
+      WITH m AS (
+        SELECT doc_id, text
+          || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '$FixCyr' WHEN 1 THEN '$FixHan'
+               WHEN 2 THEN '$FixGrk' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN '$FixAra' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN '$FixHgl' ELSE '' END AS raw
+        FROM documents
+      ), p AS (
+        SELECT doc_id,
+               CAST(${cnt("Latin")} AS BIGINT) AS n_latin,
+               CAST(${cnt("Cyrillic")} AS BIGINT) AS n_cyrillic,
+               CAST(${cnt("Han")} AS BIGINT) AS n_han,
+               CAST(${cnt("Greek")} AS BIGINT) AS n_greek,
+               CAST(${cnt("Arabic")} AS BIGINT) AS n_arabic,
+               CAST(${cnt("Hangul")} AS BIGINT) AS n_hangul,
+               CAST(length(raw) AS BIGINT) AS tot
+        FROM m
+      ), q AS (
+        SELECT *, greatest(n_latin, n_cyrillic, n_han, n_greek,
+                 n_arabic, n_hangul) AS mx
+        FROM p)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek, n_arabic,
+             n_hangul,
+             tot - n_latin - n_cyrillic - n_han - n_greek - n_arabic
+               - n_hangul AS n_other,
+             CASE WHEN n_latin = mx THEN 'latin'
+                  WHEN n_cyrillic = mx THEN 'cyrillic'
+                  WHEN n_han = mx THEN 'han'
+                  WHEN n_greek = mx THEN 'greek'
+                  WHEN n_arabic = mx THEN 'arabic'
+                  ELSE 'hangul' END AS dominant_script,
+             CAST((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_han > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_greek > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_hangul > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scripts
+      FROM q ORDER BY doc_id""")
+    })
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
       q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157,
-      q160, q163)
+      q160, q163, q165)
 }

@@ -140,6 +140,62 @@ class ExpressionsSpec extends SparkSpec {
       == "a b")
   }
 
+  test("script_profile: per-script codepoint counts, surrogate " +
+      "awareness, regex cross-check") {
+    import spark.implicits._
+    // hand-counted mixed string: 5 latin, 6 cyrillic, 2 han, 4 greek,
+    // 5 arabic, 2 hangul; spaces/digits/punct land in `other`
+    val s0 = "Hello Привет 你好 γειά مرحبا 한글 123 .,!"
+    val got = Seq(s0).toDF("raw")
+      .select(Expressions.scriptProfile($"raw")).as[Seq[Long]].collect()
+      .head
+    assert(got == Seq(5L, 6L, 2L, 4L, 5L, 2L, 13L), got)
+    assert(got.sum == s0.codePointCount(0, s0.length))
+    // surrogate pairs advance ONCE: 3 emoji = 3 `other` codepoints,
+    // not 6 UTF-16 units
+    val emoji = Seq("😀😁😂").toDF("raw")
+      .select(Expressions.scriptProfile($"raw")).as[Seq[Long]].collect()
+      .head
+    assert(emoji == Seq(0L, 0L, 0L, 0L, 0L, 0L, 3L))
+    // empty string: all-zero profile; null passes through
+    val empty = Seq("").toDF("raw")
+      .select(Expressions.scriptProfile($"raw")).as[Seq[Long]].collect()
+      .head
+    assert(empty == Seq.fill(7)(0L))
+    assert(Seq[Option[String]](None).toDF("raw")
+      .select(Expressions.scriptProfile($"raw")).collect().head.isNullAt(0))
+    // independent-formulation cross-check: the kernel's slots 0-5 must
+    // equal Java-regex script-class counts (\p{IsX} matches the same
+    // Unicode Script property) on randomized script-mixed strings
+    val rnd = new scala.util.Random(42)
+    val pools = Seq("abcXYZ", "привет", "你好漢字", "γειάΚμ",
+      "مرحبال", "한글테스", " .,0189\t😀")
+    val samples = (0 until 40).map { _ =>
+      val n = rnd.nextInt(60)
+      (0 until n).map { _ =>
+        val p = pools(rnd.nextInt(pools.length))
+        // pick a CODEPOINT, not a char, so the emoji stays paired
+        val cps = p.codePoints().toArray
+        new String(Character.toChars(cps(rnd.nextInt(cps.length))))
+      }.mkString
+    }
+    val kernel = samples.toDF("raw")
+      .select(Expressions.scriptProfile($"raw")).as[Seq[Long]].collect()
+    val scripts = Seq("IsLatin", "IsCyrillic", "IsHan", "IsGreek",
+      "IsArabic", "IsHangul")
+    samples.zip(kernel).foreach { case (raw, prof) =>
+      val exp = scripts.map(sc =>
+        raw.replaceAll(s"[\\p{$sc}]", "").codePointCount(0,
+          raw.replaceAll(s"[\\p{$sc}]", "").length))
+        .map(rem => raw.codePointCount(0, raw.length).toLong - rem)
+      assert(prof.take(6) == exp, s"'$raw'")
+      assert(prof.sum == raw.codePointCount(0, raw.length))
+    }
+    // SQL surface resolves
+    assert(spark.sql("SELECT script_profile('ab')").head
+      .getSeq[Long](0) == Seq(2L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("strip_markup: script/style/comment drop, tag word boundaries, " +
       "entity decode order, bare math preserved") {
     import org.apache.spark.unsafe.types.UTF8String

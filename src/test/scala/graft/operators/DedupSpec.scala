@@ -445,4 +445,46 @@ class DedupSpec extends SparkSpec {
     // exact value: doc 11 has 6 shingles, doc 10 has 18, all 6 shared
     assert(got((10L, 11L)) == 6.0 / 18.0)
   }
+
+  /** Incremental dedup against a persisted index: old-vs-old pairs are
+    * settled at index-build time and must NEVER reappear; new docs pair
+    * against the corpus (vs_corpus) and each other (vs_batch); the
+    * corpus-side probe is a broadcast hash join (the corpus never
+    * shuffles for a daily batch). */
+  test("incrementalCandidates: no old-vs-old, both probe kinds, " +
+      "broadcast probe plan") {
+    // corpus: 1≈2 near-dups (must NOT appear), 4 unrelated
+    // batch: 103 ≈ corpus 3's text (vs_corpus), 103≈104 (vs_batch)
+    val base = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank"
+    val corpus = Seq(
+      (1L, s"$base today"), (2L, s"$base today"), (3L, s"$base now"),
+      (4L, "completely different content about spark query engines " +
+        "and shuffles everywhere")).toDF("doc_id", "text")
+    val batch = Seq(
+      (103L, s"$base now"), (104L, s"$base nowish"),
+      (105L, "another unrelated doc mentioning columnar storage " +
+        "formats exclusively")).toDF("doc_id", "text")
+    val index = Dedup.minHashIndex(corpus, "doc_id", "text")
+    val out = Dedup.incrementalCandidates(index, batch, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("kind")))
+      .toSet
+    // the settled corpus pair (1,2) is absent in any orientation
+    assert(!got.exists { case (a, b, _) =>
+      Set(a, b).subsetOf(Set(1L, 2L)) })
+    // exact text match corpus 3 × batch 103 must band-collide
+    assert(got.exists { case (a, b, k) =>
+      a == 3L && b == 103L && k == "vs_corpus" })
+    // near-dup within the batch
+    assert(got.exists { case (a, b, k) =>
+      a == 103L && b == 104L && k == "vs_batch" })
+    // est_jaccard of the exact-text vs_corpus pair is 1.0
+    val ej = out.filter($"id_a" === 3L && $"id_b" === 103L)
+      .select($"est_jaccard").as[Double].head()
+    assert(ej == 1.0)
+  }
 }

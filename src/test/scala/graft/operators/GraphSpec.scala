@@ -64,4 +64,31 @@ class GraphSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("src", "dst"), 1)
     }
   }
+
+  /** The max-count/min-label synchronous update, hand-simulated: two
+    * 4-cliques bridged by one edge stay SEPARATE communities (each
+    * clique's internal majority outvotes the single bridge vote — the
+    * property connected components lack), and edge-less isolates keep
+    * their own label. Expected labels traced by hand through 4 rounds
+    * (and cross-checked against the q164 oracle's row_number spelling
+    * of the same rule). */
+  test("labelPropagation separates bridged cliques, keeps isolates, " +
+      "is partitioning-invariant") {
+    val nodes = (0L to 9L).toDF("id")
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L),
+      (3L, 4L)).toDF("src", "dst")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 8L, 9L -> 9L)
+    val out = Graph.labelPropagation(nodes, edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+    // synchronous updates have no visit-order artifact: any input
+    // partitioning yields the identical labeling
+    val out2 = Graph.labelPropagation(nodes.repartition(7),
+      edges.repartition(5), iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == expected)
+  }
 }
