@@ -859,7 +859,87 @@ object EventTimeQ {
              min(k) AS min_k, max(k) AS max_k
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** Population-stability-index drift monitor — the distribution-shift
+    * gate a training-data pipeline runs per slice before folding a new
+    * time window into the corpus (PSI is the standard credit-scoring
+    * drift metric: Σ (p−q)·ln(p/q) over buckets, >0.1 = investigate,
+    * >0.25 = act). Per event_type, `value` is bucketed with the
+    * integer-exact [[graft.operators.QuantileHist]] index (floor to
+    * integer first — DuckDB CAST rounds where Spark truncates, floor is
+    * exact in both), the stream splits at the integer midpoint of the
+    * event-time span, and Laplace smoothing ((cnt+1)/(n+B), B = the
+    * type's bucket count) keeps every log finite. Counts, buckets and
+    * the split are all integers, so the only float is the final PSI —
+    * emitted through the emit6 rounding boundary like every float
+    * aggregate. Scale: one (type, bucket) count shuffle with map-side
+    * combine; totals are a tiny broadcast back — the data is never
+    * sorted and per-type state is the ≤2k-bucket sketch. */
+  val q168 = Q(
+    "q168_psi_drift",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.QuantileHist
+      val ev = t(s, d, "events")
+      val mm = ev.agg(min(unix_micros($"ts")).as("lo"),
+        max(unix_micros($"ts")).as("hi"))
+      val halves = ev.crossJoin(broadcast(mm)).select($"event_type",
+        QuantileHist.bucketIdx(floor($"value")).as("bucket"),
+        when(unix_micros($"ts") < expr("lo + (hi - lo) div 2"), 1L)
+          .otherwise(0L).as("fh"))
+      val c = halves.groupBy($"event_type", $"bucket")
+        .agg(sum($"fh").as("cf"), sum(lit(1L) - $"fh").as("cs"))
+      val tot = c.groupBy($"event_type")
+        .agg(sum($"cf").as("n_first"), sum($"cs").as("n_second"),
+          count(lit(1)).as("n_buckets"))
+      val p = ($"cf" + 1.0) / ($"n_first" + $"n_buckets")
+      val q = ($"cs" + 1.0) / ($"n_second" + $"n_buckets")
+      c.join(broadcast(tot), Seq("event_type"))
+        .groupBy($"event_type", $"n_first", $"n_second", $"n_buckets")
+        .agg(DomainQ.emit6(sum((p - q) * log(p / q))).as("psi"))
+        .select($"event_type", $"n_first", $"n_second", $"n_buckets",
+          $"psi", ($"psi" > 0.1).as("drifted"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH mm AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+      ), e AS (
+        SELECT event_type,
+               ${graft.operators.QuantileHist.bucketIdxSql(
+                 "CAST(floor(value) AS BIGINT)")} AS bucket,
+               CASE WHEN epoch_us(ts) < mm.lo + (mm.hi - mm.lo) // 2
+                    THEN 1 ELSE 0 END AS fh
+        FROM events CROSS JOIN mm
+      ), c AS (
+        SELECT event_type, bucket,
+               CAST(sum(fh) AS BIGINT) AS cf,
+               CAST(sum(1 - fh) AS BIGINT) AS cs
+        FROM e GROUP BY 1, 2
+      ), t AS (
+        SELECT event_type, CAST(sum(cf) AS BIGINT) AS n_first,
+               CAST(sum(cs) AS BIGINT) AS n_second,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM c GROUP BY 1
+      )
+      SELECT c.event_type, t.n_first, t.n_second, t.n_buckets,
+             round(sum(
+               ((c.cf + 1.0) / (t.n_first + t.n_buckets)
+                 - (c.cs + 1.0) / (t.n_second + t.n_buckets))
+               * ln(((c.cf + 1.0) / (t.n_first + t.n_buckets))
+                    / ((c.cs + 1.0) / (t.n_second + t.n_buckets)))),
+               6) + 0.0 AS psi,
+             round(sum(
+               ((c.cf + 1.0) / (t.n_first + t.n_buckets)
+                 - (c.cs + 1.0) / (t.n_second + t.n_buckets))
+               * ln(((c.cf + 1.0) / (t.n_first + t.n_buckets))
+                    / ((c.cs + 1.0) / (t.n_second + t.n_buckets)))),
+               6) + 0.0 > 0.1 AS drifted
+      FROM c JOIN t USING (event_type)
+      GROUP BY c.event_type, t.n_first, t.n_second, t.n_buckets
+      ORDER BY c.event_type"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131, q134, q140, q142, q158)
+      q129, q131, q134, q140, q142, q158, q168)
 }
