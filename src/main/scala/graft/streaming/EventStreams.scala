@@ -114,6 +114,81 @@ object EventStreams {
         when(col("mz").isNotNull, abs(col("mz")) > threshold))
       .drop("med", "mad")
 
+  /** Per-type reference histogram for [[driftGate]]: bucket `value`
+    * with the integer-exact QuantileHist index and fold the counts into
+    * ONE map row per event_type — kilobyte state, broadcastable, the
+    * thing a monitor recomputes daily from history in batch. */
+  def referenceHistogram(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        graft.operators.QuantileHist.bucketIdx(floor(col("value")))
+          .as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("cnt")))).as("ref"))
+
+  /** Streaming distribution-drift gate — the continuous form of the
+    * q168 PSI monitor: per (event_type, tumbling window), the PSI of
+    * the window's `value` distribution against the STATIC
+    * [[referenceHistogram]]. Two CHAINED watermarked aggregations (the
+    * Spark 3.5+ multiple-stateful-operator pattern, watermark
+    * propagated through `window_time`): first the sketch-bounded
+    * bucket counts — state per (type, window) is ≤2k bucket rows, the
+    * QuantileHist scale contract, NOT the raw events — then the
+    * per-window histogram folded into one map row. The reference joins
+    * in as a broadcast stream-static join and the smoothed PSI fold
+    * ((cnt+1)/(n+B) over the KEY UNION of window and reference
+    * buckets, B = union size) is row-local higher-order-function
+    * arithmetic, so drift scoring adds no state beyond the sketch.
+    * Append mode emits one scored row per CLOSED window — exactly the
+    * alert feed a 100 TB ingest monitor tails. Spec-gated: streaming
+    * rows ≡ the identical batch computation through [[psiVsRef]]. */
+  def driftGate(events: DataFrame, refHist: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "30 minutes",
+      threshold: Double = 0.25): DataFrame = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), window(col("ts"), windowLen).as("win"),
+        graft.operators.QuantileHist.bucketIdx(floor(col("value")))
+          .as("bucket"))
+      .groupBy(col("event_type"), col("win"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val hists = counts
+      .groupBy(col("event_type"),
+        window(window_time(col("win")), windowLen).as("win"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("cnt")))).as("cur"))
+    psiVsRef(hists, refHist, threshold)
+  }
+
+  /** Row-local PSI of per-window histogram maps against the broadcast
+    * reference — shared by the streaming gate and its batch parity
+    * check. `hists` carries (event_type, win struct, cur map); output
+    * (event_type, w_start, w_end, n, psi, drifted) with psi rounded at
+    * the emit6 boundary (the map-key fold order is
+    * partitioning-dependent, the rounded sum is not). */
+  def psiVsRef(hists: DataFrame, refHist: DataFrame,
+      threshold: Double): DataFrame = {
+    val p = "(coalesce(element_at(cur, k), 0L) + 1.0) / (n + size(ks))"
+    val q =
+      "(coalesce(element_at(ref, k), 0L) + 1.0) / (ref_n + size(ks))"
+    hists.join(broadcast(refHist), Seq("event_type"))
+      .withColumn("n",
+        expr("aggregate(map_values(cur), 0L, (a, x) -> a + x)"))
+      .withColumn("ref_n",
+        expr("aggregate(map_values(ref), 0L, (a, x) -> a + x)"))
+      .withColumn("ks",
+        expr("array_union(map_keys(cur), map_keys(ref))"))
+      .withColumn("psi", round(expr(
+        s"""aggregate(ks, CAST(0.0 AS DOUBLE),
+              (acc, k) -> acc + ($p - $q) * ln(($p) / ($q)))"""), 6))
+      .select(col("event_type"), col("win.start").as("w_start"),
+        col("win.end").as("w_end"), col("n"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 

@@ -319,4 +319,59 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("mz")) &&
       out(2).isNullAt(out(2).fieldIndex("is_anomaly")))
   }
+
+  /** Chained watermarked aggregations (bucket counts → per-window
+    * histogram map) + broadcast stream-static reference join + the
+    * row-local PSI fold: streaming rows must equal the identical batch
+    * computation through the SHARED psiVsRef, window for window. A
+    * far-future sentinel closes every real window (append mode emits
+    * only closed windows); the sentinel's own window stays open and
+    * must NOT be emitted. */
+  test("streaming drift gate (chained windowed aggs) equals the " +
+      "batch PSI computation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val sample = events
+      .select(unix_micros($"ts"), $"value", $"event_type")
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    // reference = the first half of history, built in batch
+    val ref = EventStreams.referenceHistogram(
+      sample.take(sample.length / 2).toSeq
+        .toDF("us", "value", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)")))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val stream = mem.toDF().toDF("us", "value", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val q = EventStreams.driftGate(stream, ref)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("drift_rows").start()
+    mem.addData(sample.toIndexedSeq); q.processAllAvailable()
+    val maxUs = sample.map(_._1).max
+    val sentinelUs = maxUs + 10L * 86400L * 1000000L
+    mem.addData(Seq((sentinelUs, 1.0, "click"))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift_rows")
+    assert(got.count() > 0)
+    // no open window leaks: the sentinel's window end is beyond the
+    // last real event by days
+    import java.sql.Timestamp
+    val lastEmitted = got.agg(max($"w_end")).head.getTimestamp(0)
+    assert(lastEmitted.getTime * 1000L < sentinelUs)
+    // batch parity through the shared scoring path
+    val histsB = events
+      .select($"event_type", window($"ts", "1 hour").as("win"),
+        graft.operators.QuantileHist.bucketIdx(floor($"value"))
+          .as("bucket"))
+      .groupBy($"event_type", $"win", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type", $"win")
+      .agg(map_from_entries(collect_list(struct($"bucket", $"cnt")))
+        .as("cur"))
+    val want = EventStreams.psiVsRef(histsB, ref, 0.25)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"streaming=${got.count()} batch=${want.count()} " +
+        s"onlyS=${got.except(want).count()} onlyB=${want.except(got).count()}")
+  }
 }
