@@ -934,15 +934,24 @@ object Dedup {
     * pair a corpus id (id_a) with a batch id (id_b); `vs_batch` rows
     * pair two batch ids, id_a < id_b. Gated by the q167 oracle, which
     * replays signatures, banding, both join sides and the
-    * no-old-vs-old property relationally. */
+    * no-old-vs-old property relationally.
+    *
+    * `broadcastBatch` (default true) pins the probe as a broadcast
+    * hash join — right for the daily-batch-vs-corpus asymmetry. Pass
+    * false for a BACKFILL-sized batch that exceeds the broadcast
+    * budget: the probe becomes a plain equi-join on (band_idx,
+    * band_key) and planning falls back to Catalyst's own selection
+    * (sort-merge at worst, with the bucketed index layout keeping the
+    * corpus side shuffle-free). */
   def incrementalCandidates(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val newIdx = minHashIndex(batch, idCol, textCol, k, numHashes, bands)
+      bands: Int = 8, broadcastBatch: Boolean = true): DataFrame = {
+    val newIdx0 = minHashIndex(batch, idCol, textCol, k, numHashes, bands)
       .select(col("band_idx"), col("band_key"),
         col("id").as("id_new"), col("sig").as("sig_new"))
+    val newIdx = if (broadcastBatch) broadcast(newIdx0) else newIdx0
     val vsCorpus = index
-      .join(broadcast(newIdx), Seq("band_idx", "band_key"))
+      .join(newIdx, Seq("band_idx", "band_key"))
       .filter(col("id") =!= col("id_new"))
       .select(col("id").as("id_a"), col("id_new").as("id_b"),
         col("sig"), col("sig_new"))
