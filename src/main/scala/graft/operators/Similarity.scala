@@ -72,6 +72,41 @@ object Similarity {
     topKPerQuery(scored, k, idCol, queryIdCol)
   }
 
+  /** Two-stage retrieval — truncate-then-rerank (the Matryoshka/ MRL
+    * serving pattern, Kusupati et al. 2022): stage 1 scores the corpus
+    * on only the first `coarseDims` dimensions (a prefix `slice`, no
+    * second embedding column materialized) and keeps `coarseK`
+    * candidates per query through the bounded-heap TopKAgg; stage 2
+    * re-ranks ONLY those candidates with full-dimension cosine and
+    * keeps the final k. Ties break by id at both stages, so the result
+    * is deterministic and the q169 oracle replays both stages
+    * relationally.
+    *
+    * Scale shape: stage 1 is the [[bruteForceTopK]] contract at
+    * coarseDims/dim of the flop+memory cost (queries broadcast, corpus
+    * scanned once, ≤ coarseK rows per partition per query move);
+    * stage 2 touches |queries|·coarseK rows via a BROADCAST semi-index
+    * back into the corpus — the corpus never shuffles. Recall loss is
+    * measurable with [[annRecallEval]] against [[bruteForceTopK]]. */
+  def twoStageTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      coarseDims: Int = 16, coarseK: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val q = queries.select(col(queryIdCol),
+      asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("c_vec"))
+    val coarse = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(slice(col("c_vec"), 1, coarseDims),
+        slice(col("q_vec"), 1, coarseDims)))
+    val cands = topKPerQuery(coarse, coarseK, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val rescored = c.join(broadcast(cands), Seq(idCol))
+      .join(broadcast(q), Seq(queryIdCol))
+      .withColumn("cos", cosine(col("c_vec"), col("q_vec")))
+    topKPerQuery(rescored, k, idCol, queryIdCol)
+  }
+
   /** 64-bit signed-random-projection sketches (hyperplanes from
     * splitmix64 — deterministic across runs and engines): one codegen
     * kernel call per row, zero shuffle. The Hamming distance between two

@@ -822,7 +822,58 @@ object SimilarityQ {
       FROM prof JOIN tots t ON t.id = prof.id
       ORDER BY prof.id, prof.seg"""))
 
+  /** Two-stage retrieval ([[graft.operators.Similarity.twoStageTopK]])
+    * — coarse top-50 on the first 16 dimensions, exact full-dimension
+    * re-rank to top-10. Both stages tie-break by vec_id, the cosine is
+    * the sequential double fold in BOTH engines (DuckDB's
+    * list_cosine_similarity over CAST(... AS DOUBLE[]) is bit-equal to
+    * the VecCosine kernel — measured, not assumed), so ranks AND the
+    * 6-rounded scores hash-match. The oracle replays the coarse
+    * window, the candidate cut and the re-rank window relationally. */
+  val q169 = Q(
+    "q169_two_stage_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      graft.operators.Similarity
+        .twoStageTopK(emb, q, k = 10, coarseDims = 16, coarseK = 50)
+        .select($"query_id", $"rank", $"vec_id",
+          DomainQ.emit6($"cos").as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+      ), emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), coarse AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.e[1:16], q.qv[1:16])
+                   DESC, e.vec_id) AS crank
+        FROM emb e CROSS JOIN q
+      ), cand AS (
+        SELECT query_id, vec_id FROM coarse WHERE crank <= 50
+      ), re AS (
+        SELECT c.query_id, c.vec_id,
+               list_cosine_similarity(e.e, q.qv) AS cos,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY list_cosine_similarity(e.e, q.qv) DESC,
+                          c.vec_id) AS rank
+        FROM cand c
+        JOIN emb e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+      )
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+             round(cos, 6) + 0.0 AS cos
+      FROM re WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147, q155,
-      q161, q162)
+      q161, q162, q169)
 }

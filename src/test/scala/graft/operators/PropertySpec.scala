@@ -153,6 +153,36 @@ class PropertySpec extends SparkSpec {
     }, Parameters.default.withMinSuccessfulTests(5))
   }
 
+  /** Label propagation on a disjoint union of cliques (size ≥ 3):
+    * after round 1 every non-min member holds the clique min and the
+    * min member holds the second-min; round 2's majority vote then
+    * fixes EVERY member at the clique min (m−2 ≥ 1 of each node's
+    * neighbors already vote min, beating any single dissenting label),
+    * so by 4 rounds each clique must be exactly its min id — for ANY
+    * random clique sizes and id assignment. Size-2 cliques are
+    * excluded: a single edge is bipartite and oscillates by design
+    * (the synchronous-update caveat the scaladoc documents). */
+  test("labelPropagation fixes every >=3-clique at its min id") {
+    val seedGen = Gen.choose(0L, Long.MaxValue)
+    holds(forAll(seedGen) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val sizes = Seq.fill(2 + rnd.nextInt(4))(3 + rnd.nextInt(4))
+      val ids = rnd.shuffle((0L until 64L).toList).take(sizes.sum)
+      val cliques = {
+        var rest = ids
+        sizes.map { m =>
+          val (c, r) = rest.splitAt(m); rest = r; c
+        }
+      }
+      val nodes = ids.toDF("id")
+      val edges = cliques.flatMap(c =>
+        for (a <- c; b <- c if a < b) yield (a, b)).toDF("src", "dst")
+      val got = Graph.labelPropagation(nodes, edges, iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cliques.forall(c => c.forall(v => got(v) == c.min))
+    }, Parameters.default.withMinSuccessfulTests(5))
+  }
+
   /** Same algebra for the quantile histogram, whose merge is a SUM (so
     * idempotence is replaced by disjoint-shard additivity): any shard
     * split merges back to the whole-data histogram, two DIFFERENT

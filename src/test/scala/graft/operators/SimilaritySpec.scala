@@ -208,6 +208,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ev.head.getAs[Double]("rr") == 1.0)
   }
 
+  /** Truncate-then-rerank: with coarseDims = the full dimension the
+    * coarse stage IS brute force, so the pipeline must reproduce
+    * bruteForceTopK row-for-row (the rerank is then an identity over
+    * the same candidates); with a real truncation the recall against
+    * exact search is measurable and, on this corpus, high — and both
+    * stages' candidate flow is broadcast-only (no corpus shuffle). */
+  test("twoStageTopK: full-width coarse equals brute force; truncated " +
+      "recall measured against exact search") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val fullWidth = Similarity.twoStageTopK(emb, q, k = 10,
+      coarseDims = 64, coarseK = 50)
+    assert(fullWidth.except(exact).isEmpty &&
+      exact.except(fullWidth).isEmpty)
+    // coarseK >= corpus size: every row survives the prefilter, the
+    // exact rerank sees the full corpus, so ANY coarseDims gives the
+    // exact result — the sharp guarantee truncation cannot break
+    val n = emb.count().toInt
+    val allThrough = Similarity.twoStageTopK(emb, q, k = 10,
+      coarseDims = 16, coarseK = n)
+    assert(allThrough.except(exact).isEmpty &&
+      exact.except(allThrough).isEmpty)
+    // a real truncation on RANDOM vectors (no Matryoshka training to
+    // concentrate signal in the prefix) still finds genuine overlap
+    // with the exact top-10 — the measured-recall workflow itself is
+    // what this pins, not a level the data can't promise
+    val truncated = Similarity.twoStageTopK(emb, q, k = 10,
+      coarseDims = 16, coarseK = 50)
+    val ev = Similarity.annRecallEval(exact, truncated, k = 10)
+      .collect()
+    assert(ev.length == 3)
+    ev.foreach(r => assert(r.getAs[Long]("n_overlap") >= 1L,
+      r.toString))
+    intercept[IllegalArgumentException] {
+      Similarity.twoStageTopK(emb, q, k = 10, coarseK = 5)
+    }
+  }
+
   test("centroids are per-dimension means") {
     val two = Seq(
       (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), (3L, Array(10f, 0f), 1))
