@@ -15,15 +15,20 @@ class BenchGateSpec extends SparkSpec {
 
   private val SfDir = sf("sf0.01")
 
-  /** (query, ceiling seconds): ceilings are ~10× the measured healthy
-    * sf0.01 single-shot wall (first run in a fresh suite JVM, codegen
-    * included) — loose enough for CI noise, tight enough that an
-    * O(n²) regression cannot hide. */
+  /** (query, ceiling seconds): ceilings are ~10-20× the measured
+    * healthy sf0.01 single-shot wall (first run in a fresh suite JVM,
+    * codegen included) — loose enough for CI noise, tight enough that
+    * an O(n²) regression cannot hide. The heavy-pipeline ceilings are
+    * 120 s, not 60: `sbt test` runs SUITES in parallel inside the
+    * forked JVM, so these walls include contention from whichever
+    * heavy suites overlap them — measured up to 68 s for q81 in a
+    * slow-host window (r11) with an unchanged plan, while a planted
+    * all-pairs join still lands in the many-minute range. */
   private val gates = Seq(
-    "q59_poobah_slice" -> 60.0,
-    "q63_noob_endtoend" -> 60.0,
-    "q71_dmr_endtoend" -> 60.0,
-    "q81_dmp_mixedlm_endtoend" -> 60.0,
+    "q59_poobah_slice" -> 120.0,
+    "q63_noob_endtoend" -> 120.0,
+    "q71_dmr_endtoend" -> 120.0,
+    "q81_dmp_mixedlm_endtoend" -> 120.0,
     "q67_dmp_ols_endtoend" -> 60.0,
     "q148_leakage_safe_split" -> 60.0,
     "q156_neardup_pipeline" -> 60.0)
