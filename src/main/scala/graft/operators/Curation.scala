@@ -379,4 +379,56 @@ object Curation {
       .withColumn("component", coalesce(col("component"), col(idCol)))
     hashSplit(withComp, "component", splits, outCol)
   }
+
+  /** Length-bucketed inference/training batching: group rows of similar
+    * token length into fixed-size batches so each batch pads only to
+    * ITS max, not the corpus max — the standard dynamic-padding
+    * efficiency lever (a batch's compute is batchSize × its longest
+    * member; mixing a 10-token doc into a 500-token batch wastes 98%
+    * of its rows' compute).
+    *
+    * Scale shape: rows hash-shuffle ONCE on the integer length bucket
+    * (`len div bucketWidth` — a bounded-domain key), ordering runs
+    * per-bucket (parallel across buckets, never a global sort), and
+    * batch ids derive from the in-bucket row_number — position div
+    * batchSize — so batch membership is deterministic (tie-break by
+    * id) and any engine replays it. A giant corpus slice landing in
+    * one bucket makes that bucket's window the straggler; pick
+    * bucketWidth so buckets stay task-sized, or pre-salt the dominant
+    * bucket. Padding waste per batch = batchSize·max(len) − Σ len for
+    * full batches (max·count − Σ for the bucket's trailing partial
+    * batch) — all integer. Returns one row per input row:
+    * (id, len, bucket, batch_id) with batch_id unique across buckets
+    * (bucket · 2^20 + in-bucket batch index, guarded). */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, lenCol: Column,
+      batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0,
+      "batchSize and bucketWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("len"), col("id"))
+    df.select(col(idCol).as("id"), lenCol.cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      // 2^20 in-bucket batches max: fail loudly before ids collide
+      .withColumn("batch_id", when(
+        assert_true(expr(s"pos div $batchSize") < (1L << 20),
+          lit("bucket overflows the packed batch id; " +
+            "raise bucketWidth or split the input")).isNull,
+        col("bucket") * (1L << 20) + expr(s"pos div $batchSize")))
+      .select(col("id"), col("len"), col("bucket"), col("batch_id"))
+  }
+
+  /** Padding-waste census over a batch assignment (id, len, batch_id):
+    * per batch the pad cost is max(len)·n − Σ len; returns ONE row —
+    * (n_batches, n_rows, total_tokens, total_padding) — for comparing
+    * batching strategies. */
+  def paddingCensus(batches: DataFrame): DataFrame =
+    batches.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+        sum(col("len")).as("s"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n")).as("n_rows"),
+        sum(col("s")).as("total_tokens"),
+        sum(col("mx") * col("n") - col("s")).as("total_padding"))
 }

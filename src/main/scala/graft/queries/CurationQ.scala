@@ -1585,8 +1585,72 @@ object CurationQ {
       ORDER BY kind, id_a, id_b"""
     })
 
+  /** Length-bucketed batching vs naive id-order batching
+    * ([[graft.operators.Curation.lengthBucketedBatches]] /
+    * [[graft.operators.Curation.paddingCensus]]) — the dynamic-padding
+    * efficiency census: a batch's compute is batchSize × its longest
+    * member, so batching by length bucket (ONE hash shuffle on the
+    * bounded `len div 16` key, per-bucket ordering, never a global
+    * sort) caps per-row padding below the bucket width, while naive
+    * contiguous-id batches pad each batch to whatever long doc landed
+    * in it. All arithmetic integer; the oracle replays both
+    * assignments and both censuses relationally. */
+  val q170 = Q(
+    "q170_padding_census",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val toks = docs.select($"doc_id".as("id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("len"))
+      val naive = graft.operators.Curation.paddingCensus(
+        toks.withColumn("batch_id", expr("id div 32")))
+      val bucketed = graft.operators.Curation.paddingCensus(
+        graft.operators.Curation.lengthBucketedBatches(
+          docs, "doc_id", size(split($"text", " ")),
+          batchSize = 32, bucketWidth = 16))
+      bucketed.select(lit("length_bucketed").as("strategy"),
+          $"n_batches", $"n_rows", $"total_tokens", $"total_padding")
+        .unionAll(naive.select(lit("naive").as("strategy"),
+          $"n_batches", $"n_rows", $"total_tokens", $"total_padding"))
+        .orderBy($"strategy")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id AS id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents
+      ), na AS (
+        SELECT id, len, id // 32 AS batch_id FROM t
+      ), bu AS (
+        SELECT id, len,
+               (len // 16) * 1048576
+                 + (row_number() OVER (PARTITION BY len // 16
+                      ORDER BY len, id) - 1) // 32 AS batch_id
+        FROM t
+      ), cn AS (
+        SELECT batch_id, count(*) AS n, max(len) AS mx, sum(len) AS s
+        FROM na GROUP BY 1
+      ), cb AS (
+        SELECT batch_id, count(*) AS n, max(len) AS mx, sum(len) AS s
+        FROM bu GROUP BY 1
+      )
+      SELECT 'length_bucketed' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * n - s) AS BIGINT) AS total_padding
+      FROM cb
+      UNION ALL
+      SELECT 'naive' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * n - s) AS BIGINT) AS total_padding
+      FROM cn
+      ORDER BY strategy"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156, q159, q164, q166, q167)
+      q156, q159, q164, q166, q167, q170)
 }

@@ -391,4 +391,37 @@ class CurationSpec extends SparkSpec {
       assert(byDoc(i.toLong)._2 == naive(i.toLong))
     }
   }
+
+  /** The structural guarantee of length bucketing: every batch lives
+    * inside one `bucketWidth`-wide length bucket, so per-row padding is
+    * < bucketWidth and total_padding < n_rows·bucketWidth — regardless
+    * of the length distribution. Batch sizes respect the cap, ids are
+    * unique across buckets, every row is assigned exactly once. */
+  test("lengthBucketedBatches: padding bound, batch-size cap, " +
+      "lossless assignment") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, 1 + rnd.nextInt(300)))
+    val df = rows.toDF("doc_id", "n_tok")
+    val b = Curation.lengthBucketedBatches(df, "doc_id", col("n_tok"),
+      batchSize = 8, bucketWidth = 16)
+    val got = b.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    assert(got.length == 500 && got.map(_._1).distinct.length == 500)
+    // every batch inside one bucket, size <= 8
+    val byBatch = got.groupBy(_._4)
+    byBatch.values.foreach { g =>
+      assert(g.length <= 8)
+      assert(g.map(_._3).distinct.length == 1, "batch straddles buckets")
+      assert(g.map(_._2).max - g.map(_._2).min < 16)
+    }
+    // census identities + the padding theorem
+    val cen = Curation.paddingCensus(b).collect().head
+    assert(cen.getAs[Long]("n_rows") == 500L)
+    assert(cen.getAs[Long]("total_tokens") == rows.map(_._2.toLong).sum)
+    assert(cen.getAs[Long]("total_padding") < 500L * 16)
+    // and the padding matches the brute-force recomputation
+    val brute = byBatch.values.map { g =>
+      g.map(_._2).max * g.length - g.map(_._2).sum }.sum
+    assert(cen.getAs[Long]("total_padding") == brute)
+  }
 }
