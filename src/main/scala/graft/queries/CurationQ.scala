@@ -1649,8 +1649,48 @@ object CurationQ {
       FROM cn
       ORDER BY strategy"""))
 
+  /** k-anonymity audit over quasi-identifiers — the compliance gate a
+    * corpus release runs before publishing per-document metadata: rows
+    * whose (lang, source, coarsened-length) equivalence class has
+    * fewer than k members are re-identifiable by those attributes
+    * alone (Sweeney 2002) and must be suppressed or generalized. Per
+    * (lang, source): class count, the slice's k-anonymity (min class
+    * size), and how many rows suppression at k=5 would cost. One
+    * map-side-combinable class count + one tiny rollup — the audit
+    * never touches document content. */
+  val q171 = Q(
+    "q171_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val cls = t(s, d, "documents")
+        .groupBy($"lang", $"source",
+          expr("n_chars div 64").as("len_class"))
+        .agg(count(lit(1)).as("sz"))
+      cls.groupBy($"lang", $"source")
+        .agg(sum($"sz").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min($"sz").as("k_anonymity"),
+          sum(when($"sz" < 5L, $"sz").otherwise(0L))
+            .as("n_suppressed_at_k5"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""
+      WITH cls AS (
+        SELECT lang, source, n_chars // 64 AS len_class,
+               count(*) AS sz
+        FROM documents GROUP BY 1, 2, 3
+      )
+      SELECT lang, source,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(sz) AS BIGINT) AS k_anonymity,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_suppressed_at_k5
+      FROM cls GROUP BY 1, 2
+      ORDER BY lang, source"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156, q159, q164, q166, q167, q170)
+      q156, q159, q164, q166, q167, q170, q171)
 }
