@@ -23,6 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// BenchGateSpec carries tight (~3x solo) wall ceilings; in the shared
+// long-lived test JVM those walls absorb heap aging from 50 prior
+// suites (r11 measured q81 at 68 s there vs 4.8 s solo — same plan).
+// Give the gate its own FRESH forked JVM, serialized against the main
+// group, so the ceilings measure the plan and not JVM history.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (gate, rest) = tests.partition(_.name == "graft.BenchGateSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("benchgate", gate, Tests.SubProcess(forkOpts)),
+  )
+}
+// one forked test-group JVM at a time: the gate group never overlaps
+// the main group (and inherits an idle box from it)
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -267,16 +267,17 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     // The driver captures a BOUNDED log tail: at 160+ queries the full
-    // record above outgrew it and BENCH_r10.json shipped `parsed: null`
-    // (adjudicated from target/bench.json instead). Emit a compact
-    // self-describing summary LAST — per-query medians but none of the
-    // big telemetry/outlier/min maps, plus the worst-5 min-vs-ref
-    // ratios the grader actually reads — so whatever survives tail
-    // truncation always ends with one parseable record.
+    // record above outgrew it and BENCH_r10/r11.json shipped
+    // `parsed: null` — in r11 even though the summary was its own line,
+    // because that line still embedded all 171 medians and its HEAD was
+    // cut by the tail buffer. The last printed line must therefore be
+    // SMALL: totals, worst-5 min-vs-ref ratios, counts — no per-query
+    // maps at all (the full record is line 1 above and target/bench.json
+    // on disk). ~400 bytes always survives any tail window intact.
     val worst5 = mins.flatMap { case (name, mn) =>
       ref.get(name).map(r => name -> mn / r)
     }.sortBy(-_._2).take(5)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"summary":true,"n_queries":${med.size},"worst5_min_ratio":${jmap(worst5)},"n_outlier_reruns":${outliers.size},"n_failed":${failed.size},"reps":$Reps,"ref_loaded":${ref.nonEmpty},"ref_queries":${ref.size},"ref_missing_n":${refMissing.size},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_queries":${med.size},"worst5_min_ratio":${jmap(worst5)},"n_outlier_reruns":${outliers.size},"n_failed":${failed.size},"reps":$Reps,"ref_loaded":${ref.nonEmpty},"ref_queries":${ref.size},"ref_missing_n":${refMissing.size},"full_record":"target/bench.json","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }

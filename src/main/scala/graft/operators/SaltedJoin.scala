@@ -28,11 +28,29 @@ object SaltedJoin {
     * inner join. xxhash64 accepts any type, never returns null, and is
     * deterministic across retries/speculative tasks like splitmix. */
   def inner(skewed: DataFrame, other: DataFrame, key: String,
-      rowId: String, buckets: Int = 8): DataFrame = {
+      rowId: String, buckets: Int = 8): DataFrame =
+    innerWithSalt(skewed, other, key,
+      pmod(xxhash64(col(rowId)), lit(buckets.toLong)), buckets)
+
+  /** Portable salt in [0, buckets) from the repo-wide splitmix64 chain
+    * over a NUMERIC (long-castable, non-null) row id — bit-identical to
+    * the DuckDB UHUGEINT replay in [[graft.queries.DuckOracle.mix]], so
+    * a salted join built on it is exact-oracle-checkable (q172). The
+    * low-53-bit mask keeps the masked value non-negative in signed
+    * arithmetic, making `pmod` agree with the oracle's unsigned modulo.
+    * Production callers with string or nullable ids should stay on
+    * [[inner]]'s xxhash64 salt. */
+  def portableSalt(rowId: Column, buckets: Int): Column =
+    pmod(Curation.splitmix(rowId.cast("long"))
+      .bitwiseAND(lit((1L << 53) - 1)), lit(buckets.toLong))
+
+  /** [[inner]] with a caller-supplied salt expression over the skewed
+    * side (must be a deterministic value in [0, buckets)). */
+  def innerWithSalt(skewed: DataFrame, other: DataFrame, key: String,
+      saltExpr: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salt = "__salt"
-    val l = skewed.withColumn(salt,
-      pmod(xxhash64(col(rowId)), lit(buckets.toLong)))
+    val l = skewed.withColumn(salt, saltExpr)
     val r = other.withColumn(salt,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     l.join(r, Seq(key, salt)).drop(salt)

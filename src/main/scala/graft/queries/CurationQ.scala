@@ -1689,8 +1689,71 @@ object CurationQ {
       FROM cls GROUP BY 1, 2
       ORDER BY lang, source"""))
 
+  /** Salted skew join, exact-oracle-gated (the last LLM-pipeline
+    * operator that was spec-only): [[graft.operators.SaltedJoin]] with
+    * the portable splitmix salt, on the hottest natural key in the
+    * corpus — `lang`, where one value holds most documents, the exact
+    * shape where a plain hash join serializes one key on one task. The
+    * oracle replays the WHOLE salted pipeline relationally in DuckDB:
+    * splitmix64(doc_id) low-53-bit mod-8 salt, ×8 `generate_series`
+    * replication of the dim side, the (key, salt) equi join, and the
+    * per-lang rollup — so the per-(lang, salt) census hash-checks the
+    * salt assignment bit-for-bit and `dim_sum = n_joined × lang_docs`
+    * certifies the replication join hit exactly one dim copy per row
+    * (the salted output ≡ plain join; SaltedJoinSpec asserts the same
+    * for the production xxhash64 salt on a 90%-hot-key fixture). */
+  val q172 = Q(
+    "q172_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dim = docs.groupBy($"lang").agg(count(lit(1)).as("lang_docs"))
+      val joined = graft.operators.SaltedJoin.innerWithSalt(
+        docs, dim, "lang",
+        graft.operators.SaltedJoin.portableSalt($"doc_id", 8), 8)
+      val perLang = joined.groupBy($"lang").agg(
+        count(lit(1)).as("n_joined"),
+        sum($"n_chars").as("chars_sum"),
+        sum($"lang_docs").as("dim_sum"))
+      docs.withColumn("salt",
+          graft.operators.SaltedJoin.portableSalt($"doc_id", 8))
+        .groupBy($"lang", $"salt").agg(count(lit(1)).as("n_docs"))
+        .join(perLang, "lang")
+        .select($"lang", $"salt", $"n_docs", $"n_joined", $"chars_sum",
+          $"dim_sum")
+        .orderBy($"lang", $"salt")
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang
+      ), salted AS (
+        SELECT lang, n_chars,
+               CAST(((${DuckOracle.mix(
+      s"(CAST(doc_id AS UHUGEINT) + $Gamma) % 18446744073709551616::UHUGEINT")})
+                 % 9007199254740992::UHUGEINT) % 8::UHUGEINT AS BIGINT)
+                 AS salt
+        FROM documents
+      ), rep AS (
+        SELECT lang, lang_docs, unnest(generate_series(0, 7)) AS salt
+        FROM dim
+      ), joined AS (
+        SELECT s.lang, s.n_chars, r.lang_docs
+        FROM salted s JOIN rep r ON s.lang = r.lang AND s.salt = r.salt
+      ), per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_joined,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(lang_docs) AS BIGINT) AS dim_sum
+        FROM joined GROUP BY lang
+      ), census AS (
+        SELECT lang, salt, CAST(count(*) AS BIGINT) AS n_docs
+        FROM salted GROUP BY lang, salt
+      )
+      SELECT c.lang, c.salt, c.n_docs, p.n_joined, p.chars_sum, p.dim_sum
+      FROM census c JOIN per_lang p USING (lang)
+      ORDER BY lang, salt"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156, q159, q164, q166, q167, q170, q171)
+      q156, q159, q164, q166, q167, q170, q171, q172)
 }

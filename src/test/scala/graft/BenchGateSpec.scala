@@ -3,43 +3,56 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 /** CI-time plan-shape gate: the registry's heaviest queries (per the
-  * round-9 driver bench) each run ONCE at sf0.01 under a wall ceiling
-  * ≈ 10× their healthy single-shot time on this box. The point is not
-  * timing precision — it is catching an accidentally quadratic or
-  * collect-shaped plan at `sbt test` time instead of in the next
-  * round's driver bench: a planted all-pairs join on `documents` at
-  * sf0.01 blows these ceilings by an order of magnitude, while
-  * scheduler weather stays well inside them.
+  * driver bench) each run ONCE at sf0.01 under a wall ceiling ≈ 3× their
+  * healthy solo time on this box. The point is not timing precision — it
+  * is catching an accidentally quadratic or collect-shaped plan at
+  * `sbt test` time instead of in the next round's driver bench: a
+  * planted all-pairs join on `documents` at sf0.01 blows these ceilings
+  * by an order of magnitude, while scheduler weather stays inside them.
+  *
+  * ISOLATION (r12): this suite runs in its OWN fresh forked JVM,
+  * serialized after the main test group (`Test / testGrouping` +
+  * `Tags.limit(ForkedTestGroup, 1)` in build.sbt). In the shared
+  * long-lived test JVM the walls had to absorb heap aging from ~50
+  * prior suites (r11 measured q81 at 68 s there vs 4.8 s solo, same
+  * plan) and were widened to 120 s — a ceiling loose enough that a
+  * real 5-10× plan regression would have passed CI. A fresh JVM plus
+  * an untimed sf0.001 warmup per query (session init + codegen paid
+  * outside the timed window, exactly the Bench methodology) restores
+  * tight walls.
   */
 class BenchGateSpec extends SparkSpec {
 
   private val SfDir = sf("sf0.01")
+  private val WarmDir = sf("sf0.001")
 
-  /** (query, ceiling seconds): ceilings are ~10-20× the measured
-    * healthy sf0.01 single-shot wall (first run in a fresh suite JVM,
-    * codegen included) — loose enough for CI noise, tight enough that
-    * an O(n²) regression cannot hide. The heavy-pipeline ceilings are
-    * 120 s, not 60: `sbt test` runs SUITES in parallel inside the
-    * forked JVM, so these walls include contention from whichever
-    * heavy suites overlap them — measured up to 68 s for q81 in a
-    * slow-host window (r11) with an unchanged plan, while a planted
-    * all-pairs join still lands in the many-minute range. */
+  /** (query, ceiling seconds): ceilings are ≈3× the solo fresh-JVM
+    * walls measured after warmup on this box (r12, two isolated runs:
+    * q59 4.2/4.7 s, q63 3.7/2.6 s, q71 5.8/5.5 s, q81 3.9/2.7 s,
+    * q67 2.9/2.3 s, q148 1.4/1.2 s, q156 3.3/2.4 s), rounded up —
+    * covering the documented ±50% host oscillation on allocation-heavy
+    * plans with ~2× margin, while an O(n²) regression (many minutes at
+    * sf0.01) cannot hide. */
   private val gates = Seq(
-    "q59_poobah_slice" -> 120.0,
-    "q63_noob_endtoend" -> 120.0,
-    "q71_dmr_endtoend" -> 120.0,
-    "q81_dmp_mixedlm_endtoend" -> 120.0,
-    "q67_dmp_ols_endtoend" -> 60.0,
-    "q148_leakage_safe_split" -> 60.0,
-    "q156_neardup_pipeline" -> 60.0)
+    "q59_poobah_slice" -> 14.0,
+    "q63_noob_endtoend" -> 11.0,
+    "q71_dmr_endtoend" -> 17.0,
+    "q81_dmp_mixedlm_endtoend" -> 12.0,
+    "q67_dmp_ols_endtoend" -> 9.0,
+    "q148_leakage_safe_split" -> 5.0,
+    "q156_neardup_pipeline" -> 10.0)
 
-  private def run(name: String): DataFrame =
-    SparkEntry.queries(name)(spark, SfDir)
+  private def run(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
 
   gates.foreach { case (name, ceiling) =>
     test(s"$name completes sf0.01 under ${ceiling.toInt}s") {
+      // untimed warmup: session init, plan compile, codegen/JIT — the
+      // one-time costs a long-lived cluster never pays per query
+      run(name, WarmDir).count()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = run(name).count()
+      val n = run(name, SfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // q59-class queries persist internally
       info(f"$name: $sec%.1f s at sf0.01 (ceiling ${ceiling.toInt}s)")
@@ -47,7 +60,8 @@ class BenchGateSpec extends SparkSpec {
       assert(sec < ceiling,
         f"$name took $sec%.1f s at sf0.01 (ceiling $ceiling%.0f s) — " +
           "plan regression (quadratic join / lost pushdown / " +
-          "collect boundary)?")
+          "collect boundary)? If the box is in a documented slow " +
+          "window, re-run this suite alone before concluding.")
     }
   }
 }

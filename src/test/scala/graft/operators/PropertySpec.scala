@@ -218,6 +218,65 @@ class PropertySpec extends SparkSpec {
     }, Parameters.default.withMinSuccessfulTests(5))
   }
 
+  /** strip_markup over randomized nested/malformed markup, checked
+    * against a BY-CONSTRUCTION oracle: every generated atom knows its
+    * own visible text (tags/scripts/styles/comments contribute none,
+    * entities their decoded char, math text itself), so the expected
+    * output is the space-join of the visible parts — independent of
+    * the kernel's regex chain. Atoms include nested-bracket malformed
+    * tags (`<div <span>`), case-shifted script blocks whose CONTENT
+    * contains `<`/`>`/fake tags, comments hiding tags, double-encoded
+    * entities, and bare math `a < b` (the `<`-preservation invariant).
+    * On the entity-free subset the output provably contains no residue
+    * the tag pass could match and a second strip is a fixpoint (the
+    * full chain is deliberately NOT idempotent: decoded `&lt;tag&gt;`
+    * is text and must survive one pass but not two — asserted too). */
+  test("strip_markup: by-construction oracle, no tag residue, " +
+      "fixpoint on entity-free markup") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def strip(s: String): String =
+      HashFuncs.stripMarkup(UTF8String.fromString(s)).toString
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    // (raw markup, visible text) — entity-free atoms
+    val plainAtom: Gen[(String, String)] = Gen.oneOf(
+      word.map(w => (w, w)),
+      Gen.zip(word, word).map { case (a, b) => (s"$a < $b", s"$a < $b") },
+      Gen.zip(word, word).map { case (a, b) => (s"$a > $b", s"$a > $b") },
+      Gen.zip(Gen.oneOf("b", "div", "SPAN", "a"), word).map {
+        case (t, w) => (s"<$t class=\"x\">$w</$t>", w) },
+      Gen.const(("<br/>", "")),
+      Gen.const(("<div <span>", "")), // nested-bracket malformed tag
+      Gen.zip(Gen.oneOf("script", "SCRIPT", "Script"), word).map {
+        case (t, w) => (s"<$t type=\"t\">if(1<2){$w()}</$t>", "") },
+      word.map(w => (s"<style>p { color: $w }</style>", "")),
+      word.map(w => (s"<!-- $w <b>hidden</b> 1<2 -->", "")),
+      Gen.const(("  \t\n ", "")))
+    val entityAtom: Gen[(String, String)] = Gen.oneOf(
+      ("&nbsp;", ""), ("&quot;", "\""), ("&apos;", "'"), ("&#39;", "'"),
+      ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"),
+      ("&amp;lt;", "&lt;"), // double-encoded: decodes to TEXT "&lt;"
+      ("&lt;b&gt;", "<b>")) // decoded tag = text; survives ONE pass
+    def expected(atoms: List[(String, String)]): String =
+      atoms.map(_._2).mkString(" ")
+        .replaceAll("[ \\t\\n\\r]+", " ").trim
+    // full generator: by-construction oracle
+    holds(forAll(Gen.listOf(Gen.frequency(
+        4 -> plainAtom, 1 -> entityAtom))) { atoms =>
+      strip(atoms.map(_._1).mkString(" ")) == expected(atoms)
+    })
+    // entity-free subset: no complete-tag/script/style/comment residue,
+    // and strip is a fixpoint
+    holds(forAll(Gen.listOf(plainAtom)) { atoms =>
+      val out = strip(atoms.map(_._1).mkString(" "))
+      val noResidue =
+        !java.util.regex.Pattern.compile("<[a-zA-Z/!][^>]*>")
+          .matcher(out).find() &&
+        !out.toLowerCase.contains("<script") &&
+        !out.toLowerCase.contains("<style") && !out.contains("<!--")
+      noResidue && strip(out) == out
+    })
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

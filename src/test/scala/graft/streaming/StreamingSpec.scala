@@ -374,4 +374,89 @@ class StreamingSpec extends SparkSpec {
       s"streaming=${got.count()} batch=${want.count()} " +
         s"onlyS=${got.except(want).count()} onlyB=${want.except(got).count()}")
   }
+
+  /** The production rollout pattern for the drift monitor: the
+    * reference histogram is recomputed from accumulated history
+    * between deployments and the gate restarts against the new
+    * broadcast — early windows score against ref v1, later windows
+    * against ref v2, each proven window-for-window against the shared
+    * batch scorer. Also asserts the stateful operators hold
+    * SKETCH-bounded state (≈ distinct (type, win, bucket) + histogram
+    * rows), never O(events): the QuantileHist scale contract, measured
+    * from the query's own state-operator metrics. */
+  test("drift gate across a reference rollout: updated histogram " +
+      "scores later windows; state stays sketch-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Q.eventTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val sample = events
+      .select(unix_micros($"ts"), $"value", $"event_type")
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    val (t0, rest) = sample.splitAt(sample.length / 3)
+    val (t1, t2) = rest.splitAt(rest.length / 2)
+    def toDf(xs: Array[(Long, Double, String)]) =
+      xs.toSeq.toDF("us", "value", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+    def histsOf(xs: Array[(Long, Double, String)]) = toDf(xs)
+      .select($"event_type", window($"ts", "1 hour").as("win"),
+        graft.operators.QuantileHist.bucketIdx(floor($"value"))
+          .as("bucket"))
+      .groupBy($"event_type", $"win", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type", $"win")
+      .agg(map_from_entries(collect_list(struct($"bucket", $"cnt")))
+        .as("cur"))
+    implicit val sqlCtx = spark.sqlContext
+    val sentinel = (sample.map(_._1).max + 10L * 86400L * 1000000L,
+      1.0, "click")
+    def runGate(ref: org.apache.spark.sql.DataFrame, sink: String,
+        feed: Array[(Long, Double, String)]): Long = {
+      val mem = MemoryStream[(Long, Double, String)]
+      val q = EventStreams.driftGate(
+          mem.toDF().toDF("us", "value", "event_type")
+            .withColumn("ts", expr("timestamp_micros(us)")), ref)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      mem.addData(feed.toIndexedSeq); q.processAllAvailable()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      q.stop()
+      stateRows
+    }
+    // deployment 1: reference from initial history, gate sees t1
+    val ref1 = EventStreams.referenceHistogram(toDf(t0))
+    val state1 = runGate(ref1, "drift_v1", t1)
+    // rollout: reference recomputed over ALL history so far; the
+    // restarted gate scores t2's windows against the NEW broadcast
+    val ref2 = EventStreams.referenceHistogram(toDf(t0 ++ t1))
+    runGate(ref2, "drift_v2", t2)
+    val got1 = spark.table("drift_v1")
+    val got2 = spark.table("drift_v2")
+    assert(got1.count() > 0 && got2.count() > 0)
+    val want1 = EventStreams.psiVsRef(histsOf(t1), ref1, 0.25)
+    val want2 = EventStreams.psiVsRef(histsOf(t2), ref2, 0.25)
+    assert(got1.except(want1).isEmpty && want1.except(got1).isEmpty,
+      "v1 windows must score against ref v1")
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty,
+      "post-rollout windows must score against ref v2")
+    // the two references genuinely differ (the rollout changed the
+    // broadcast), else the test proves nothing — compared via exploded
+    // entries (set ops are unsupported on MAP columns)
+    def refRows(r: org.apache.spark.sql.DataFrame) =
+      r.select($"event_type", explode($"ref").as(Seq("bucket", "cnt")))
+    assert(refRows(ref1).except(refRows(ref2)).count() > 0)
+    // sketch-bounded state: ≈ bucket rows + histogram rows for live
+    // windows (2× slack for both chained operators' bookkeeping),
+    // and strictly below the event count — never O(events)
+    val bucketRows = toDf(t1)
+      .select($"event_type", window($"ts", "1 hour"),
+        graft.operators.QuantileHist.bucketIdx(floor($"value")))
+      .distinct().count()
+    val histRows = toDf(t1)
+      .select($"event_type", window($"ts", "1 hour")).distinct().count()
+    assert(state1 <= 2 * (bucketRows + histRows) && state1 < t1.length,
+      s"state=$state1 events=${t1.length} buckets=$bucketRows " +
+        s"hists=$histRows — state must track the sketch, not the feed")
+  }
 }
