@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured-scaling rung: every plan in this repo is AUDITED for
+  * 100×-scale shape (PlanSpec's mechanical join sweep, the scaladoc
+  * shuffle contracts), but until this main nothing had been EXECUTED
+  * above sf0.1. ScaleBench converts plan-reading into measurement: it
+  * generates a DETERMINISTIC 10× replica of the tables the heaviest
+  * registered queries read, runs those queries at 1× and 10× volume on
+  * the same session, and reports the per-query time exponent
+  * `e = log(t_10x / t_1x) / log(10)` — e ≈ 1 is linear scaling, e
+  * noticeably above ~1.3 names a scale-killer (quadratic pair blowup,
+  * single-task serialization, driver round-trip growing with data).
+  *
+  * Generation (into `target/scale-synth/`, never committed): copy k of
+  * a base row shifts every join/grouping key by k·10^m (powers of ten
+  * keep the mod-2/5/10 classes the domain queries derive semantics
+  * from — e.g. q59's all-zero sample at `l_suppkey % 10 == 7` — while
+  * mod-3/23-class membership cycles per copy, so derived distributions
+  * stay balanced), and `documents.text` is caesar-rotated by k so
+  * copies are NOT near-duplicates of each other: without that, the
+  * MinHash/Jaccard queries would see every doc as a 10-clique and the
+  * candidate-pair count would scale ×45 instead of ×10 — a synthetic
+  * worst case, not a volume measurement. Copy 0 is the identity, so
+  * x1 and x10 share layout, writer, compression, and partition count
+  * (both repartitioned to [[Partitions]] so the 1× run is not
+  * under-parallelized relative to the 10× run — at these sizes a
+  * default-split scan would give x1 a single task and corrupt the
+  * exponent with a parallelism artifact instead of per-row work).
+  *
+  * No RNG anywhere: re-running regenerates bit-identical inputs, and a
+  * marker file skips regeneration when the copies count matches.
+  *
+  * Output: one JSON line per query `{query, t1, tN, exponent}` as it
+  * completes, then a final summary line (max/median exponent, offender
+  * list above the 1.3 gate) — also persisted to
+  * `target/scalebench.json`.
+  */
+object ScaleBench {
+
+  /** The 10 heaviest registered queries by the committed bench
+    * reference (tools/bench_ref.json, r11 reseed). They read exactly
+    * {lineitem, part, supplier, documents} — the four tables
+    * [[generate]] scales. */
+  private val Heavy = Seq(
+    "q81_dmp_mixedlm_endtoend",
+    "q59_poobah_slice",
+    "q63_noob_endtoend",
+    "q71_dmr_endtoend",
+    "q67_dmp_ols_endtoend",
+    "q84_signal_build_endtoend",
+    "q62_components_canonicalize",
+    "q148_leakage_safe_split",
+    "q82_masks_endtoend",
+    "q124_dedup_eval")
+
+  private val Partitions = 32
+
+  // key offsets per copy — powers of ten above every base key domain
+  // (sf0.1: l_orderkey ≤ 6·10^5, partkey ≤ 2·10^4, suppkey ≤ 10^3,
+  // doc_id ≤ 10^4), far below Long overflow at 10 copies
+  private val OffOrder = 10000000000L // 10^10
+  private val OffPart = 100000000L // 10^8
+  private val OffSupp = 10000000L // 10^7
+  private val OffDoc = 100000000L // 10^8
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rot(k: Int): String = {
+    val s = k % 26
+    Alpha.drop(s) + Alpha.take(s)
+  }
+
+  /** One table, `copies` deterministic shifted copies unioned. */
+  private def replicate(df: DataFrame, copies: Int)(
+      f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(k => f(df, k)).reduce(_ unionByName _)
+
+  private def shiftKey(df: DataFrame, colName: String,
+      off: Long, k: Int): DataFrame =
+    df.withColumn(colName, col(colName) + lit(off * k))
+
+  /** Write the scaled four-table dir; marker-gated idempotent. */
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_GRAFT_SCALE_$copies")
+    if (java.nio.file.Files.exists(marker)) return
+    def base(name: String) = Q.t(spark, baseDir, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(Partitions)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write(replicate(base("lineitem"), copies) { (df, k) =>
+      shiftKey(shiftKey(shiftKey(df, "l_orderkey", OffOrder, k),
+        "l_partkey", OffPart, k), "l_suppkey", OffSupp, k)
+    }, "lineitem")
+    write(replicate(base("part"), copies) { (df, k) =>
+      shiftKey(df, "p_partkey", OffPart, k)
+    }, "part")
+    write(replicate(base("supplier"), copies) { (df, k) =>
+      shiftKey(df, "s_suppkey", OffSupp, k)
+    }, "supplier")
+    write(replicate(base("documents"), copies) { (df, k) =>
+      shiftKey(df, "doc_id", OffDoc, k)
+        .withColumn("text", translate(col("text"),
+          Alpha + Alpha.toUpperCase, rot(k) + rot(k).toUpperCase))
+    }, "documents")
+    java.nio.file.Files.createFile(marker)
+  }
+
+  private def timeOne(spark: SparkSession, name: String,
+      dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    System.gc() // reap localCheckpoint blocks outside timed windows
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
+      "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outRoot = "target/scale-synth"
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Q.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val x1 = s"$outRoot/x1"
+    val xN = s"$outRoot/x$copies"
+    generate(spark, baseDir, x1, 1)
+    generate(spark, baseDir, xN, copies)
+    val filter = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = Heavy.filter(q => filter.forall(_.contains(q)))
+    val results = queries.map { name =>
+      // untimed warmup: codegen/JIT once per query shape
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache(); System.gc()
+      // interleave x1/xN reps so a host slow window hits both sides
+      val pairs = (1 to reps).map { _ =>
+        (timeOne(spark, name, x1), timeOne(spark, name, xN))
+      }
+      val t1 = pairs.map(_._1).min
+      val tN = pairs.map(_._2).min
+      val e = math.log(tN / t1) / math.log(copies.toDouble)
+      println(f"""{"query":"$name","t1":$t1%.3f,"t$copies":$tN%.3f,"exponent":$e%.3f}""")
+      (name, t1, tN, e)
+    }
+    val exps = results.map(_._4).sorted
+    val medE = exps(exps.size / 2)
+    val offenders = results.filter(_._4 > 1.3).map(_._1)
+    val line =
+      s"""{"metric":"scale_exponent_max","value":${exps.max},"unit":"exponent","median_exponent":$medE,"copies":$copies,"reps":$reps,"base":"$baseDir","offenders":${offenders
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${results
+        .map { case (n, t1, tN, e) =>
+          "\"" + n + "\":{\"t1\":" + t1 + ",\"tN\":" + tN +
+            ",\"exponent\":" + e + "}"
+        }.mkString("{", ",", "}")}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/scalebench.json")
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] could not persist: $e")
+    }
+    spark.stop()
+  }
+}

@@ -410,9 +410,13 @@ object Curation {
     df.select(col(idCol).as("id"), lenCol.cast("long").as("len"))
       .withColumn("bucket", expr(s"len div $bucketWidth"))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
-      // 2^20 in-bucket batches max: fail loudly before ids collide
+      // 2^20 in-bucket batches max AND bucket < 2^43: both halves of
+      // the packed id fail loudly before they can collide or overflow
+      // Long (an extreme len makes bucket = len div bucketWidth huge;
+      // bucket·2^20 would silently wrap negative without the guard)
       .withColumn("batch_id", when(
-        assert_true(expr(s"pos div $batchSize") < (1L << 20),
+        assert_true(expr(s"pos div $batchSize") < (1L << 20) &&
+            col("bucket") < (1L << 43),
           lit("bucket overflows the packed batch id; " +
             "raise bucketWidth or split the input")).isNull,
         col("bucket") * (1L << 20) + expr(s"pos div $batchSize")))

@@ -762,6 +762,15 @@ object Dedup {
         s"""transform(sequence(0, ${bands - 1}),
              b -> slice(sig, b * $rows + 1, $rows))"""))
         .as(Seq("band_idx", "band_key")))
+    candidatesFromBanded(banded, dfCap)
+  }
+
+  /** Candidate-pair expansion over ALREADY-banded signature rows
+    * (id, sig, band_idx, band_key) — shared by [[minHashCandidates]]
+    * and [[incrementalCandidates]] so a batch's shingle/signature pass
+    * runs once however many joins consume it. */
+  private def candidatesFromBanded(banded: DataFrame,
+      dfCap: Option[Int]): DataFrame = {
     val inv = banded.groupBy("band_idx", "band_key")
       .agg(collect_list(struct(col("id"), col("sig"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -946,12 +955,18 @@ object Dedup {
   def incrementalCandidates(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
       bands: Int = 8, broadcastBatch: Boolean = true): DataFrame = {
-    val newIdx0 = minHashIndex(batch, idCol, textCol, k, numHashes, bands)
-      .select(col("band_idx"), col("band_key"),
-        col("id").as("id_new"), col("sig").as("sig_new"))
-    val newIdx = if (broadcastBatch) broadcast(newIdx0) else newIdx0
+    // persisted: the batch's shingle/signature pass feeds BOTH the
+    // corpus probe and the batch self-join below; without the persist
+    // the union's two branches would each re-run it over raw text
+    // (poobah/jaccardDedup-style contract — a later
+    // spark.catalog.clearCache() releases the KB-scale batch index)
+    val newBanded =
+      minHashIndex(batch, idCol, textCol, k, numHashes, bands).persist()
+    val probe0 = newBanded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_new"), col("sig").as("sig_new"))
+    val probe = if (broadcastBatch) broadcast(probe0) else probe0
     val vsCorpus = index
-      .join(newIdx, Seq("band_idx", "band_key"))
+      .join(probe, Seq("band_idx", "band_key"))
       .filter(col("id") =!= col("id_new"))
       .select(col("id").as("id_a"), col("id_new").as("id_b"),
         col("sig"), col("sig_new"))
@@ -959,8 +974,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit("vs_corpus").as("kind"),
         graft.functions.Expressions.longEqFrac(col("sig"), col("sig_new"))
           .as("est_jaccard"))
-    val vsBatch = minHashCandidates(batch, idCol, textCol, k,
-        numHashes, bands)
+    val vsBatch = candidatesFromBanded(newBanded, None)
       .select(col("id_a"), col("id_b"), lit("vs_batch").as("kind"),
         col("est_jaccard"))
     vsCorpus.unionAll(vsBatch)

@@ -1410,6 +1410,11 @@ object CurationQ {
         val edges = nodes.crossJoin(broadcast(nDf))
           .select($"id".as("src"),
             explode(array(chords: _*)).as("dst"))
+          // a short trailing block can wrap a chord onto its own node
+          // (block size divides 1 + 4j); a self-loop would let a node
+          // vote for its own label, deviating from the neighbor-bag
+          // LPA semantics — drop it in BOTH engines
+          .filter($"src" =!= $"dst")
         graft.operators.Graph.labelPropagation(nodes, edges, iters = 4)
           .select($"id".as("doc_id"), $"community")
           .orderBy($"doc_id")
@@ -1442,8 +1447,9 @@ object CurationQ {
         FROM nodes CROSS JOIN cnt
         CROSS JOIN (SELECT unnest([0, 1]) AS j)
       ),
-      ue AS (SELECT src, dst FROM e0
-             UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      e1 AS (SELECT src, dst FROM e0 WHERE src != dst),
+      ue AS (SELECT src, dst FROM e1
+             UNION ALL SELECT dst AS src, src AS dst FROM e1),
       l0 AS (SELECT id, id AS lab FROM nodes),${(1 to 4).map(iter).mkString(",")}
       SELECT id AS doc_id, CAST(lab AS BIGINT) AS community
       FROM l4 ORDER BY doc_id""")
@@ -1752,8 +1758,52 @@ object CurationQ {
       FROM census c JOIN per_lang p USING (lang)
       ORDER BY lang, salt"""))
 
+  /** l-diversity audit — the companion gate to q171's k-anonymity
+    * (Machanavajjhala 2007): a class can be large (k-anonymous) yet
+    * still leak if every member shares the same SENSITIVE value, so a
+    * release also requires each quasi-identifier class to contain ≥ l
+    * distinct sensitive values. Here the release publishes (lang,
+    * coarsened-length) per document and `source` is the sensitive
+    * attribute: per lang — class count, the slice's l-diversity (min
+    * distinct sources over its classes), and the row cost of
+    * suppressing classes below l = 3. Same scale shape as q171: one
+    * map-side-combinable class aggregate (count-distinct over ≤ a
+    * handful of sources per class) + one tiny rollup; content never
+    * read. */
+  val q173 = Q(
+    "q173_l_diversity",
+    (s, d) => {
+      import s.implicits._
+      val cls = t(s, d, "documents")
+        .groupBy($"lang", expr("n_chars div 64").as("len_class"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct($"source").as("l_div"))
+      cls.groupBy($"lang")
+        .agg(sum($"sz").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min($"l_div").as("l_diversity"),
+          sum(when($"l_div" < 3L, $"sz").otherwise(0L))
+            .as("n_suppressed_at_l3"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH cls AS (
+        SELECT lang, n_chars // 64 AS len_class,
+               count(*) AS sz,
+               count(DISTINCT source) AS l_div
+        FROM documents GROUP BY 1, 2
+      )
+      SELECT lang,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(l_div) AS BIGINT) AS l_diversity,
+             CAST(sum(CASE WHEN l_div < 3 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_suppressed_at_l3
+      FROM cls GROUP BY 1
+      ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q53, q54, q55, q56, q91, q94, q96, q98, q106, q107, q108, q118,
       q125, q128, q132, q133, q135, q141, q143, q145, q148, q149, q150,
-      q156, q159, q164, q166, q167, q170, q171, q172)
+      q156, q159, q164, q166, q167, q170, q171, q172, q173)
 }

@@ -168,25 +168,34 @@ object EventStreams {
     * check. `hists` carries (event_type, win struct, cur map); output
     * (event_type, w_start, w_end, n, psi, drifted) with psi rounded at
     * the emit6 boundary (the map-key fold order is
-    * partitioning-dependent, the rounded sum is not). */
+    * partitioning-dependent, the rounded sum is not).
+    *
+    * LEFT join on the reference: an event type with NO reference
+    * histogram — a brand-new type, arguably maximal drift — must
+    * surface, not silently drop (the r11 inner join lost it). Such
+    * rows emit psi = null (there is no distribution to score against)
+    * and drifted = true, the triage-now signal. */
   def psiVsRef(hists: DataFrame, refHist: DataFrame,
       threshold: Double): DataFrame = {
     val p = "(coalesce(element_at(cur, k), 0L) + 1.0) / (n + size(ks))"
     val q =
       "(coalesce(element_at(ref, k), 0L) + 1.0) / (ref_n + size(ks))"
-    hists.join(broadcast(refHist), Seq("event_type"))
+    hists.join(broadcast(refHist), Seq("event_type"), "left")
       .withColumn("n",
         expr("aggregate(map_values(cur), 0L, (a, x) -> a + x)"))
       .withColumn("ref_n",
         expr("aggregate(map_values(ref), 0L, (a, x) -> a + x)"))
       .withColumn("ks",
         expr("array_union(map_keys(cur), map_keys(ref))"))
+      // null ref propagates: ref_n/ks/psi are all null for a type the
+      // reference has never seen
       .withColumn("psi", round(expr(
         s"""aggregate(ks, CAST(0.0 AS DOUBLE),
               (acc, k) -> acc + ($p - $q) * ln(($p) / ($q)))"""), 6))
       .select(col("event_type"), col("win.start").as("w_start"),
         col("win.end").as("w_end"), col("n"), col("psi"),
-        (col("psi") > threshold).as("drifted"))
+        when(col("ref").isNull, lit(true))
+          .otherwise(col("psi") > threshold).as("drifted"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

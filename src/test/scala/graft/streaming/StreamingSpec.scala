@@ -459,4 +459,25 @@ class StreamingSpec extends SparkSpec {
       s"state=$state1 events=${t1.length} buckets=$bucketRows " +
         s"hists=$histRows — state must track the sketch, not the feed")
   }
+
+  test("psiVsRef surfaces an event type absent from the reference " +
+      "as drifted instead of dropping it") {
+    val hists = Seq("known", "never_seen").toDF("event_type")
+      .withColumn("win", expr(
+        "named_struct('start', timestamp_micros(0), " +
+          "'end', timestamp_micros(3600000000))"))
+      .withColumn("cur", expr("map(1L, 5L, 2L, 5L)"))
+    val ref = Seq("known").toDF("event_type")
+      .withColumn("ref", expr("map(1L, 5L, 2L, 5L)"))
+    val out = EventStreams.psiVsRef(hists, ref, 0.25)
+      .orderBy($"event_type").collect()
+    assert(out.length === 2, "the unknown type must NOT be dropped")
+    assert(out(0).getString(0) === "known" &&
+      out(0).getDouble(out(0).fieldIndex("psi")) === 0.0 &&
+      !out(0).getBoolean(out(0).fieldIndex("drifted")))
+    assert(out(1).getString(0) === "never_seen" &&
+      out(1).isNullAt(out(1).fieldIndex("psi")) &&
+      out(1).getBoolean(out(1).fieldIndex("drifted")),
+      s"no-reference row must emit null psi + drifted=true: ${out(1)}")
+  }
 }
