@@ -320,6 +320,33 @@ object Similarity {
         col("n_sim_smaller").isNull.as("keep"))
   }
 
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram decontaminators (exact spans / shingle overlap): flag every
+    * corpus item whose MAX cosine to ANY held-out eval item reaches
+    * `minCos`, with the nearest eval id for audit (max-cos ties break
+    * to the smaller eval id, so the verdict is deterministic). Eval
+    * suites are tiny next to a training corpus, so the eval side is
+    * broadcast and the corpus is scanned ONCE with no shuffle of
+    * corpus vectors: the per-(corpus row × eval row) scores collapse
+    * map-side to one row per corpus id before the final exchange.
+    * Output: (idCol, max_cos, nearest_eval, contaminated). */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minCos: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      evalIdCol: String = "eval_id"): DataFrame = {
+    val e = evalSet.select(col(evalIdCol).as("eval_id"),
+      asDouble(col(vecCol)).as("e_vec"))
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("c_vec"))
+    c.crossJoin(broadcast(e))
+      .withColumn("cos", cosine(col("c_vec"), col("e_vec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"),
+        (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col(idCol), col("m.cos").as("max_cos"),
+        (-col("m.neg_id")).as("nearest_eval"),
+        (col("m.cos") >= minCos).as("contaminated"))
+  }
+
   def srpNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64,
       bands: Int = 8, bandBits: Int = 8, minCos: Double = 0.3,

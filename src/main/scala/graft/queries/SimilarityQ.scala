@@ -873,7 +873,56 @@ object SimilarityQ {
       FROM re WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** Semantic decontamination ([[Similarity.semanticDecontaminate]]) —
+    * the embedding-space complement of the n-gram decontaminators
+    * (q61 exact 8-gram, q99 spans): before training, every corpus item
+    * whose max cosine to ANY held-out eval item reaches the threshold
+    * is flagged with its nearest eval id for audit. The fixture holds
+    * out `vec_id % 23 = 1` as the eval suite and scans the rest as the
+    * corpus; the synthetic embeddings top out near cos ≈ 0.5 within a
+    * label (q90's measurement), so the 0.4 threshold exercises both
+    * verdicts. Ties break to the smaller eval id in both engines; the
+    * max-cos is emitted at the round-6 boundary while the flag
+    * compares the raw kernel value (bit-equal to DuckDB's
+    * list_cosine_similarity — the q169-measured property). Scale: the
+    * eval suite broadcasts, the corpus never shuffles — per-corpus-row
+    * scores collapse map-side before the one tiny exchange. */
+  val q174 = Q(
+    "q174_semantic_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val ev = emb.filter($"vec_id" % 23 === 1)
+        .select($"vec_id".as("eval_id"), $"embedding")
+      val corpus = emb.filter($"vec_id" % 23 =!= 1)
+      Similarity.semanticDecontaminate(corpus, ev, minCos = 0.4)
+        .select($"vec_id", DomainQ.emit6($"max_cos").as("max_cos"),
+          $"nearest_eval", $"contaminated")
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), ev AS (
+        SELECT vec_id AS eval_id, e FROM emb WHERE vec_id % 23 = 1
+      ), corp AS (
+        SELECT vec_id, e FROM emb WHERE vec_id % 23 <> 1
+      ), sc AS (
+        SELECT c.vec_id, ev.eval_id,
+               list_cosine_similarity(c.e, ev.e) AS cos
+        FROM corp c CROSS JOIN ev
+      ), best AS (
+        SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, eval_id ASC) AS rn
+        FROM sc
+      )
+      SELECT vec_id, round(cos, 6) + 0.0 AS max_cos,
+             eval_id AS nearest_eval, cos >= 0.4 AS contaminated
+      FROM best WHERE rn = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q41, q44, q90, q102, q121, q122, q147, q155,
-      q161, q162, q169)
+      q161, q162, q169, q174)
 }
