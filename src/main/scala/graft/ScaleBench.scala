@@ -33,10 +33,15 @@ import org.apache.spark.sql.functions._
   * No RNG anywhere: re-running regenerates bit-identical inputs, and a
   * marker file skips regeneration when the copies count matches.
   *
-  * Output: one JSON line per query `{query, t1, tN, exponent}` as it
-  * completes, then a final summary line (max/median exponent, offender
-  * list above the 1.3 gate) — also persisted to
-  * `target/scalebench.json`.
+  * Output: one JSON line per query `{query, t1, tN, exponent,
+  * shuffle_mb1, shuffle_mbN, shuffle_exponent}` as it completes, then a
+  * final summary line (max/median exponent, offender list above the
+  * 1.3 gate on EITHER exponent) — also persisted to
+  * `target/scalebench.json`. The shuffle-bytes exponent is the
+  * noise-free twin of the wall exponent: host oscillation moves wall
+  * time ±50%, but the bytes a deterministic plan moves per input
+  * volume are exact — a super-linear shuffle exponent is a plan
+  * verdict, not weather.
   */
 object ScaleBench {
 
@@ -108,14 +113,32 @@ object ScaleBench {
     java.nio.file.Files.createFile(marker)
   }
 
-  private def timeOne(spark: SparkSession, name: String,
-      dir: String): Double = {
+  /** Shuffle-write byte accumulator: wall time oscillates with the
+    * host, but the bytes a plan MOVES per input volume are exact and
+    * deterministic — the second, noise-free exponent the artifact
+    * carries. (Approximately per-query: the async listener bus can
+    * leak a straggler task into the next window, like Bench's spill
+    * telemetry.) */
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var bytes = 0L
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes += m.shuffleWriteMetrics.bytesWritten
+    }
+    def reset(): Unit = bytes = 0L
+  }
+
+  private def timeOne(spark: SparkSession, name: String, dir: String,
+      meter: ShuffleMeter): (Double, Long) = {
+    meter.reset()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
     System.gc() // reap localCheckpoint blocks outside timed windows
-    sec
+    (sec, meter.bytes)
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,6 +164,8 @@ object ScaleBench {
     val filter = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val queries = Heavy.filter(q => filter.forall(_.contains(q)))
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val results = queries.map { name =>
       // untimed warmup: codegen/JIT once per query shape
       try SparkEntry.queries(name)(spark, warmDir).count()
@@ -148,23 +173,33 @@ object ScaleBench {
       spark.catalog.clearCache(); System.gc()
       // interleave x1/xN reps so a host slow window hits both sides
       val pairs = (1 to reps).map { _ =>
-        (timeOne(spark, name, x1), timeOne(spark, name, xN))
+        (timeOne(spark, name, x1, meter), timeOne(spark, name, xN, meter))
       }
-      val t1 = pairs.map(_._1).min
-      val tN = pairs.map(_._2).min
+      val t1 = pairs.map(_._1._1).min
+      val tN = pairs.map(_._2._1).min
+      // bytes: max over reps (a straggler listener event can UNDERcount
+      // a window; it never overcounts a deterministic plan)
+      val b1 = pairs.map(_._1._2).max
+      val bN = pairs.map(_._2._2).max
       val e = math.log(tN / t1) / math.log(copies.toDouble)
-      println(f"""{"query":"$name","t1":$t1%.3f,"t$copies":$tN%.3f,"exponent":$e%.3f}""")
-      (name, t1, tN, e)
+      // shuffle exponent undefined when a query never shuffles at x1
+      val eb = if (b1 > 0 && bN > 0)
+        math.log(bN.toDouble / b1) / math.log(copies.toDouble) else 0.0
+      println(f"""{"query":"$name","t1":$t1%.3f,"t$copies":$tN%.3f,"exponent":$e%.3f,"shuffle_mb1":${b1 / 1048576},"shuffle_mb$copies":${bN / 1048576},"shuffle_exponent":$eb%.3f}""")
+      (name, t1, tN, e, b1, bN, eb)
     }
     val exps = results.map(_._4).sorted
     val medE = exps(exps.size / 2)
-    val offenders = results.filter(_._4 > 1.3).map(_._1)
+    val offenders =
+      results.filter(r => r._4 > 1.3 || r._7 > 1.3).map(_._1)
     val line =
-      s"""{"metric":"scale_exponent_max","value":${exps.max},"unit":"exponent","median_exponent":$medE,"copies":$copies,"reps":$reps,"base":"$baseDir","offenders":${offenders
+      s"""{"metric":"scale_exponent_max","value":${exps.max},"unit":"exponent","median_exponent":$medE,"max_shuffle_exponent":${results
+        .map(_._7).max},"copies":$copies,"reps":$reps,"base":"$baseDir","offenders":${offenders
         .map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${results
-        .map { case (n, t1, tN, e) =>
+        .map { case (n, t1, tN, e, b1, bN, eb) =>
           "\"" + n + "\":{\"t1\":" + t1 + ",\"tN\":" + tN +
-            ",\"exponent\":" + e + "}"
+            ",\"exponent\":" + e + ",\"shuffle_b1\":" + b1 +
+            ",\"shuffle_bN\":" + bN + ",\"shuffle_exponent\":" + eb + "}"
         }.mkString("{", ",", "}")}}"""
     println(line)
     try {

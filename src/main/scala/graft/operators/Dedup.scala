@@ -962,6 +962,15 @@ object Dedup {
     // spark.catalog.clearCache() releases the KB-scale batch index)
     val newBanded =
       minHashIndex(batch, idCol, textCol, k, numHashes, bands).persist()
+    incrementalFromBanded(index, newBanded, broadcastBatch)
+  }
+
+  /** [[incrementalCandidates]] over a PREBUILT (and ideally persisted)
+    * batch band frame — the entry point the streaming ingest uses so a
+    * micro-batch's signatures are computed once and then both probed
+    * against the index and appended to it. */
+  private[graft] def incrementalFromBanded(index: DataFrame,
+      newBanded: DataFrame, broadcastBatch: Boolean): DataFrame = {
     val probe0 = newBanded.select(col("band_idx"), col("band_key"),
       col("id").as("id_new"), col("sig").as("sig_new"))
     val probe = if (broadcastBatch) broadcast(probe0) else probe0
@@ -979,4 +988,12 @@ object Dedup {
         col("est_jaccard"))
     vsCorpus.unionAll(vsBatch)
   }
+
+  /** Batch self-join candidates labeled for the incremental contract —
+    * what the FIRST micro-batch (empty index) of a streaming ingest
+    * emits. */
+  private[graft] def batchOnlyCandidates(newBanded: DataFrame): DataFrame =
+    candidatesFromBanded(newBanded, None)
+      .select(col("id_a"), col("id_b"), lit("vs_batch").as("kind"),
+        col("est_jaccard"))
 }

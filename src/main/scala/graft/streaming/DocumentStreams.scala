@@ -102,4 +102,53 @@ object DocumentStreams {
       .withColumn("xent", -col("log_prob") / col("n_bigrams"))
       .withColumn("ppl", exp(col("xent")))
   }
+
+  /** Continuous incremental near-dup gating with an ACCUMULATING
+    * MinHash-LSH index — the streaming face of
+    * [[graft.operators.Dedup.incrementalCandidates]] (q167): each
+    * micro-batch (1) computes its band/signature rows ONCE, (2) probes
+    * the index accumulated from every PRIOR batch (old-vs-old pairs
+    * never recompute, the corpus never reshuffles), (3) hands the
+    * candidate pairs to `sink`, and (4) APPENDS its own band rows to
+    * the parquet index — so batch k sees all documents from batches
+    * < k and the index is exactly what an offline
+    * [[graft.operators.Dedup.minHashIndex]] over the union would
+    * build (spec-asserted batch ≡ stream). foreachBatch is the right
+    * harness here, not a stateful operator: the index must OUTLIVE the
+    * query (it is the corpus artifact other jobs probe), and the
+    * state-store API cannot share state out; parquet append keeps it
+    * external, restart-safe, and bucketable via [[graft.io.Store]].
+    * The stream only ever ships a batch's own band rows. */
+  def incrementalDedupStream(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      broadcastBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val newBanded = Dedup.minHashIndex(batch.toDF(), idCol, textCol,
+          k, numHashes, bands).persist()
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val dir = new org.apache.hadoop.fs.Path(indexDir)
+          val hasIndex = fs.exists(dir) &&
+            fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+          val cands =
+            if (hasIndex)
+              Dedup.incrementalFromBanded(spark.read.parquet(indexDir),
+                newBanded, broadcastBatch)
+            else Dedup.batchOnlyCandidates(newBanded)
+          sink(cands, batchId)
+          // append AFTER the sink consumed the candidates: the batch
+          // must never probe its own band rows through the index
+          newBanded.write.mode("append").parquet(indexDir)
+        } finally newBanded.unpersist()
+    }
+  }
 }

@@ -95,6 +95,76 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The accumulating-index ingest: three micro-batches flow through
+    * incrementalDedupStream; each batch's candidate pairs must equal
+    * the batch-mode q167 calls on the same splits (batch 0 = plain
+    * self-join; batch k = incrementalCandidates against the index of
+    * batches < k), and the on-disk index afterwards must equal the
+    * offline minHashIndex over the whole corpus. Cross-batch near-dups
+    * planted in every batch prove the vs_corpus path fires. */
+  test("incrementalDedupStream: stream candidates equal batch-mode " +
+      "incremental calls; index accumulates to the offline build") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b0 = Seq(1L -> (base + " one"), 2L -> (base + " two"),
+      3L -> "совершенно other content nothing shared at all here")
+    val b1 = Seq(11L -> (base + " eleven"), // near-dup of 1/2
+      12L -> "fresh unrelated middle batch text with new tokens only")
+    val b2 = Seq(21L -> (base + " twentyone"), // near-dup of 1/2/11
+      22L -> ("fresh unrelated middle batch text with new tokens only "
+        + "plus a tail")) // near-dup of 12
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incr-stream").toString + "/idx"
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, String, Double)]]
+    val in = MemoryStream[(Long, String)]
+    val q = DocumentStreams.incrementalDedupStream(
+        in.toDF().toDF("doc_id", "text"), dir) {
+      (cands, id) =>
+        got(id) = cands.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getDouble(3))).toSet
+    }.start()
+    try {
+      Seq(b0, b1, b2).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def df(bs: Seq[(Long, String)]) = bs.toDF("doc_id", "text")
+    def asSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val ref0 = asSet(Dedup.minHashCandidates(df(b0), "doc_id", "text")
+      .select($"id_a", $"id_b", lit("vs_batch").as("kind"),
+        $"est_jaccard"))
+    val ref1 = asSet(Dedup.incrementalCandidates(
+      Dedup.minHashIndex(df(b0), "doc_id", "text"), df(b1),
+      "doc_id", "text"))
+    val ref2 = asSet(Dedup.incrementalCandidates(
+      Dedup.minHashIndex(df(b0).unionAll(df(b1)), "doc_id", "text"),
+      df(b2), "doc_id", "text"))
+    assert(got(0L) == ref0, s"batch 0: ${got(0L)} vs $ref0")
+    assert(got(1L) == ref1, s"batch 1: ${got(1L)} vs $ref1")
+    assert(got(2L) == ref2, s"batch 2: ${got(2L)} vs $ref2")
+    // the planted cross-batch dups actually exercised the probe
+    assert(got(1L).exists(_._3 == "vs_corpus"))
+    assert(got(2L).exists(p => p._3 == "vs_corpus" && p._2 == 22L))
+    spark.catalog.clearCache()
+    // accumulated index ≡ offline build over the union
+    val all = df(b0).unionAll(df(b1)).unionAll(df(b2))
+    val offline = Dedup.minHashIndex(all, "doc_id", "text")
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val stored = spark.read.parquet(dir)
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(stored == offline,
+      s"index drifted: ${stored.size} stored vs ${offline.size} offline")
+  }
+
   test("redactPii composes with readStream (row-local, stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
