@@ -423,6 +423,24 @@ object Curation {
       .select(col("id"), col("len"), col("bucket"), col("batch_id"))
   }
 
+  /** Quasi-identifier equivalence classes — the shared primitive of the
+    * privacy release audits (q171 k-anonymity, q173 l-diversity): one
+    * row per distinct combination of the `qi` columns with the class
+    * size `sz`, plus `l_div` (distinct values of the sensitive column
+    * inside the class) when a sensitive attribute is given. One
+    * map-side-combinable aggregate; never touches content columns, so
+    * at corpus scale it shuffles only the (tiny) QI key space. Callers
+    * roll the class frame up to their released slices (min sz = the
+    * slice's k-anonymity; min l_div = its l-diversity; conditional sums
+    * = suppression cost). */
+  def equivalenceClasses(df: DataFrame, qi: Seq[Column],
+      sensitive: Option[Column] = None): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val aggs = count(lit(1)).as("sz") +:
+      sensitive.map(s => countDistinct(s).as("l_div")).toSeq
+    df.groupBy(qi: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Padding-waste census over a batch assignment (id, len, batch_id):
     * per batch the pad cost is max(len)·n − Σ len; returns ONE row —
     * (n_batches, n_rows, total_tokens, total_padding) — for comparing

@@ -1668,10 +1668,8 @@ object CurationQ {
     "q171_k_anonymity",
     (s, d) => {
       import s.implicits._
-      val cls = t(s, d, "documents")
-        .groupBy($"lang", $"source",
-          expr("n_chars div 64").as("len_class"))
-        .agg(count(lit(1)).as("sz"))
+      val cls = Curation.equivalenceClasses(t(s, d, "documents"),
+        Seq($"lang", $"source", expr("n_chars div 64").as("len_class")))
       cls.groupBy($"lang", $"source")
         .agg(sum($"sz").as("n_rows"),
           count(lit(1)).as("n_classes"),
@@ -1774,10 +1772,9 @@ object CurationQ {
     "q173_l_diversity",
     (s, d) => {
       import s.implicits._
-      val cls = t(s, d, "documents")
-        .groupBy($"lang", expr("n_chars div 64").as("len_class"))
-        .agg(count(lit(1)).as("sz"),
-          countDistinct($"source").as("l_div"))
+      val cls = Curation.equivalenceClasses(t(s, d, "documents"),
+        Seq($"lang", expr("n_chars div 64").as("len_class")),
+        sensitive = Some($"source"))
       cls.groupBy($"lang")
         .agg(sum($"sz").as("n_rows"),
           count(lit(1)).as("n_classes"),

@@ -424,4 +424,23 @@ class CurationSpec extends SparkSpec {
       g.map(_._2).max * g.length - g.map(_._2).sum }.sum
     assert(cen.getAs[Long]("total_padding") == brute)
   }
+
+  test("equivalenceClasses: sizes per QI combination, distinct " +
+      "sensitive values when requested") {
+    val rows = Seq(
+      ("en", "web", "s1"), ("en", "web", "s1"), ("en", "web", "s2"),
+      ("en", "book", "s1"),
+      ("fr", "web", "s3")).toDF("lang", "src", "sens")
+    val plain = Curation.equivalenceClasses(rows, Seq($"lang", $"src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("sz")).toMap
+    assert(plain == Map(("en", "web") -> 3L, ("en", "book") -> 1L,
+      ("fr", "web") -> 1L))
+    val withL = Curation.equivalenceClasses(rows, Seq($"lang", $"src"),
+        sensitive = Some($"sens"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("sz"), r.getAs[Long]("l_div")))).toMap
+    assert(withL(("en", "web")) == ((3L, 2L)))
+    assert(withL(("en", "book")) == ((1L, 1L)))
+  }
 }
