@@ -1696,8 +1696,9 @@ object CurationQ {
   /** Salted skew join, exact-oracle-gated (the last LLM-pipeline
     * operator that was spec-only): [[graft.operators.SaltedJoin]] with
     * the portable splitmix salt, on the hottest natural key in the
-    * corpus — `lang`, where one value holds most documents, the exact
-    * shape where a plain hash join serializes one key on one task. The
+    * corpus — `lang`, whose top value (`en`) holds ~44% of all
+    * documents, the shape where a plain hash join serializes nearly
+    * half the table through one task. The
     * oracle replays the WHOLE salted pipeline relationally in DuckDB:
     * splitmix64(doc_id) low-53-bit mod-8 salt, ×8 `generate_series`
     * replication of the dim side, the (key, salt) equi join, and the

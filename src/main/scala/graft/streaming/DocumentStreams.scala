@@ -116,8 +116,12 @@ object DocumentStreams {
     * build (spec-asserted batch ≡ stream). foreachBatch is the right
     * harness here, not a stateful operator: the index must OUTLIVE the
     * query (it is the corpus artifact other jobs probe), and the
-    * state-store API cannot share state out; parquet append keeps it
-    * external, restart-safe, and bucketable via [[graft.io.Store]].
+    * state-store API cannot share state out. Each batch writes its OWN
+    * `batch_id=` partition with overwrite and probes every partition
+    * but its own — so under foreachBatch's at-least-once replay a
+    * re-run batch rewrites (never duplicates) its rows and re-probes
+    * exactly what it probed the first time: the index is idempotent
+    * and restart-safe, and remains bucketable via [[graft.io.Store]].
     * The stream only ever ships a batch's own band rows. */
   def incrementalDedupStream(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
@@ -137,17 +141,28 @@ object DocumentStreams {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
           val dir = new org.apache.hadoop.fs.Path(indexDir)
-          val hasIndex = fs.exists(dir) &&
-            fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+          // prior batches = every batch partition EXCEPT this one:
+          // excluding batch_id makes a REPLAYED batch (foreachBatch is
+          // at-least-once after a restart) re-probe exactly what it
+          // probed the first time instead of seeing its own rows
+          val prior = (if (fs.exists(dir)) fs.listStatus(dir).toSeq
+            else Seq.empty)
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("batch_id=") &&
+              n != s"batch_id=$batchId")
           val cands =
-            if (hasIndex)
-              Dedup.incrementalFromBanded(spark.read.parquet(indexDir),
+            if (prior.nonEmpty)
+              Dedup.incrementalFromBanded(
+                spark.read.parquet(prior.map(n => s"$indexDir/$n"): _*),
                 newBanded, broadcastBatch)
             else Dedup.batchOnlyCandidates(newBanded)
           sink(cands, batchId)
-          // append AFTER the sink consumed the candidates: the batch
-          // must never probe its own band rows through the index
-          newBanded.write.mode("append").parquet(indexDir)
+          // written AFTER the sink consumed the candidates, into the
+          // batch's OWN partition with overwrite — a replayed batch
+          // rewrites its partition instead of appending duplicates, so
+          // the index is idempotent under restart
+          newBanded.write.mode("overwrite")
+            .parquet(s"$indexDir/batch_id=$batchId")
         } finally newBanded.unpersist()
     }
   }
