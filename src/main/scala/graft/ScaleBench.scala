@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * keep the mod-2/5/10 classes the domain queries derive semantics
   * from — e.g. q59's all-zero sample at `l_suppkey % 10 == 7` — while
   * mod-3/23-class membership cycles per copy, so derived distributions
-  * stay balanced), and `documents.text` is caesar-rotated by k so
-  * copies are NOT near-duplicates of each other: without that, the
+  * stay balanced), and `documents.text` goes through a copy-unique
+  * affine alphabet permutation so copies are NOT near-duplicates of
+  * each other: without that, the
   * MinHash/Jaccard queries would see every doc as a 10-clique and the
   * candidate-pair count would scale ×45 instead of ×10 — a synthetic
   * worst case, not a volume measurement. Copy 0 is the identity, so
@@ -72,9 +73,19 @@ object ScaleBench {
   private val OffDoc = 100000000L // 10^8
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
-  private def rot(k: Int): String = {
-    val s = k % 26
-    Alpha.drop(s) + Alpha.take(s)
+
+  /** Copy-k alphabet permutation i → (a·i + b) mod 26 with `a` coprime
+    * to 26: 312 DISTINCT permutations (k = 0 is the identity), and two
+    * distinct affine maps agree on at most one letter, so tokens of
+    * length ≥ 2 essentially never collide across copies — the
+    * not-a-near-duplicate invariant holds up to 100× (a plain caesar
+    * rotation cycles after 26 copies and copies 0/26/52/78 would be
+    * byte-identical, turning every doc into a near-dup clique). */
+  private val Coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private def perm(k: Int): String = {
+    val a = Coprimes((k / 26) % Coprimes.length)
+    val b = k % 26
+    (0 until 26).map(i => Alpha((a * i + b) % 26)).mkString
   }
 
   /** One table, `copies` deterministic shifted copies unioned. */
@@ -108,7 +119,7 @@ object ScaleBench {
     write(replicate(base("documents"), copies) { (df, k) =>
       shiftKey(df, "doc_id", OffDoc, k)
         .withColumn("text", translate(col("text"),
-          Alpha + Alpha.toUpperCase, rot(k) + rot(k).toUpperCase))
+          Alpha + Alpha.toUpperCase, perm(k) + perm(k).toUpperCase))
     }, "documents")
     java.nio.file.Files.createFile(marker)
   }
