@@ -100,6 +100,10 @@ object ScaleBench {
   /** Write the scaled four-table dir; marker-gated idempotent. */
   def generate(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
+    // 312 = the affine-permutation family size; more copies would reuse
+    // a text transform and quietly plant near-dup cliques
+    require(copies >= 1 && copies <= 312,
+      s"copies ($copies) must be in [1, 312]")
     val marker = java.nio.file.Paths.get(outDir, s"_GRAFT_SCALE_$copies")
     if (java.nio.file.Files.exists(marker)) return
     def base(name: String) = Q.t(spark, baseDir, name)
