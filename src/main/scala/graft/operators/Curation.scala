@@ -423,6 +423,37 @@ object Curation {
       .select(col("id"), col("len"), col("bucket"), col("batch_id"))
   }
 
+  /** Temporal embargo split — the third leakage-prevention discipline
+    * beside [[hashSplit]] (random-by-id) and
+    * [[leakageSafeSplit]] (similarity-component-atomic): for
+    * event-ordered data, test rows must come strictly AFTER training
+    * rows, with an embargo gap between them so nothing that straddles
+    * the boundary (sessions, trailing aggregates, label windows) leaks
+    * future information into training (the purged/embargoed split of
+    * de Prado 2018). The boundary is INTEGER microseconds —
+    * `lo + (hi−lo)·trainPct div 100` over the observed span — so the
+    * assignment is deterministic, engine-portable, and stable under
+    * any partitioning; rows in `(boundary, boundary + embargo]` are
+    * labeled `embargo` and dropped from both sides. Row-local after
+    * one tiny min/max broadcast — zero shuffles of the data itself. */
+  def temporalEmbargoSplit(df: DataFrame, tsCol: Column,
+      trainPct: Int = 80, embargoUs: Long = 0L,
+      outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct ($trainPct) must be in (0, 100)")
+    require(embargoUs >= 0, "embargoUs must be non-negative")
+    val us = unix_micros(tsCol)
+    val mm = df.agg(min(us).as("lo"), max(us).as("hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__b",
+        expr(s"lo + (hi - lo) * $trainPct div 100"))
+      .withColumn(outCol,
+        when(us <= col("__b"), "train")
+          .when(us <= col("__b") + lit(embargoUs), "embargo")
+          .otherwise("test"))
+      .drop("lo", "hi", "__b")
+  }
+
   /** Quasi-identifier equivalence classes — the shared primitive of the
     * privacy release audits (q171 k-anonymity, q173 l-diversity): one
     * row per distinct combination of the `qi` columns with the class

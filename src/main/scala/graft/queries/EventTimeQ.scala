@@ -939,7 +939,55 @@ object EventTimeQ {
       GROUP BY c.event_type, t.n_first, t.n_second, t.n_buckets
       ORDER BY c.event_type"""))
 
+  /** Temporal embargo split
+    * ([[graft.operators.Curation.temporalEmbargoSplit]]) — the
+    * time-ordered leakage-prevention discipline beside the hash split
+    * (q54) and the similarity-component split (q148): test events come
+    * strictly after training events with a 6-hour embargo gap dropped
+    * between them, so windowed features/labels straddling the boundary
+    * cannot leak the future into training. The boundary is integer
+    * microseconds over the observed span (deterministic at any
+    * partitioning); the census emits per-(type, split) counts plus
+    * min/max event micros, which hash-check the boundary discipline
+    * itself — every train max_us ≤ boundary < embargo ≤ test min_us.
+    * Row-local after a one-row min/max broadcast; zero data shuffles
+    * beyond the census aggregate. */
+  val q175 = Q(
+    "q175_temporal_embargo_split",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.temporalEmbargoSplit(
+          t(s, d, "events"), $"ts",
+          trainPct = 80, embargoUs = 21600000000L)
+        .groupBy($"event_type", $"split")
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros($"ts")).as("min_us"),
+          max(unix_micros($"ts")).as("max_us"))
+        .orderBy($"event_type", $"split")
+    },
+    Some("""
+      WITH mm AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+      ), lab AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts)
+                      <= mm.lo + (mm.hi - mm.lo) * 80 // 100
+                    THEN 'train'
+                    WHEN epoch_us(ts)
+                      <= mm.lo + (mm.hi - mm.lo) * 80 // 100
+                         + 21600000000
+                    THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events CROSS JOIN mm
+      )
+      SELECT event_type, split, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(us) AS BIGINT) AS min_us,
+             CAST(max(us) AS BIGINT) AS max_us
+      FROM lab GROUP BY 1, 2
+      ORDER BY event_type, split"""))
+
   val all: Seq[Q] =
     Seq(q43, q46, q97, q100, q109, q110, q115, q116, q117, q119, q120,
-      q129, q131, q134, q140, q142, q158, q168)
+      q129, q131, q134, q140, q142, q158, q168, q175)
 }

@@ -425,6 +425,33 @@ class CurationSpec extends SparkSpec {
     assert(cen.getAs[Long]("total_padding") == brute)
   }
 
+  test("temporalEmbargoSplit: train strictly precedes the embargo " +
+      "gap which strictly precedes test; boundary is integer-exact") {
+    val rows = (0L until 100L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("id", "ts")
+    val out = Curation.temporalEmbargoSplit(rows, $"ts",
+        trainPct = 80, embargoUs = 5L * 60000000L) // 5-minute gap
+      .select($"id", $"split",
+        unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val by = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    // lo + (hi-lo)*80 div 100 over ids 0..99 spaced 1 min = id 79.2
+    // → train ids 0..79, embargo = 5 minutes after the boundary
+    assert(by("train").max < by("embargo").min)
+    assert(by("embargo").max < by("test").min)
+    // boundary = 4752 s after lo; embargo ends at 5052 s → ids 80..84
+    assert(out.count(_._2 == "train") == 80)
+    assert(out.count(_._2 == "embargo") == 5)
+    assert(out.count(_._2 == "test") == 15)
+    // deterministic: identical assignment on a reshuffled frame
+    val again = Curation.temporalEmbargoSplit(
+        rows.repartition(7), $"ts", 80, 5L * 60000000L)
+      .select($"id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, s, _) => again(id) == s })
+  }
+
   test("equivalenceClasses: sizes per QI combination, distinct " +
       "sensitive values when requested") {
     val rows = Seq(
