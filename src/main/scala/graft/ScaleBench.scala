@@ -76,8 +76,11 @@ object ScaleBench {
 
   /** Copy-k alphabet permutation i → (a·i + b) mod 26 with `a` coprime
     * to 26: 312 DISTINCT permutations (k = 0 is the identity), and two
-    * distinct affine maps agree on at most one letter, so tokens of
-    * length ≥ 2 essentially never collide across copies — the
+    * distinct affine maps agree on at most two letters (26 is
+    * composite: every coprime `a` is odd, so the a-difference is even
+    * and gcd(Δa, 26) ∈ {2, 26} — when Δb is also even there are
+    * exactly 2 fixed letters, never more), so tokens of
+    * length ≥ 3 essentially never collide across copies — the
     * not-a-near-duplicate invariant holds up to 100× (a plain caesar
     * rotation cycles after 26 copies and copies 0/26/52/78 would be
     * byte-identical, turning every doc into a near-dup clique). */
@@ -174,11 +177,15 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val x1 = s"$outRoot/x1"
     val xN = s"$outRoot/x$copies"
-    generate(spark, baseDir, x1, 1)
-    generate(spark, baseDir, xN, copies)
     val filter = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val queries = Heavy.filter(q => filter.forall(_.contains(q)))
+    // fail BEFORE the expensive generate step, not at the median index
+    require(queries.nonEmpty,
+      s"SPARK_GRAFT_SCALE_ONLY (${filter.fold("")(_.mkString(","))}) " +
+        "matched no registered heavy query")
+    generate(spark, baseDir, x1, 1)
+    generate(spark, baseDir, xN, copies)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val results = queries.map { name =>

@@ -434,7 +434,10 @@ object Curation {
     * `lo + (hi−lo)·trainPct div 100` over the observed span — so the
     * assignment is deterministic, engine-portable, and stable under
     * any partitioning; rows in `(boundary, boundary + embargo]` are
-    * labeled `embargo` and dropped from both sides. Row-local after
+    * labeled `embargo` and dropped from both sides. Rows with a NULL
+    * timestamp are labeled `unknown` — silently defaulting them into
+    * `test` (what a bare otherwise-branch does) would defeat the very
+    * leakage discipline this operator exists for. Row-local after
     * one tiny min/max broadcast — zero shuffles of the data itself. */
   def temporalEmbargoSplit(df: DataFrame, tsCol: Column,
       trainPct: Int = 80, embargoUs: Long = 0L,
@@ -448,7 +451,8 @@ object Curation {
       .withColumn("__b",
         expr(s"lo + (hi - lo) * $trainPct div 100"))
       .withColumn(outCol,
-        when(us <= col("__b"), "train")
+        when(us.isNull, "unknown")
+          .when(us <= col("__b"), "train")
           .when(us <= col("__b") + lit(embargoUs), "embargo")
           .otherwise("test"))
       .drop("lo", "hi", "__b")

@@ -334,6 +334,13 @@ object Similarity {
       minCos: Double, idCol: String = "vec_id",
       vecCol: String = "embedding",
       evalIdCol: String = "eval_id"): DataFrame = {
+    // an EMPTY eval suite would make the crossJoin+groupBy return zero
+    // rows — downstream reads that as "no corpus rows scored" and the
+    // whole audit silently vanishes; fail loudly instead (the eval
+    // side is tiny by contract, so the eagerness costs nothing)
+    require(!evalSet.isEmpty,
+      "semanticDecontaminate: eval set is empty — a misconfigured " +
+        "hold-out filter would silently drop the whole audit")
     val e = evalSet.select(col(evalIdCol).as("eval_id"),
       asDouble(col(vecCol)).as("e_vec"))
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("c_vec"))

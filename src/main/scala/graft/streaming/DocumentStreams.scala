@@ -129,41 +129,61 @@ object DocumentStreams {
       broadcastBatch: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] = {
-    import graft.operators.Dedup
+        org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val spark = batch.sparkSession
-        val newBanded = Dedup.minHashIndex(batch.toDF(), idCol, textCol,
-          k, numHashes, bands).persist()
-        try {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          val dir = new org.apache.hadoop.fs.Path(indexDir)
-          // prior batches = every batch partition EXCEPT this one:
-          // excluding batch_id makes a REPLAYED batch (foreachBatch is
-          // at-least-once after a restart) re-probe exactly what it
-          // probed the first time instead of seeing its own rows
-          val prior = (if (fs.exists(dir)) fs.listStatus(dir).toSeq
-            else Seq.empty)
-            .map(_.getPath.getName)
-            .filter(n => n.startsWith("batch_id=") &&
-              n != s"batch_id=$batchId")
-          val cands =
-            if (prior.nonEmpty)
-              Dedup.incrementalFromBanded(
-                spark.read.parquet(prior.map(n => s"$indexDir/$n"): _*),
-                newBanded, broadcastBatch)
-            else Dedup.batchOnlyCandidates(newBanded)
-          sink(cands, batchId)
-          // written AFTER the sink consumed the candidates, into the
-          // batch's OWN partition with overwrite — a replayed batch
-          // rewrites its partition instead of appending duplicates, so
-          // the index is idempotent under restart
-          newBanded.write.mode("overwrite")
-            .parquet(s"$indexDir/batch_id=$batchId")
-        } finally newBanded.unpersist()
+        processIndexBatch(batch.toDF(), batchId, indexDir, idCol,
+          textCol, k, numHashes, bands, broadcastBatch)(sink)
     }
+
+  /** The per-micro-batch body of [[incrementalDedupStream]], exposed so
+    * the replay contract is directly testable: foreachBatch is
+    * at-least-once, so calling this twice with the SAME `batchId` must
+    * leave the on-disk index row set unchanged (the batch overwrites
+    * its own `batch_id=` partition) and hand the sink the SAME
+    * candidate frame (the probe excludes the batch's own partition, so
+    * a replay cannot see its own first-attempt rows). */
+  def processIndexBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, broadcastBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val newBanded = Dedup.minHashIndex(batch, idCol, textCol,
+      k, numHashes, bands).persist()
+    try {
+      val dir = new org.apache.hadoop.fs.Path(indexDir)
+      // resolve the filesystem FROM the path: FileSystem.get(conf)
+      // returns the default FS, which silently sees no partitions
+      // when indexDir lives on another scheme (s3a index vs local
+      // default) — every batch would then take the batch-only path
+      // and drop all vs_corpus pairs without an error
+      val fs = dir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // prior batches = every batch partition EXCEPT this one:
+      // excluding batch_id makes a REPLAYED batch (foreachBatch is
+      // at-least-once after a restart) re-probe exactly what it
+      // probed the first time instead of seeing its own rows
+      val prior = (if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        else Seq.empty)
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("batch_id=") &&
+          n != s"batch_id=$batchId")
+      val cands =
+        if (prior.nonEmpty)
+          Dedup.incrementalFromBanded(
+            spark.read.parquet(prior.map(n => s"$indexDir/$n"): _*),
+            newBanded, broadcastBatch)
+        else Dedup.batchOnlyCandidates(newBanded)
+      sink(cands, batchId)
+      // written AFTER the sink consumed the candidates, into the
+      // batch's OWN partition with overwrite — a replayed batch
+      // rewrites its partition instead of appending duplicates, so
+      // the index is idempotent under restart
+      newBanded.write.mode("overwrite")
+        .parquet(s"$indexDir/batch_id=$batchId")
+    } finally newBanded.unpersist()
   }
 }

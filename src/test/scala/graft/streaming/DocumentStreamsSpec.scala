@@ -165,6 +165,186 @@ class DocumentStreamsSpec extends SparkSpec {
       s"index drifted: ${stored.size} stored vs ${offline.size} offline")
   }
 
+  /** Replay idempotency (foreachBatch is at-least-once): drive the
+    * batch body directly — batch 0, batch 1, batch 1 AGAIN with the
+    * same batchId (a replay), then batch 2 — and assert the replay
+    * changed nothing: same candidate set handed to the sink, same
+    * on-disk index row set, and the later batch still probes the
+    * replayed batch's rows exactly once (no duplicated vs_corpus
+    * pairs, final index ≡ the offline build). */
+  test("processIndexBatch: replaying a batchId leaves the index and " +
+      "candidates unchanged; later batches probe replayed rows once") {
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b0 = Seq(1L -> (base + " one"), 2L -> (base + " two"))
+    val b1 = Seq(11L -> (base + " eleven"),
+      12L -> "fresh unrelated middle batch text with new tokens only")
+    val b2 = Seq(21L -> (base + " twentyone"),
+      22L -> ("fresh unrelated middle batch text with new tokens only "
+        + "plus a tail"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay").toString + "/idx"
+    def df(bs: Seq[(Long, String)]) = bs.toDF("doc_id", "text")
+    def run(bs: Seq[(Long, String)], id: Long) = {
+      var got: Set[(Long, Long, String, Double)] = null
+      DocumentStreams.processIndexBatch(df(bs), id, dir) { (c, _) =>
+        got = c.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getDouble(3))).toSet
+      }
+      got
+    }
+    def indexRows() = spark.read.parquet(dir)
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted
+    run(b0, 0L)
+    val cands1 = run(b1, 1L)
+    val index1 = indexRows()
+    // the replay: same batchId, same data — at-least-once delivery
+    val cands1Replay = run(b1, 1L)
+    assert(cands1Replay == cands1,
+      "replayed batch handed the sink different candidates")
+    assert(indexRows() == index1,
+      "replayed batch changed the on-disk index row set")
+    // a LATER batch probes the replayed batch's rows exactly once
+    val cands2 = run(b2, 2L)
+    val ref2 = Dedup.incrementalCandidates(
+      Dedup.minHashIndex(df(b0).unionAll(df(b1)), "doc_id", "text"),
+      df(b2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(cands2 == ref2, s"post-replay batch 2: $cands2 vs $ref2")
+    assert(cands2.exists(p => p._3 == "vs_corpus" &&
+        (p._1 == 11L || p._2 == 11L)),
+      "replayed batch's rows missing from the later probe")
+    val offline = Dedup.minHashIndex(
+      df(b0).unionAll(df(b1)).unionAll(df(b2)), "doc_id", "text")
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted
+    assert(indexRows() == offline,
+      "index after replay+batch2 drifted from the offline build")
+  }
+
+  /** Full restart-from-checkpoint: run the REAL streaming pipeline,
+    * crash it mid-batch (the sink throws AFTER recording, so the
+    * offset is logged but the commit is not), restart from the same
+    * checkpointLocation, and assert Spark's at-least-once replay of
+    * that batch flows through unchanged — then a post-restart batch
+    * still accumulates to exactly the offline index. */
+  test("incrementalDedupStream recovers from a checkpoint restart " +
+      "without duplicating index rows or candidates") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b0 = Seq(1L -> (base + " one"), 2L -> (base + " two"))
+    val b1 = Seq(11L -> (base + " eleven"),
+      12L -> "fresh unrelated middle batch text with new tokens only")
+    val b2 = Seq(21L -> (base + " twentyone"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-restart").toString
+    val dir = tmp + "/idx"
+    val ckpt = tmp + "/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, String, Double)])]
+    @volatile var crashed = false
+    def sink(c: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      seen += id -> c.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getDouble(3))).toSet
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException("injected crash after sink, " +
+          "before commit — forces an at-least-once replay")
+      }
+    }
+    val in = MemoryStream[(Long, String)]
+    def start() = DocumentStreams.incrementalDedupStream(
+        in.toDF().toDF("doc_id", "text"), dir)(sink)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    in.addData(b0: _*)
+    q1.processAllAvailable()
+    in.addData(b1: _*)
+    // batch 1 crashes in the sink: offset logged, commit missing
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    // restart from the same checkpoint: Spark replays batch 1 with
+    // the SAME batchId and offset range, then takes new data
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(b2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val byId = seen.groupBy(_._1)
+    assert(byId(1L).size == 2, s"expected batch 1 replay, saw $byId")
+    assert(byId(1L).map(_._2).distinct.size == 1,
+      "replayed batch 1 handed the sink different candidates")
+    assert(byId(0L).size == 1 && byId(2L).size == 1)
+    // post-restart batch probes batches 0 AND (replayed) 1 once each
+    def df(bs: Seq[(Long, String)]) = bs.toDF("doc_id", "text")
+    val ref2 = Dedup.incrementalCandidates(
+      Dedup.minHashIndex(df(b0).unionAll(df(b1)), "doc_id", "text"),
+      df(b2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(byId(2L).head._2 == ref2)
+    val offline = Dedup.minHashIndex(
+      df(b0).unionAll(df(b1)).unionAll(df(b2)), "doc_id", "text")
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val stored = spark.read.parquet(dir)
+      .select($"id", $"band_idx", $"band_key".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(stored == offline,
+      s"restart duplicated or lost index rows: ${stored.size} vs " +
+        s"${offline.size}")
+  }
+
+  /** Restart recovery of the EXACT-dedup state store: a duplicate
+    * arriving after a clean checkpointed restart must still be
+    * suppressed — the fingerprint state survives the restart. */
+  test("dedupStream state store survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dedup-restart").toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[Doc]
+    def start() = DocumentStreams.dedupStream(in.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          out.synchronized {
+            out ++= b.select("doc_id").collect().map(_.getLong(0))
+          }
+          ()
+      }.start()
+    val q1 = start()
+    try {
+      in.addData(
+        Doc(1, ts(10), "alpha beta gamma"),
+        Doc(2, ts(11), "delta epsilon zeta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(
+        Doc(3, ts(12), "alpha beta gamma"), // dup of pre-restart doc 1
+        Doc(4, ts(13), "eta theta iota"))   // genuinely new
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(out.sorted == Seq(1L, 2L, 4L),
+      s"state store did not survive the restart: $out")
+  }
+
   test("redactPii composes with readStream (row-local, stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
