@@ -1103,5 +1103,124 @@ object DomainQ {
       FROM j CROSS JOIN sol s
       ORDER BY j.probe_id"""))
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73)
+  /** One SQL pass of the merge ramp at threshold `t` over the previous
+    * pass's bins (chrom, s, e, a, b): mark under-filled bins (nd), the
+    * merge-left/merge-right pairing (ml0/ml/mr0/mr → tm), collapse
+    * consecutive marked runs (grp islands), and recount the run from
+    * its edge prefix counts (a = max, b = min — both monotone in
+    * position). MATERIALIZED is load-bearing: 40 inlined passes of
+    * 6 nested window subqueries send DuckDB's optimizer into
+    * exponential re-planning (measured > 3 min), materialized they
+    * plan+run in ~1 s. */
+  private def rampPassSql(prev: String, k: Int, t: Int): String = {
+    val w = "PARTITION BY chrom ORDER BY s"
+    s"""p$k AS MATERIALIZED (
+  SELECT chrom, min(s) AS s, max(e) AS e, max(a) AS a, min(b) AS b
+  FROM (
+    SELECT chrom, s, e, a, b,
+           sum(CASE WHEN brk THEN 1 ELSE 0 END) OVER ($w) AS grp
+    FROM (
+      SELECT chrom, s, e, a, b,
+             (NOT (tm AND coalesce(lag(tm) OVER ($w), FALSE)
+                   AND s <= coalesce(lag(e) OVER ($w), -2) + 1)) AS brk
+      FROM (
+        SELECT chrom, s, e, a, b,
+               (ml OR mr0 OR coalesce(lag(mr0) OVER ($w), FALSE)) AS tm
+        FROM (
+          SELECT chrom, s, e, a, b, ml,
+                 (nd AND NOT ml AND
+                  coalesce(lead(s) OVER ($w), 4611686018427387904)
+                    <= e + 1) AS mr0
+          FROM (
+            SELECT chrom, s, e, a, b, nd,
+                   (ml0 OR coalesce(lead(ml0) OVER ($w), FALSE)) AS ml
+            FROM (
+              SELECT chrom, s, e, a, b, (a - b < $t) AS nd,
+                     ((a - b < $t) AND
+                      s <= coalesce(lag(e) OVER ($w), -2) + 1) AS ml0
+              FROM $prev
+            )
+          )
+        )
+      )
+    )
+  )
+  GROUP BY chrom, grp
+)"""
+  }
+
+  /** The q176 oracle: the FULL precision=1 ramp, statically unrolled as
+    * thresholds t = 1..minOverlap. Equivalence with the engine's
+    * data-dependent start (mins begins at max(1, min overlap count)):
+    * a pass at any t below the observed minimum marks nothing and is
+    * the identity, so prepending t = 1..t1−1 changes no bin — and with
+    * precision = 1 the engine's threshold set is exactly every integer
+    * from t1 to minOverlap, which the static unroll covers. */
+  private def q176OracleSql(minOverlap: Int): String = {
+    val head = """WITH probes2 AS MATERIALIZED (
+  SELECT 'chr' || CAST(p_partkey % 2 + 1 AS VARCHAR) AS chrom,
+         CAST(CASE WHEN p_partkey % 2 = 1
+              THEN ((p_partkey // 2) % 1000) * ((p_partkey // 2) % 1000)
+              ELSE ((p_partkey // 2) % 1000) * 999 END AS BIGINT) AS ps,
+         CAST(CASE WHEN p_partkey % 2 = 1
+              THEN ((p_partkey // 2) % 1000) * ((p_partkey // 2) % 1000)
+              ELSE ((p_partkey // 2) % 1000) * 999 END + 100 AS BIGINT)
+           AS pe
+  FROM part
+), bins AS (
+  SELECT c.chrom, CAST(t.s AS BIGINT) AS s,
+         CAST(least(t.s + 50000, 1000000) AS BIGINT) AS e
+  FROM (SELECT DISTINCT chrom FROM probes2) c
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 999999, 50000)) AS s) t
+), p0 AS MATERIALIZED (
+  SELECT bn.chrom, bn.s, bn.e,
+         (SELECT count(*) FROM probes2 p
+           WHERE p.chrom = bn.chrom AND p.ps < bn.e) AS a,
+         (SELECT count(*) FROM probes2 p
+           WHERE p.chrom = bn.chrom AND p.pe <= bn.s) AS b
+  FROM bins bn
+)"""
+    val passes = (1 to minOverlap).map(k => rampPassSql(s"p${k - 1}", k, k))
+    (head +: passes).mkString(",\n") +
+      s"""
+SELECT chrom, s AS start, e AS "end" FROM p$minOverlap
+WHERE a - b >= $minOverlap ORDER BY chrom, start"""
+  }
+
+  /** L6 end-to-end — Cnv.mergeBinsToMinimumOverlap (Cnv.scala:130,
+    * reference cnv.py:247-326): the precision-controlled merge ramp
+    * that fuses adjacent genome bins until every bin overlaps ≥
+    * minOverlap probes, then drops the stragglers. The fixture derives
+    * two planted chromosomes from part: chr2's probe positions are the
+    * SQUARES of 0..999 (density falls off as 1/√x, so bins under-fill
+    * progressively toward the telomere — at minOverlap = 40 the ramp
+    * runs five real merge passes at five distinct thresholds, each
+    * recounting the fused runs), while chr1 is uniform (49-51
+    * probes/bin) and must come through untouched — the
+    * single-threshold-collapse regression control. The oracle replays
+    * the ramp exactly as [[q176OracleSql]] describes; the engine side
+    * is the production distributed path (one probe/bin sort-merge
+    * prefix-count pass, then the bins-only per-chromosome kernel). */
+  val q176 = Q(
+    "q176_cnv_bin_merge_ramp",
+    (s, d) => {
+      import s.implicits._
+      val base = expr("(p_partkey div 2) % 1000").cast("long")
+      val probes = t(s, d, "part").select(
+        concat(lit("chr"), ($"p_partkey" % 2 + 1).cast("string"))
+          .as("chrom"),
+        when($"p_partkey" % 2 === 1, base * base)
+          .otherwise(base * 999L).as("start"))
+        .withColumn("end", $"start" + 100L)
+      val seqLens = Seq(("chr1", 1000000L), ("chr2", 1000000L))
+        .toDF("chrom", "seq_length")
+      val bins = graft.operators.Intervals.tileGenome(seqLens, 50000L)
+      graft.cnv.Cnv.mergeBinsToMinimumOverlap(s, bins, probes,
+          minOverlap = 40, precision = 1, slack = 1L)
+        .orderBy($"chrom", $"start")
+    },
+    Some(q176OracleSql(40)))
+
+  val all: Seq[Q] =
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q176)
 }
