@@ -568,6 +568,23 @@ object TextQ {
     * identical boundary-anchored replace. The only float is
     * chars_per_token, an exact single division rounded at 6. */
   private def bpeEncodeOracleSql(n: Int): String = {
+    val L = "chr(1)"
+    s"""${bpeEncodeWith(n)}
+      SELECT doc_id,
+             CAST(length(s)
+               - length(replace(s, $L, '')) AS BIGINT) AS n_tokens_bpe,
+             round(CAST(n_chars_t AS DOUBLE)
+               / nullif(length(s) - length(replace(s, $L, '')), 0), 6)
+               + 0.0 AS chars_per_token
+      FROM enc$n
+      ORDER BY doc_id"""
+  }
+
+  /** The shared WITH prefix of the BPE-encode replays (q93, q178):
+    * re-learn the n merges (q92's CTE chain) and apply them to every
+    * document, leaving enc$n = (doc_id, n_chars_t, s) where s is the
+    * boundary-marked encoded string. */
+  private def bpeEncodeWith(n: Int): String = {
     val L = "chr(1)"; val R = "chr(2)"; val Sep = "chr(3)"
     val iters = (1 to n).map { i =>
       s"""p$i AS (
@@ -614,15 +631,33 @@ object TextQ {
               list_filter(string_split(text, ' '),
                 w -> length(w) > 0) AS wl
               FROM documents)
-      ), $encs
-      SELECT doc_id,
-             CAST(length(s)
-               - length(replace(s, $L, '')) AS BIGINT) AS n_tokens_bpe,
-             round(CAST(n_chars_t AS DOUBLE)
-               / nullif(length(s) - length(replace(s, $L, '')), 0), 6)
-               + 0.0 AS chars_per_token
-      FROM enc$n
-      ORDER BY doc_id"""
+      ), $encs"""
+  }
+
+  /** Generated oracle for q178: the q93 encode replay rolled up per
+    * language — token totals from the boundary-marker count, word/char
+    * totals from the raw text, two exact divisions rounded at 6. */
+  private def bpeFertilityOracleSql(n: Int): String = {
+    val L = "chr(1)"
+    s"""${bpeEncodeWith(n)}
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(d.text, ' '),
+               w -> length(w) > 0))) AS BIGINT) AS n_words,
+             CAST(sum(length(e.s) - length(replace(e.s, $L, '')))
+               AS BIGINT) AS n_tokens,
+             round(CAST(sum(e.n_chars_t) AS DOUBLE)
+               / nullif(sum(length(e.s)
+                   - length(replace(e.s, $L, ''))), 0), 6)
+               + 0.0 AS chars_per_token,
+             round(CAST(sum(length(e.s) - length(replace(e.s, $L, '')))
+                 AS DOUBLE)
+               / nullif(sum(len(list_filter(string_split(d.text, ' '),
+                   w -> length(w) > 0))), 0), 6)
+               + 0.0 AS tokens_per_word
+      FROM enc$n e JOIN documents d USING (doc_id)
+      GROUP BY d.lang
+      ORDER BY lang"""
   }
 
   /** Distributed BPE merge training (TextAnalysis.bpeTrain): the first
@@ -1941,9 +1976,174 @@ object TextQ {
       FROM q ORDER BY doc_id""")
     })
 
+  /** LSH S-curve calibration — the tuning companion to q124's
+    * precision/recall audit: the MinHash parameters (b bands × r rows)
+    * imply a detection-probability curve P(s) = 1 − (1 − s^r)^b, and
+    * this census MEASURES it against planted pairs at known Jaccard
+    * levels pushed through the PRODUCTION q33 path
+    * (Dedup.minHashCandidates, k=3, 32 hashes, 8 bands of 4). Seven
+    * mutation levels (drop every m-th word, m ∈ {3,5,9,12,15,25,40})
+    * spread 980 planted pairs across exact-Jaccard buckets 0.0-0.9 —
+    * spanning the b=8/r=4 S-curve's transition at s* = (1/b)^(1/r) ≈
+    * 0.59 — and the census emits per bucket the planted count, the
+    * measured detection fraction, and the mean theoretical P(s): the
+    * table a user reads to pick bands×rows for a target threshold.
+    * Deterministic end-to-end (fixed splitmix family), so the oracle
+    * replays signatures + banding exactly (q33 pattern) — but only on
+    * the 980 planted pairs, never all-pairs. Scale shape: the LSH is
+    * the production band-bucket plan; the truth side is a planted-key
+    * join; the exact Jaccard is row-local array arithmetic. */
+  val q177 = Q(
+    "q177_lsh_s_curve",
+    (s, d) => {
+      import s.implicits._
+      val ms = Seq(3, 5, 9, 12, 15, 25, 40)
+      val base = t(s, d, "documents").filter($"text".isNotNull)
+        .filter(size(split($"text", " ")) >= 45)
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text")
+      val mutants = ms.zipWithIndex.map { case (m, l) =>
+        base.select(($"doc_id" + (l + 1) * 1000000L).as("doc_id"),
+          expr(s"array_join(filter(split(text, ' '), " +
+            s"(w, i) -> (i + 1) % $m != 0), ' ')").as("text"))
+      }.reduce(_ unionByName _)
+      val corpus = base.unionByName(mutants)
+      val found = Dedup.minHashCandidates(corpus, "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8)
+        .select($"id_a", $"id_b", lit(1).as("hit"))
+      val sh = corpus.select($"doc_id", expr(
+        "array_distinct(transform(" +
+          "sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+          "i -> array_join(slice(split(text, ' '), i, 3), ' ')))")
+        .as("sh"))
+      val planted = ms.indices.map { l =>
+        base.select($"doc_id".as("id_a"),
+          ($"doc_id" + (l + 1) * 1000000L).as("id_b"))
+      }.reduce(_ unionByName _)
+      planted
+        .join(sh.as("sa"), $"id_a" === $"sa.doc_id")
+        .join(sh.as("sb"), $"id_b" === $"sb.doc_id")
+        .select($"id_a", $"id_b",
+          (size(array_intersect($"sa.sh", $"sb.sh")).cast("double") /
+            size(array_union($"sa.sh", $"sb.sh")).cast("double"))
+            .as("s"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .withColumn("det", $"hit".isNotNull)
+        .groupBy(floor($"s" * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"det", 1L).otherwise(0L)).as("n_detected"),
+          round(avg(when($"det", 1.0).otherwise(0.0)), 6)
+            .as("detected_frac"),
+          round(avg(lit(1.0) - pow(lit(1.0) - pow($"s", 4.0), 8.0)), 6)
+            .as("theoretical"))
+        .orderBy($"bucket")
+    },
+    Some {
+      val affine = DuckOracle.toSigned(
+        "(p.a * h + p.b) % 18446744073709551616::UHUGEINT")
+      s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 45
+          AND doc_id % 2 = 0
+      ), lv AS (
+        SELECT * FROM (VALUES (1, 3), (2, 5), (3, 9), (4, 12), (5, 15),
+          (6, 25), (7, 40)) AS v(l, m)
+      ), mut AS (
+        SELECT b.doc_id + l * 1000000 AS doc_id,
+               array_to_string(list_filter(string_split(b.text, ' '),
+                 (w, i) -> i % m <> 0), ' ') AS text
+        FROM base b CROSS JOIN lv
+      ), corpus AS (
+        SELECT * FROM base UNION ALL SELECT * FROM mut
+      ), tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> ${DuckOracle.phU(
+                   "array_to_string(list_slice(t, i, i + 2), ' ')")}))
+                 AS hs
+        FROM tk WHERE len(t) >= 3
+      ), sig AS (
+        SELECT doc_id,
+               list_transform(${DuckOracle.mixPairs(32)},
+                 p -> list_min(list_transform(hs, h -> $affine))) AS sig
+        FROM hs
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split(text, ' ')) - 2,
+            0)),
+          i -> array_to_string(
+            list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+        FROM corpus
+      ), planted AS (
+        SELECT b.doc_id AS id_a, b.doc_id + l * 1000000 AS id_b
+        FROM base b CROSS JOIN lv
+      ), wj AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))) AS s,
+               (len(list_filter(range(0, 8),
+                  bb -> list_slice(ga.sig, bb * 4 + 1, bb * 4 + 4)
+                      = list_slice(gb.sig, bb * 4 + 1, bb * 4 + 4)))
+                 > 0) AS det
+        FROM planted
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        JOIN sig ga ON ga.doc_id = id_a
+        JOIN sig gb ON gb.doc_id = id_b
+      )
+      SELECT CAST(floor(s * 10) AS BIGINT) AS bucket,
+             count(*) AS n_pairs,
+             CAST(sum(CASE WHEN det THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_detected,
+             round(avg(CASE WHEN det THEN 1.0 ELSE 0.0 END), 6)
+               AS detected_frac,
+             round(avg(1 - pow(1 - pow(s, 4), 8)), 6) AS theoretical
+      FROM wj GROUP BY 1 ORDER BY bucket"""
+    })
+
+  /** Tokenizer fertility census — the standard multilingual-tokenizer
+    * equity report over the q92/q93 BPE surface: per language,
+    * characters per subword token and subword tokens per whitespace
+    * word for the corpus-trained 12-merge BPE. A tokenizer trained on
+    * an en-heavy corpus "taxes" other languages with more tokens per
+    * word — this census is the table that audit reads. One encode pass
+    * (the trained merge list folds into codegen'd replaces, row-local)
+    * + one grouped aggregation; integer totals, two exact divisions
+    * rounded at 6. */
+  val q178 = Q(
+    "q178_tokenizer_fertility",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, numMerges = 12)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges)
+        .withColumn("n_words",
+          size(filter(split($"text", " "), w => length(w) > 0))
+            .cast("long"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_tokens_bpe").as("n_tokens"),
+          (round(sum($"n_chars").cast("double") /
+            nullif(sum($"n_tokens_bpe"), lit(0L)), 6) + lit(0.0))
+            .as("chars_per_token"),
+          (round(sum($"n_tokens_bpe").cast("double") /
+            nullif(sum($"n_words"), lit(0L)), 6) + lit(0.0))
+            .as("tokens_per_word"))
+        .orderBy($"lang")
+    },
+    Some(bpeFertilityOracleSql(12)))
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q42, q50, q60, q61, q62, q89,
       q92, q93, q99, q101, q103, q104, q105, q111, q112, q113, q114,
       q124, q126, q127, q130, q136, q137, q138, q144, q146, q151, q157,
-      q160, q163, q165)
+      q160, q163, q165, q177, q178)
 }
