@@ -225,8 +225,14 @@ object ScaleBench {
         }.mkString("{", ",", "}")}}"""
     println(line)
     try {
-      val out = java.nio.file.Paths.get("target/scalebench.json")
-      java.nio.file.Files.writeString(out, line + "\n")
+      // scalebench.json = the last run (what the round driver reads);
+      // the factor-suffixed copy keeps the 10x and 100x rungs side by
+      // side instead of each run clobbering the other decade's record
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/scalebench.json"), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"target/scalebench_x$copies.json"),
+        line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] could not persist: $e")
     }

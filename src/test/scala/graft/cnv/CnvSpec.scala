@@ -238,6 +238,104 @@ class CnvSpec extends SparkSpec {
     assert(want.filter(_._1 == "chrTiny") == Set(("chrTiny", 0L, 40000L)))
   }
 
+  test("mergeRamp equals a naive recount-from-probes reference on " +
+      "randomized fixtures") {
+    // The production kernel never re-touches probe data after the
+    // initial edge-count pass: a merged run's overlap count is claimed
+    // to be a(last constituent) − b(first constituent) because both
+    // prefix counts are monotone in position. This reference breaks
+    // that dependency — it RECOUNTS every bin from the sorted probe
+    // arrays at every threshold pass — so any error in the carried
+    // algebra (run a/b bookkeeping, slack run-breaks, identity passes,
+    // the final filter) shows up as a divergence.
+    def lb(a: Array[Long], x: Long): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (a(m) < x) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    def naiveRamp(bins0: Array[(Long, Long)], ps: Array[Long],
+        pe: Array[Long], minOverlap: Int, precision: Int,
+        slack: Long): Array[(Long, Long)] = {
+      def cnt(s: Long, e: Long): Long =
+        lb(ps, e).toLong - lb(pe, s + 1).toLong
+      var bins = bins0
+      if (bins.isEmpty) return Array.empty
+      val first = bins.map { case (s, e) => cnt(s, e) }
+      val step = math.max(1, precision)
+      val mins = ((math.max(1L, first.min).toInt until minOverlap
+        by step) :+ minOverlap).distinct.sorted
+      for (t <- mins) {
+        val len = bins.length
+        val n = bins.map { case (s, e) => cnt(s, e) }
+        val needs = Array.tabulate(len)(i => n(i) < t)
+        val ml0 = Array.tabulate(len)(i => needs(i) && i > 0 &&
+          bins(i)._1 <= bins(i - 1)._2 + slack)
+        val ml = Array.tabulate(len)(i =>
+          ml0(i) || (i < len - 1 && ml0(i + 1)))
+        val mr0 = Array.tabulate(len)(i => needs(i) && !ml(i) &&
+          i < len - 1 && bins(i + 1)._1 <= bins(i)._2 + slack)
+        val mr = Array.tabulate(len)(i =>
+          mr0(i) || (i > 0 && mr0(i - 1)))
+        val tm = Array.tabulate(len)(i => ml(i) || mr(i))
+        if (tm.exists(identity)) {
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var run: Option[(Long, Long)] = None
+          for (i <- 0 until len) {
+            if (tm(i)) run match {
+              case Some((rs, re)) if bins(i)._1 <= re + slack =>
+                run = Some((rs, math.max(re, bins(i)._2)))
+              case _ =>
+                run.foreach(out += _)
+                run = Some(bins(i))
+            } else {
+              run.foreach(out += _); run = None
+              out += bins(i)
+            }
+          }
+          run.foreach(out += _)
+          bins = out.toArray
+        }
+      }
+      bins.filter { case (s, e) => cnt(s, e) >= minOverlap }
+    }
+    var seed = 0x51ab3c4d5e6f7081L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (c <- 0 until 200) {
+      val nBins = 1 + next(30)
+      val binsBuf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var pos = 0L
+      for (_ <- 0 until nBins) {
+        pos += next(4) // gaps 0-3: straddles every slack in 0-2
+        val w = 1L + next(50)
+        binsBuf += ((pos, pos + w)); pos += w
+      }
+      val probes = Array.fill(next(120)) {
+        val s = next(pos.toInt + 5).toLong
+        (s, s + 1L + next(6))
+      }
+      val ps = probes.map(_._1).sorted
+      val pe = probes.map(_._2).sorted
+      val minOverlap = 1 + next(8)
+      val precision = 1 + next(4)
+      val slack = next(3).toLong
+      val bins = binsBuf.toArray
+      val got = Cnv.mergeRamp(bins, ps, pe, minOverlap, precision,
+        slack).toSeq
+      val want = naiveRamp(bins, ps, pe, minOverlap, precision,
+        slack).toSeq
+      assert(got == want,
+        s"case $c (minOverlap=$minOverlap precision=$precision " +
+          s"slack=$slack bins=${bins.length} probes=${probes.length}): " +
+          s"kernel $got vs naive $want")
+    }
+  }
+
   test("gap-aware tiles subtract assembly gaps") {
     val seqLen = Seq(("1", 200000L)).toDF("chrom", "seq_length")
     val gaps = Seq(("1", 40000L, 60000L)).toDF("chrom", "start", "end")
