@@ -150,10 +150,22 @@ object Dedup {
     * shingle arrays — no per-shingle co-occurrence shuffle at all.
     *
     * Scale: shuffles are (a) the global shingle-frequency count,
-    * (b) narrow prefix postings, (c) the candidate verify join carrying
-    * one sorted long array per doc. The exact inverted-index variant
+    * (b) narrow prefix postings, (c) the PPJoin length filter over the
+    * 16 B/doc size table, (d) the candidate verify join carrying one
+    * sorted long array per doc. The exact inverted-index variant
     * shuffles one row per co-occurring PAIR per shingle — quadratic in
-    * hot-shingle document frequency. */
+    * hot-shingle document frequency.
+    *
+    * Measured at the r13 ScaleBench rungs (q124 surface): candidate
+    * pairs are exactly linear in corpus volume (598k / 5.99M / 59.9M at
+    * x1/x10/x100) with the max prefix bucket flat at 12. The shuffle
+    * BYTES show one step inside the x10→x100 decade (13 → 138 →
+    * 10,325 MB): below ~50 MB of doc arrays the verify join broadcasts
+    * (array bytes never hit the shuffle meter), above it Spark
+    * correctly switches to a shuffle join and the pairs×arrays term
+    * (~170 compressed B/pair) appears. That is a one-time plan
+    * transition, not a super-linear term — past it, bytes grow
+    * linearly with pairs. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val shingled = withShingleHashes(df, textCol, k)
@@ -179,15 +191,30 @@ object Dedup {
     val cands = expandPairs(inv)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // PPJoin length filter BEFORE the expensive array join: c ≤ min(a,b)
+    // gives J ≤ min/max, so J ≥ t requires min ≥ t·max — pairs of very
+    // different sizes are pruned against the (id, n) table (16 B/doc;
+    // AQE broadcasts it while it fits and the fallback shuffle join
+    // moves ≤ 16 B/pair) instead of shipping their full shingle arrays
+    // into the verify exchange.
+    val sizes = shingled.select(col("id"),
+      size(col("sh_hs")).cast("long").as("n"))
+    val lengthFiltered = cands
+      .join(sizes.withColumnsRenamed(
+        Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
     // verify: one kernel merge-scan over the full sorted shingle sets
     val docs = shingled
-      .select(col("id"), array_sort(col("sh_hs")).as("shs"),
-        size(col("sh_hs")).cast("long").as("n"))
-    cands
-      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b"),
-        col("n").as("n_b")), Seq("id_b"))
+      .select(col("id"), array_sort(col("sh_hs")).as("shs"))
+    lengthFiltered
+      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")),
+        Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")),
+        Seq("id_b"))
       .withColumn("n_common", graft.functions.Expressions
         .sortedIntersectCount(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
