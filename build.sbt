@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of the bench invocation as
+// JSON; sbt's trailing "[success] Total time: …" line defeated that
+// parse three rounds running (BENCH_r11–r13 shipped `parsed: null`).
+// Suppress the success banner so the summary JSON stays the last line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

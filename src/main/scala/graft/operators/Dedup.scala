@@ -171,42 +171,7 @@ object Dedup {
     val shingled = withShingleHashes(df, textCol, k)
       .select(col(idCol).as("id"), col("sh_hs"))
       .filter(size(col("sh_hs")) > 0)
-    val postings = shingled.select(col("id"), explode(col("sh_hs")).as("h"))
-    val freq = postings.groupBy("h").agg(count(lit(1)).as("df"))
-    // per doc: shingles ordered by (global df, h); prefix of the
-    // |d| − ceil(t·|d|) + 1 rarest ones
-    val ordered = postings.join(freq, "h")
-      .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(df, h))), " +
-        "x -> x.h)").as("by_rarity"),
-        count(lit(1)).cast("long").as("n_sh"))
-      .withColumn("prefix", expr(
-        s"slice(by_rarity, 1, size(by_rarity) - " +
-          s"CAST(ceil($threshold * size(by_rarity)) AS INT) + 1)"))
-    val inv = ordered
-      .select(col("id"), col("n_sh"), explode(col("prefix")).as("h"))
-      .groupBy("h")
-      .agg(collect_list(struct(col("id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val cands = expandPairs(inv)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // PPJoin length filter BEFORE the expensive array join: c ≤ min(a,b)
-    // gives J ≤ min/max, so J ≥ t requires min ≥ t·max — pairs of very
-    // different sizes are pruned against the (id, n) table (16 B/doc;
-    // AQE broadcasts it while it fits and the fallback shuffle join
-    // moves ≤ 16 B/pair) instead of shipping their full shingle arrays
-    // into the verify exchange.
-    val sizes = shingled.select(col("id"),
-      size(col("sh_hs")).cast("long").as("n"))
-    val lengthFiltered = cands
-      .join(sizes.withColumnsRenamed(
-        Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(
-        Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
-      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
-        col("n_b") >= lit(threshold) * col("n_a"))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    val lengthFiltered = prefixLengthFiltered(shingled, threshold)
     // verify: one kernel merge-scan over the full sorted shingle sets
     val docs = shingled
       .select(col("id"), array_sort(col("sh_hs")).as("shs"))
@@ -222,6 +187,73 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** AllPairs prefix-index candidate pairs over a `(id, sh_hs)` frame —
+    * the candidate set BEFORE the PPJoin length filter. Exposed
+    * `private[graft]` so specs can measure how many candidates each
+    * filter stage prunes without running the verify join.
+    *
+    * FP exactness: the theorem's prefix length is |d| − ⌈t·|d|⌉ + 1 in
+    * REAL arithmetic, but `fl(t·|d|)` can land one ulp ABOVE an exact
+    * integer product (t = 0.7, |d| = 10 → 7.000000000000001, ceil 8),
+    * silently shortening the prefix below the bound and dropping a
+    * boundary pair (J exactly t) the exact path emits. The 1e-9 nudge
+    * restores the real-arithmetic ceiling; when t·|d| sits within 1e-9
+    * above an integer for OTHER reasons the prefix merely grows by one
+    * slot — more candidates, never fewer, so the output stays exact. */
+  private[graft] def prefixCandidates(shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val postings = shingled.select(col("id"), explode(col("sh_hs")).as("h"))
+    val freq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    // per doc: shingles ordered by (global df, h); prefix of the
+    // |d| − ceil(t·|d|) + 1 rarest ones
+    val ordered = postings.join(freq, "h")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), " +
+        "x -> x.h)").as("by_rarity"),
+        count(lit(1)).cast("long").as("n_sh"))
+      .withColumn("prefix", expr(
+        s"slice(by_rarity, 1, size(by_rarity) - " +
+          s"CAST(ceil($threshold * size(by_rarity) - 1e-9) AS INT) + 1)"))
+    val inv = ordered
+      .select(col("id"), col("n_sh"), explode(col("prefix")).as("h"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    expandPairs(inv)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** PPJoin length filter over [[prefixCandidates]], BEFORE the
+    * expensive array join: c ≤ min(|A|,|B|) gives J ≤ min/max, so
+    * J ≥ t requires min/max ≥ t — pairs of very different sizes are
+    * pruned against the (id, n) table (16 B/doc; AQE broadcasts it
+    * while it fits and the fallback shuffle join moves ≤ 16 B/pair)
+    * instead of shipping their full shingle arrays into the verify
+    * exchange. Returns (id_a, id_b, n_a, n_b).
+    *
+    * FP exactness: the prune MUST use the same arithmetic shape as the
+    * final test — a division. `n_a >= t * n_b` drops boundary pairs
+    * (t = 0.7, nested 7/10 pair: fl(0.7·10) = 7.000000000000001 > 7)
+    * that the exact predicate emits. With divisions, real
+    * c/(a+b−c) ≤ min/max plus the monotonicity of FP rounding gives
+    * fl(min/max) ≥ fl(c/(a+b−c)): every pair the final FP test emits
+    * passes this FP test. */
+  private[graft] def prefixLengthFiltered(shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = prefixCandidates(shingled, threshold)
+    val sizes = shingled.select(col("id"),
+      size(col("sh_hs")).cast("long").as("n"))
+    cands
+      .join(sizes.withColumnsRenamed(
+        Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .filter(col("n_a").cast("double") / col("n_b") >= threshold &&
+        col("n_b").cast("double") / col("n_a") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
   }
 
   /** Which candidate-generation strategy [[jaccardDedup]] picks:

@@ -329,7 +329,13 @@ object Similarity {
     * broadcast and the corpus is scanned ONCE with no shuffle of
     * corpus vectors: the per-(corpus row × eval row) scores collapse
     * map-side to one row per corpus id before the final exchange.
-    * Output: (idCol, max_cos, nearest_eval, contaminated). */
+    * Output: (idCol, max_cos, nearest_eval, contaminated).
+    *
+    * NOTE: unlike the other plan-builders here this validates EAGERLY —
+    * the empty-eval guard runs a Spark job over the (tiny, batch) eval
+    * frame at call time, by design: an empty eval suite would make the
+    * whole audit silently vanish downstream. Consequently `evalSet`
+    * must be a batch DataFrame, never a streaming one. */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       minCos: Double, idCol: String = "vec_id",
       vecCol: String = "embedding",

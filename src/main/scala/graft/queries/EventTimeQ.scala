@@ -950,40 +950,50 @@ object EventTimeQ {
     * partitioning); the census emits per-(type, split) counts plus
     * min/max event micros, which hash-check the boundary discipline
     * itself — every train max_us ≤ boundary < embargo ≤ test min_us.
-    * Row-local after a one-row min/max broadcast; zero data shuffles
-    * beyond the census aggregate. */
+    * The fixture PLANTS null timestamps (every 97th event id) so the
+    * `unknown` label — rows a real feed always contains, which must
+    * not silently default into `test` — is hash-gated, not just
+    * unit-asserted; per-split min/max coalesce to −1 so the census
+    * stays BIGINT on both engines. Row-local after a one-row min/max
+    * broadcast; zero data shuffles beyond the census aggregate. */
   val q175 = Q(
     "q175_temporal_embargo_split",
     (s, d) => {
       import s.implicits._
+      val ev = t(s, d, "events").withColumn("ts",
+        when($"event_id" % 97 === 0, lit(null).cast("timestamp"))
+          .otherwise($"ts"))
       graft.operators.Curation.temporalEmbargoSplit(
-          t(s, d, "events"), $"ts",
+          ev, $"ts",
           trainPct = 80, embargoUs = 21600000000L)
         .groupBy($"event_type", $"split")
         .agg(count(lit(1)).as("n"),
-          min(unix_micros($"ts")).as("min_us"),
-          max(unix_micros($"ts")).as("max_us"))
+          coalesce(min(unix_micros($"ts")), lit(-1L)).as("min_us"),
+          coalesce(max(unix_micros($"ts")), lit(-1L)).as("max_us"))
         .orderBy($"event_type", $"split")
     },
     Some("""
-      WITH mm AS (
-        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      WITH ev AS (
+        SELECT event_type,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE epoch_us(ts) END AS us
         FROM events
+      ), mm AS (
+        SELECT min(us) AS lo, max(us) AS hi FROM ev
       ), lab AS (
-        SELECT event_type, epoch_us(ts) AS us,
-               CASE WHEN epoch_us(ts)
-                      <= mm.lo + (mm.hi - mm.lo) * 80 // 100
+        SELECT event_type, us,
+               CASE WHEN us IS NULL THEN 'unknown'
+                    WHEN us <= mm.lo + (mm.hi - mm.lo) * 80 // 100
                     THEN 'train'
-                    WHEN epoch_us(ts)
-                      <= mm.lo + (mm.hi - mm.lo) * 80 // 100
+                    WHEN us <= mm.lo + (mm.hi - mm.lo) * 80 // 100
                          + 21600000000
                     THEN 'embargo'
                     ELSE 'test' END AS split
-        FROM events CROSS JOIN mm
+        FROM ev CROSS JOIN mm
       )
       SELECT event_type, split, CAST(count(*) AS BIGINT) AS n,
-             CAST(min(us) AS BIGINT) AS min_us,
-             CAST(max(us) AS BIGINT) AS max_us
+             CAST(coalesce(min(us), -1) AS BIGINT) AS min_us,
+             CAST(coalesce(max(us), -1) AS BIGINT) AS max_us
       FROM lab GROUP BY 1, 2
       ORDER BY event_type, split"""))
 

@@ -2002,8 +2002,13 @@ object TextQ {
         .filter(size(split($"text", " ")) >= 45)
         .filter($"doc_id" % 2 === 0)
         .select($"doc_id", $"text")
+      // mutant ids live in a disjoint high-bit namespace (level << 40):
+      // base doc_ids would have to exceed 2^40 ≈ 1.1e12 before a mutant
+      // id could collide with a base doc or another level — a fixed
+      // decimal offset (1e6) broke at doc_id counts real replica scales
+      // reach, silently corrupting the planted-pair truth
       val mutants = ms.zipWithIndex.map { case (m, l) =>
-        base.select(($"doc_id" + (l + 1) * 1000000L).as("doc_id"),
+        base.select(($"doc_id" + ((l + 1).toLong << 40)).as("doc_id"),
           expr(s"array_join(filter(split(text, ' '), " +
             s"(w, i) -> (i + 1) % $m != 0), ' ')").as("text"))
       }.reduce(_ unionByName _)
@@ -2011,14 +2016,19 @@ object TextQ {
       val found = Dedup.minHashCandidates(corpus, "doc_id", "text",
           k = 3, numHashes = 32, bands = 8)
         .select($"id_a", $"id_b", lit(1).as("hit"))
+      // guarded so the expression is safe standalone: Spark's
+      // sequence(1, 0) DESCENDS to [1, 0] and slice(_, 0, 3) throws —
+      // a greatest(n-2, 0) stop does NOT make 1-2-word texts safe
       val sh = corpus.select($"doc_id", expr(
-        "array_distinct(transform(" +
-          "sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
-          "i -> array_join(slice(split(text, ' '), i, 3), ' ')))")
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+          "array_distinct(transform(" +
+          "sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> array_join(slice(split(text, ' '), i, 3), ' '))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")
         .as("sh"))
       val planted = ms.indices.map { l =>
         base.select($"doc_id".as("id_a"),
-          ($"doc_id" + (l + 1) * 1000000L).as("id_b"))
+          ($"doc_id" + ((l + 1).toLong << 40)).as("id_b"))
       }.reduce(_ unionByName _)
       planted
         .join(sh.as("sa"), $"id_a" === $"sa.doc_id")
@@ -2050,7 +2060,7 @@ object TextQ {
         SELECT * FROM (VALUES (1, 3), (2, 5), (3, 9), (4, 12), (5, 15),
           (6, 25), (7, 40)) AS v(l, m)
       ), mut AS (
-        SELECT b.doc_id + l * 1000000 AS doc_id,
+        SELECT b.doc_id + l * 1099511627776 AS doc_id,
                array_to_string(list_filter(string_split(b.text, ' '),
                  (w, i) -> i % m <> 0), ' ') AS text
         FROM base b CROSS JOIN lv
@@ -2078,7 +2088,7 @@ object TextQ {
             list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
         FROM corpus
       ), planted AS (
-        SELECT b.doc_id AS id_a, b.doc_id + l * 1000000 AS id_b
+        SELECT b.doc_id AS id_a, b.doc_id + l * 1099511627776 AS id_b
         FROM base b CROSS JOIN lv
       ), wj AS (
         SELECT id_a, id_b,

@@ -452,6 +452,35 @@ class CurationSpec extends SparkSpec {
     assert(out.forall { case (id, s, _) => again(id) == s })
   }
 
+  test("temporalEmbargoSplit: NULL timestamps land in 'unknown', " +
+      "never in 'test', and do not move the boundary") {
+    val dense = (0L until 100L).map(i =>
+      (i, Some(new java.sql.Timestamp(1700000000000L + i * 60000L))))
+    val nulls = (100L until 110L).map(i =>
+      (i, Option.empty[java.sql.Timestamp]))
+    val out = Curation.temporalEmbargoSplit(
+        (dense ++ nulls).toDF("id", "ts"), $"ts",
+        trainPct = 80, embargoUs = 5L * 60000000L)
+      .select($"id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every planted null row is labeled 'unknown' — a bare otherwise
+    // branch would silently default them into 'test', which is exactly
+    // the leakage this operator exists to prevent
+    (100L until 110L).foreach(i => assert(out(i) == "unknown",
+      s"null-ts row $i labeled ${out(i)}"))
+    assert(!out.exists { case (id, s) => id >= 100L && s == "test" })
+    // non-null rows split exactly as they do without the null rows:
+    // nulls are ignored by the min/max span, so the boundary is fixed
+    val ref = Curation.temporalEmbargoSplit(
+        dense.toDF("id", "ts"), $"ts", 80, 5L * 60000000L)
+      .select($"id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 100L).foreach(i => assert(out(i) == ref(i)))
+    // and the partition is complete: every row got a label
+    assert(out.size == 110 &&
+      out.values.forall(Set("train", "embargo", "test", "unknown")))
+  }
+
   test("equivalenceClasses: sizes per QI combination, distinct " +
       "sensitive values when requested") {
     val rows = Seq(

@@ -54,6 +54,73 @@ class DedupSpec extends SparkSpec {
     assert(p.contains((1L, 2L)) && p((1L, 2L)) == 1.0)
   }
 
+  test("prefix variant keeps the exact-boundary pair (J exactly at the " +
+      "threshold) that FP-multiply pruning dropped") {
+    // nested pair: A = 9 words (7 trigrams), B = A + 3 words (10
+    // trigrams, superset) → J = 7/(7+10−7) = 0.7 EXACTLY at the 0.7
+    // threshold. Both FP hazards fire here when computed as multiplies:
+    // fl(0.7·10) = 7.000000000000001 shortens B's prefix below the
+    // theorem bound (pair never becomes a candidate) and fails the
+    // length prune (7 ≥ 7.0000…01 is false) — either alone silently
+    // drops a pair the exact predicate emits.
+    val aWords = (1 to 9).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, aWords.mkString(" ")),
+      (2L, (aWords ++ Seq("x1", "x2", "x3")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", k = 3,
+      threshold = 0.7).collect()
+    assert(got.length == 1, s"boundary pair missing: ${got.mkString}")
+    assert(got.head.getAs[Long]("id_a") == 1L &&
+      got.head.getAs[Long]("id_b") == 2L)
+    assert(got.head.getAs[Long]("n_common") == 7L)
+    assert(got.head.getAs[Double]("jaccard") == 0.7)
+    // and the exact inverted-index variant agrees it belongs in the set
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3,
+      threshold = 0.7).count() == 1L)
+  }
+
+  test("PPJoin length filter prunes length-skewed candidates the prefix " +
+      "filter passes, without changing the output") {
+    // one 60-word doc L built from 20 distinct (aj bj cj) triples, a
+    // near-identical copy L2 (last word changed → J = 57/59), and 20
+    // five-word shorts each sharing exactly its own triple with L. At
+    // t = 0.12 a short's prefix is ALL 3 of its trigrams (3−⌈0.36⌉+1)
+    // and L's 52-slot prefix reaches well into the shared triples, so
+    // the prefix index emits many (short, L/L2) candidates — but
+    // min/max = 3/58 < 0.12 ≤ threshold means none can verify: exactly
+    // the pairs the length filter must kill BEFORE their 58-element
+    // shingle arrays ship into the verify exchange.
+    val l = (1 to 20).flatMap(j => Seq(s"a$j", s"b$j", s"c$j"))
+    val shorts = (1 to 20).map { j =>
+      (10L + j, s"a$j b$j c$j s${j}p s${j}q")
+    }
+    val corpus = (Seq(
+      (1L, l.mkString(" ")),
+      (2L, (l.init :+ "z").mkString(" "))) ++ shorts)
+      .toDF("doc_id", "text")
+    val shingled = Dedup.withShingleHashes(corpus, "text", 3)
+      .select($"doc_id".as("id"), $"sh_hs")
+      .filter(size($"sh_hs") > 0)
+    val nCands = Dedup.prefixCandidates(shingled, 0.12).count()
+    val filtered = Dedup.prefixLengthFiltered(shingled, 0.12)
+    val nKept = filtered.count()
+    assert(nCands - nKept >= 10,
+      s"length filter pruned only ${nCands - nKept} of $nCands " +
+        "candidates on a corpus planted to defeat the prefix filter")
+    // the survivor is the genuine near-pair, sizes attached
+    val kept = filtered.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(kept.contains((1L, 2L)))
+    // equality with the exact variant: pruning removed only dead pairs
+    val out = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", k = 3,
+      threshold = 0.12)
+    val ref = Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3,
+      threshold = 0.12)
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+    assert(out.count() == 1L)
+  }
+
   test("jaccardDedup front door routes by threshold and matches the " +
       "variant it routes to") {
     // routing decisions

@@ -23,6 +23,55 @@ class PropertySpec extends SparkSpec {
   private def holds(p: Prop, params: Parameters): Unit =
     assert(check(params, p).passed)
 
+  /** The embargo split's boundary arithmetic, randomized: for any
+    * (lo, span, trainPct, embargoUs) the engine labels must equal a
+    * driver-side integer recomputation of `lo + (hi−lo)·pct div 100`
+    * (which implies the partition is complete and ordered), nulls must
+    * land in `unknown`, and the assignment must be invariant under row
+    * permutation — the integer-div boundary depends only on the
+    * observed min/max, never on partitioning. Each case runs Spark
+    * jobs, so the case count is reduced (still randomized). */
+  test("temporalEmbargoSplit: labels equal the integer-boundary " +
+      "recomputation, nulls → unknown, permutation-invariant") {
+    val caseGen = for {
+      lo <- Gen.choose(0L, 1L << 40)
+      span <- Gen.choose(1L, 1L << 40)
+      n <- Gen.choose(2, 50)
+      offs <- Gen.listOfN(n, Gen.choose(0L, span))
+      nNulls <- Gen.choose(0, 3)
+      trainPct <- Gen.choose(1, 99)
+      embargoUs <- Gen.choose(0L, 1L << 30)
+    } yield (lo, offs, nNulls, trainPct, embargoUs)
+    holds(forAll(caseGen) {
+      case (lo, offs, nNulls, trainPct, embargoUs) =>
+        val us: Seq[Option[Long]] = offs.map(o => Some(lo + o)) ++
+          Seq.fill(nNulls)(Option.empty[Long])
+        val df = us.zipWithIndex
+          .map { case (u, i) => (i.toLong, u) }.toDF("id", "us")
+          .withColumn("ts", timestamp_micros($"us"))
+        val got = Curation.temporalEmbargoSplit(df, $"ts",
+            trainPct, embargoUs)
+          .select($"id", $"split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val present = us.flatten
+        val (mn, mx) = (present.min, present.max)
+        val b = mn + (mx - mn) * trainPct / 100
+        val expect = us.zipWithIndex.map {
+          case (None, i) => i.toLong -> "unknown"
+          case (Some(u), i) => i.toLong ->
+            (if (u <= b) "train"
+             else if (u <= b + embargoUs) "embargo"
+             else "test")
+        }.toMap
+        val permuted = Curation.temporalEmbargoSplit(
+            df.orderBy(rand(7)).repartition(5), $"ts",
+            trainPct, embargoUs)
+          .select($"id", $"split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        got == expect && permuted == expect
+    }, Parameters.default.withMinSuccessfulTests(12))
+  }
+
   test("zorder2 is a bijection on bounded pairs and preserves box order") {
     val coord = Gen.choose(0L, (1L << 16) - 1)
     holds(forAll(coord, coord) { (a, b) =>

@@ -171,6 +171,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("semanticDecontaminate rejects an empty eval set instead of " +
+      "silently passing the whole corpus") {
+    // an empty eval side would make the crossJoin+groupBy return zero
+    // rows — downstream reads that as "nothing contaminated" and the
+    // audit vanishes; the guard must fail loudly at call time
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(
+        emb, emb.filter($"vec_id" < 0), minCos = 0.9)
+    }
+    assert(ex.getMessage.contains("eval set is empty"))
+  }
+
   test("annRecallEval: exhaustive probing scores exactly recall 1 and " +
       "rr 1; pruned probing is bounded by it and counts real overlap") {
     val q = emb.filter($"vec_id".isin(0, 7))
