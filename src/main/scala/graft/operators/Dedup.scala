@@ -165,7 +165,17 @@ object Dedup {
     * correctly switches to a shuffle join and the pairs×arrays term
     * (~170 compressed B/pair) appears. That is a one-time plan
     * transition, not a super-linear term — past it, bytes grow
-    * linearly with pairs. */
+    * linearly with pairs.
+    *
+    * Isolated post-length-filter x100 re-run (r14, exact-division
+    * prune + epsilon-corrected prefix ceil): 10,826 MB verify bytes,
+    * wall exponent 0.80 — within host noise of the r13 figure, because
+    * the synthetic documents corpus has near-uniform shingle counts so
+    * the min/max ≥ t prune rarely fires there. Its traffic benefit is
+    * on length-skewed corpora (the common web-crawl shape), where the
+    * planted DedupSpec case shows the prefix index emitting dozens of
+    * short×long candidates that the filter kills before their arrays
+    * ship. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val shingled = withShingleHashes(df, textCol, k)

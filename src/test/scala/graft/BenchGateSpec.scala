@@ -30,7 +30,9 @@ class BenchGateSpec extends SparkSpec {
     * walls measured after warmup on this box (r12, two isolated runs:
     * q59 4.2/4.7 s, q63 3.7/2.6 s, q71 5.8/5.5 s, q81 3.9/2.7 s,
     * q67 2.9/2.3 s, q148 1.4/1.2 s, q156 3.3/2.4 s; r13: q177
-    * 1.6 s in-gate), rounded up —
+    * 1.6 s in-gate; r14: q176 0.4 s, q178 1.9 s in-gate — sub-second
+    * q176 gets extra slack for the documented micro-query oscillation),
+    * rounded up —
     * covering the documented ±50% host oscillation on allocation-heavy
     * plans with ~2× margin, while an O(n²) regression (many minutes at
     * sf0.01) cannot hide. */
@@ -42,7 +44,9 @@ class BenchGateSpec extends SparkSpec {
     "q67_dmp_ols_endtoend" -> 9.0,
     "q148_leakage_safe_split" -> 5.0,
     "q156_neardup_pipeline" -> 10.0,
-    "q177_lsh_s_curve" -> 6.0)
+    "q177_lsh_s_curve" -> 6.0,
+    "q176_cnv_bin_merge_ramp" -> 3.0,
+    "q178_tokenizer_fertility" -> 6.0)
 
   private def run(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
