@@ -565,7 +565,11 @@ object CurationQ {
             .otherwise(concat($"text", lit(" [v2]"))).as("text"),
           $"lang", $"source", ($"doc_id" % 31 === 0).as("is_delete"))
         .unionByName(base.filter($"doc_id" % 13 === 0)
-          .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang",
+          // inserted ids live in a disjoint high-bit namespace
+          // (1 << 41): a fixed decimal offset collides with real
+          // doc_ids at replica scales, turning planted inserts into
+          // accidental updates
+          .select(($"doc_id" + (1L << 41)).as("doc_id"), $"text", $"lang",
             $"source", lit(false).as("is_delete")))
       graft.io.Store.mergeUpsert(base, upd, "doc_id")
         .select($"doc_id", $"text", $"lang", $"source")
@@ -581,7 +585,7 @@ object CurationQ {
                lang, source, doc_id % 31 = 0 AS is_delete
         FROM documents WHERE doc_id % 31 = 0 OR doc_id % 9 = 0
         UNION ALL
-        SELECT doc_id + 2000000, text, lang, source, false
+        SELECT doc_id + 2199023255552, text, lang, source, false
         FROM documents WHERE doc_id % 13 = 0
       )
       SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,

@@ -926,7 +926,10 @@ object TextQ {
           when($"doc_id" % 13 === 0, concat($"text", lit(" [rev2]")))
             .otherwise($"text").as("text"))
         .unionByName(base.filter($"doc_id" % 11 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+          // added ids live in a disjoint high-bit namespace (1 << 41):
+          // a fixed decimal offset collides with real doc_ids at
+          // replica scales and would mislabel adds as changed
+          .select(($"doc_id" + (1L << 41)).as("doc_id"), $"text"))
       val a = v1.as("a")
       val b = v2.as("b")
       a.join(b, $"a.doc_id" === $"b.doc_id", "full_outer")
@@ -946,7 +949,8 @@ object TextQ {
                     ELSE text END AS text
         FROM documents WHERE doc_id % 17 <> 0
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+        SELECT doc_id + 2199023255552, text
+        FROM documents WHERE doc_id % 11 = 0
       )
       SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
              CASE WHEN v1.doc_id IS NULL THEN 'added'
@@ -1082,8 +1086,12 @@ object TextQ {
       import s.implicits._
       val base = t(s, d, "documents").filter($"text".isNotNull)
         .select($"doc_id", $"text")
+      // mutant ids live in a disjoint high-bit namespace (1 << 41):
+      // ScaleBench replicas already reach doc_id ≈ 3.1e10 at x100, and
+      // a fixed decimal offset silently corrupts the planted-pair truth
+      // the moment real ids cross it
       val mutants = base.filter($"doc_id" % 5 === 0)
-        .select(($"doc_id" + 3000000L).as("doc_id"),
+        .select(($"doc_id" + (1L << 41)).as("doc_id"),
           expr("array_join(filter(split(text, ' '), " +
             "(w, i) -> (i + 1) % 7 != 0), ' ')").as("text"))
       val corpus = base.unionByName(mutants)
@@ -1091,7 +1099,7 @@ object TextQ {
           k = 3, threshold = 0.5)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
       val truth = base.filter($"doc_id" % 5 === 0)
-        .select($"doc_id".as("id_a"), ($"doc_id" + 3000000L).as("id_b"),
+        .select($"doc_id".as("id_a"), ($"doc_id" + (1L << 41)).as("id_b"),
           lit(true).as("is_planted"))
       found.as("f").join(truth.as("t"), Seq("id_a", "id_b"), "full_outer")
         .select($"id_a", $"id_b", $"jaccard".isNotNull.as("found"),
@@ -1103,7 +1111,7 @@ object TextQ {
       WITH base AS (
         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       ), mut AS (
-        SELECT doc_id + 3000000 AS doc_id,
+        SELECT doc_id + 2199023255552 AS doc_id,
                array_to_string(list_filter(string_split(text, ' '),
                  (w, i) -> i % 7 <> 0), ' ') AS text
         FROM base WHERE doc_id % 5 = 0
@@ -1134,7 +1142,7 @@ object TextQ {
         WHERE CAST(n_common AS DOUBLE)
               / (sa.n_sh + sb.n_sh - n_common) >= 0.5
       ), truth AS (
-        SELECT doc_id AS id_a, doc_id + 3000000 AS id_b,
+        SELECT doc_id AS id_a, doc_id + 2199023255552 AS id_b,
                true AS is_planted
         FROM base WHERE doc_id % 5 = 0
       )
