@@ -156,11 +156,13 @@ object Dedup {
     * shuffles one row per co-occurring PAIR per shingle — quadratic in
     * hot-shingle document frequency.
     *
-    * Measured at the r13 ScaleBench rungs (q124 surface): candidate
-    * pairs are exactly linear in corpus volume (598k / 5.99M / 59.9M at
-    * x1/x10/x100) with the max prefix bucket flat at 12. The shuffle
-    * BYTES show one step inside the x10→x100 decade (13 → 138 →
-    * 10,325 MB): below ~50 MB of doc arrays the verify join broadcasts
+    * Measured at the ScaleBench rungs (q124 surface; refreshed r14 at
+    * HEAD after the FP-exactness fixes): candidate pairs are exactly
+    * linear in corpus volume (598k / 5.99M / 59.9M at x1/x10/x100)
+    * with the max prefix bucket flat at 12. The shuffle BYTES show one
+    * step inside the x10→x100 decade (14 → 143 → 10,861 MB; r13
+    * measured 13 → 138 → 10,325): below ~50 MB of doc arrays the
+    * verify join broadcasts
     * (array bytes never hit the shuffle meter), above it Spark
     * correctly switches to a shuffle join and the pairs×arrays term
     * (~170 compressed B/pair) appears. That is a one-time plan
