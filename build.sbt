@@ -17,6 +17,12 @@ run / fork := true
 // Suppress the success banner so the summary JSON stays the last line.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ...and route the forked run JVM's stdout STRAIGHT to sbt's stdout
+// instead of through the logger: the logger prefixes every line with
+// "[info] ", so even with the banner gone BENCH_r14.json recorded
+// `parsed: null` — the summary arrived as `[info] {...}`. With
+// StdoutOutput the final line is the bare JSON the driver expects.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
