@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Expressions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash),
@@ -201,33 +201,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Minimum overlap any FINAL-PREDICATE-emitted pair can have with a
+    * doc of `n` shingles — the exact quantity the AllPairs prefix
+    * theorem needs, with NO epsilon in the safety argument (the r14
+    * `ceil(t·n − 1e-9)` nudge was an absolute epsilon against a
+    * relative, ulp-scaled error: provably safe only while n stayed
+    * below ~4·10⁶, and nothing enforced that bound — r14 ADVICE).
+    *
+    * Derivation: the final predicate emits (A,B) iff
+    * fl(c/(a+b−c)) ≥ t with c = |A∩B|. For an endpoint of size n,
+    * a+b−c ≥ n, so real c/(a+b−c) ≤ c/n, and IEEE rounding is
+    * monotone: fl(c/n) ≥ fl(c/(a+b−c)) ≥ t. Every emitted pair
+    * therefore has c ≥ o(n) := min{ c ∈ ℤ : fl(c/n) ≥ t }, and a
+    * prefix of the n − o(n) + 1 rarest shingles catches it by
+    * pigeonhole. o(n) is DEFINED in terms of fl, so evaluating its
+    * defining predicate in doubles is exact by construction.
+    *
+    * Computation: the double-arithmetic seed guess ceil(t·n − 1e-9)
+    * sits within ±2 of o(n) for any n < 2⁵⁰ (combined rounding error
+    * ≤ ~n·2⁻⁵² + 1e-9 ≪ 1, and o(n) is within 1 of the real ⌈t·n⌉),
+    * so a 5-wide monotone window scan of fl(k/n) ≥ t — the same
+    * division shape as the final predicate — lands on o(n) exactly;
+    * the guess's arithmetic shape no longer affects correctness, it
+    * only centers the window. Clamped to [1, n] (c = 0 never reaches
+    * t > 0; c = n always passes t ≤ 1). Branch-free `when` chain,
+    * whole-stage-codegen friendly, no UDF.
+    *
+    * The (t: Column) overload exists so PropertySpec can evaluate the
+    * production expression over a DataFrame of random (t, n) cases in
+    * one job; production always passes the literal. */
+  private[graft] def minOverlapExpr(t: Column, n: Column): Column = {
+    val nD = n.cast("double")
+    val guess = ceil(t * nD - lit(1e-9)).cast("long")
+    val failsBelow = (0 until 5).map { j =>
+      when((guess - 2 + j).cast("double") / nD >= t, lit(0L))
+        .otherwise(lit(1L))
+    }.reduce(_ + _)
+    least(greatest(guess - 2 + failsBelow, lit(1L)), n.cast("long"))
+  }
+
+  private[graft] def minOverlapExpr(threshold: Double, n: Column): Column =
+    minOverlapExpr(lit(threshold), n)
+
   /** AllPairs prefix-index candidate pairs over a `(id, sh_hs)` frame —
     * the candidate set BEFORE the PPJoin length filter. Exposed
     * `private[graft]` so specs can measure how many candidates each
     * filter stage prunes without running the verify join.
     *
-    * FP exactness: the theorem's prefix length is |d| − ⌈t·|d|⌉ + 1 in
-    * REAL arithmetic, but `fl(t·|d|)` can land one ulp ABOVE an exact
-    * integer product (t = 0.7, |d| = 10 → 7.000000000000001, ceil 8),
-    * silently shortening the prefix below the bound and dropping a
-    * boundary pair (J exactly t) the exact path emits. The 1e-9 nudge
-    * restores the real-arithmetic ceiling; when t·|d| sits within 1e-9
-    * above an integer for OTHER reasons the prefix merely grows by one
-    * slot — more candidates, never fewer, so the output stays exact. */
+    * FP exactness: prefix length is n − [[minOverlapExpr]] + 1 — the
+    * window-scanned exact minimum overlap, not a nudged ⌈t·n⌉ (see
+    * [[minOverlapExpr]] for why the epsilon form was retired). */
   private[graft] def prefixCandidates(shingled: DataFrame,
       threshold: Double): DataFrame = {
     val postings = shingled.select(col("id"), explode(col("sh_hs")).as("h"))
     val freq = postings.groupBy("h").agg(count(lit(1)).as("df"))
     // per doc: shingles ordered by (global df, h); prefix of the
-    // |d| − ceil(t·|d|) + 1 rarest ones
+    // |d| − o(|d|) + 1 rarest ones (o = exact FP minimum overlap)
     val ordered = postings.join(freq, "h")
       .groupBy("id")
       .agg(expr("transform(array_sort(collect_list(struct(df, h))), " +
         "x -> x.h)").as("by_rarity"),
         count(lit(1)).cast("long").as("n_sh"))
-      .withColumn("prefix", expr(
-        s"slice(by_rarity, 1, size(by_rarity) - " +
-          s"CAST(ceil($threshold * size(by_rarity) - 1e-9) AS INT) + 1)"))
+      .withColumn("prefix", slice(col("by_rarity"), lit(1),
+        (size(col("by_rarity")).cast("long") -
+          minOverlapExpr(threshold, size(col("by_rarity"))) + 1)
+          .cast("int")))
     val inv = ordered
       .select(col("id"), col("n_sh"), explode(col("prefix")).as("h"))
       .groupBy("h")
@@ -252,7 +290,13 @@ object Dedup {
     * that the exact predicate emits. With divisions, real
     * c/(a+b−c) ≤ min/max plus the monotonicity of FP rounding gives
     * fl(min/max) ≥ fl(c/(a+b−c)): every pair the final FP test emits
-    * passes this FP test. */
+    * passes this FP test. The predicate lives in
+    * [[lengthPrunePasses]] so PropertySpec exercises the exact
+    * production shape over random (t, n_a, n_b). */
+  private[graft] def lengthPrunePasses(t: Column, nA: Column,
+      nB: Column): Column =
+    nA.cast("double") / nB >= t && nB.cast("double") / nA >= t
+
   private[graft] def prefixLengthFiltered(shingled: DataFrame,
       threshold: Double): DataFrame = {
     val cands = prefixCandidates(shingled, threshold)
@@ -263,8 +307,7 @@ object Dedup {
         Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(
         Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
-      .filter(col("n_a").cast("double") / col("n_b") >= threshold &&
-        col("n_b").cast("double") / col("n_a") >= threshold)
+      .filter(lengthPrunePasses(lit(threshold), col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
   }
 

@@ -844,7 +844,13 @@ object TextQ {
       val toks = t(s, d, "documents")
         .select(explode(split($"text", " ")).as("term"))
         .filter(length($"term") > 0)
-      val minCount = math.ceil(toks.count() * 0.002).toLong
+      // exact integer ceil(N·2/1000), matching the oracle's DECIMAL
+      // arithmetic for every N — the double form fl(N·fl(0.002))
+      // happens to agree for this constant (its representation error
+      // is +2.1e-17 relative, under the half-ulp rounding radius) but
+      // only by luck of the constant; the r15 FP-exactness sweep
+      // (minOverlapExpr's class) retires the multiply shape here too.
+      val minCount = (2L * toks.count() + 999L) / 1000L
       Dedup.cmsHeavyHitters(toks, "term", minCount)
         .orderBy($"n".desc, $"term")
     },

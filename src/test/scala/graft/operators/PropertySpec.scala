@@ -335,4 +335,135 @@ class PropertySpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  // --- FP-exactness of the AllPairs/PPJoin prefix path (r14 ADVICE /
+  // r15 task: pin the CLASS, not just the two planted boundary pairs) -
+
+  /** Reference for [[Dedup.minOverlapExpr]]: the definition itself,
+    * min{ c ∈ [1, n] : fl(c/n) ≥ t }, scanned in JVM doubles (the same
+    * IEEE arithmetic Spark codegen executes). */
+  private def refMinOverlap(t: Double, n: Int): Long = {
+    var c = math.max(1L, math.min(n.toLong,
+      (BigDecimal(t) * n).setScale(0, BigDecimal.RoundingMode.CEILING)
+        .toLong))
+    while (c > 1 && (c - 1).toDouble / n.toDouble >= t) c -= 1
+    while (c < n && c.toDouble / n.toDouble < t) c += 1
+    c
+  }
+
+  /** Case generator: thresholds mix plain randoms, two-decimal values,
+    * exact FP boundaries t = fl(c/n), and their one-ulp neighbors —
+    * the shapes where the retired `ceil(t·n − 1e-9)` epsilon could
+    * land on the wrong integer; n spans 1 .. Int.MaxValue (the old
+    * nudge was only provably safe below ~4·10⁶). */
+  private val overlapCaseGen: Gen[(Double, Int)] = for {
+    n <- Gen.oneOf(Gen.choose(1, 100), Gen.choose(100, 1000000),
+      Gen.choose(1000000, Int.MaxValue))
+    c <- Gen.choose(1L, n.toLong).map(_.toInt)
+    mode <- Gen.choose(0, 5)
+    tRaw <- Gen.choose(1e-6, 1.0)
+  } yield {
+    val b = c.toDouble / n.toDouble
+    val t = mode match {
+      case 0 => tRaw
+      case 1 => math.max(0.01, math.ceil(tRaw * 100) / 100.0)
+      case 2 => b
+      case 3 => math.nextUp(b)
+      case 4 => math.nextDown(b)
+      case _ => c.toDouble / math.max(c + 1, 2).toDouble
+    }
+    (math.min(1.0, math.max(1e-9, t)), n)
+  }
+
+  test("minOverlapExpr equals min{c : fl(c/n) >= t} — the exact bound " +
+      "the prefix-safety argument needs — for random and adversarial " +
+      "(t, n) up to n = Int.MaxValue") {
+    // each scalacheck case evaluates a 120-row batch in ONE Spark job:
+    // the production Column expression over a (t, n) DataFrame
+    holds(forAll(Gen.listOfN(120, overlapCaseGen)) { cases =>
+      val df = cases.toDF("t", "n")
+        .withColumn("n", $"n".cast("int"))
+        .withColumn("o", Dedup.minOverlapExpr($"t", $"n"))
+      df.collect().forall { r =>
+        val (t, n, o) = (r.getDouble(0), r.getInt(1), r.getLong(2))
+        val ref = refMinOverlap(t, n)
+        if (o != ref) {
+          info(s"minOverlap mismatch: t=$t n=$n got=$o expect=$ref")
+        }
+        o == ref
+      }
+    }, Parameters.default.withMinSuccessfulTests(5))
+  }
+
+  test("length prune never rejects a pair the final FP predicate (or " +
+      "the exact rational one) could emit, for random (t, a, b, c)") {
+    val caseGen = for {
+      a <- Gen.oneOf(Gen.choose(1, 50), Gen.choose(50, 100000),
+        Gen.choose(100000, Int.MaxValue / 2))
+      b <- Gen.oneOf(Gen.choose(1, 50), Gen.choose(50, 100000),
+        Gen.choose(100000, Int.MaxValue / 2),
+        Gen.const(a), Gen.choose(math.max(1, a - 3), a + 3))
+      c <- Gen.choose(1, math.min(a, b))
+      t <- Gen.oneOf(
+        Gen.choose(1e-6, 1.0),
+        Gen.choose(1, 99).map(_ / 100.0),
+        Gen.const(math.min(a, b).toDouble / math.max(a, b).toDouble))
+    } yield (t, a, b, c)
+    holds(forAll(Gen.listOfN(200, caseGen)) { cases =>
+      val df = cases.toDF("t", "a", "b", "c")
+        .withColumn("passes",
+          Dedup.lengthPrunePasses($"t", $"a".cast("long"),
+            $"b".cast("long")))
+      df.collect().forall { r =>
+        val (t, a, b, c) = (r.getDouble(0), r.getInt(1), r.getInt(2),
+          r.getInt(3))
+        val passes = r.getBoolean(4)
+        // the final FP predicate on the best-possible overlap c
+        val fpEmits = c.toDouble / (a.toLong + b - c).toDouble >= t
+        // the exact rational predicate (what a real-arithmetic engine
+        // would emit): min/max >= t over BigDecimal
+        val mn = math.min(a, b); val mx = math.max(a, b)
+        val ratEmits = BigDecimal(mn) >= BigDecimal(t) * mx
+        // prune may only drop pairs NEITHER predicate could emit
+        (!fpEmits || passes) && (!ratEmits || passes)
+      }
+    }, Parameters.default.withMinSuccessfulTests(5))
+  }
+
+  test("jaccardPairsPrefix equals the exact inverted-index variant on " +
+      "random corpora with a planted exact-boundary pair at a random " +
+      "rational threshold") {
+    // nested pair: A = c+2 distinct words (c trigrams, all contained
+    // in B's prefix), B = A ++ m extra words (c+m trigrams) →
+    // J(A, B) = c/(c+m) EXACTLY; threshold = fl(c/(c+m)) puts the
+    // pair precisely on the FP boundary every filter stage must keep.
+    val caseGen = for {
+      c <- Gen.choose(3, 12)
+      m <- Gen.choose(1, 6)
+      nNoise <- Gen.choose(0, 4)
+      salt <- Gen.choose(0, 1000000)
+    } yield (c, m, nNoise, salt)
+    holds(forAll(caseGen) { case (c, m, nNoise, salt) =>
+      val aWords = (1 to c + 2).map(i => s"w$i")
+      val bWords = aWords ++ (1 to m).map(i => s"x$i")
+      val noise = (1 to nNoise).map { d =>
+        (100L + d, (1 to 8).map(i => s"n${d}_${(salt + i) % 7}_$i")
+          .mkString(" "))
+      }
+      val corpus = (Seq(
+        (1L, aWords.mkString(" ")),
+        (2L, bWords.mkString(" "))) ++ noise)
+        .toDF("doc_id", "text")
+      val t = c.toDouble / (c + m).toDouble
+      val prefix = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+        k = 3, threshold = t)
+      val exact = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        k = 3, threshold = t)
+      val pKeys = prefix.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val eKeys = exact.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pKeys == eKeys && pKeys.contains((1L, 2L))
+    }, Parameters.default.withMinSuccessfulTests(8))
+  }
 }
