@@ -50,6 +50,23 @@ object Q {
     if (name == "events") eventTs(df) else df
   }
 
+  /** Shift-invariant fixture key: rewrite `key` to `key − min(key)`
+    * (one-row broadcast join — `df` itself never shuffles). Fixture
+    * queries that derive synthetic structures from a base table's key
+    * VALUES (parities, ranges, grids) anchor on the observed minimum
+    * so the construction — and therefore its oracle — is invariant
+    * under uniform id translation, the transformation SeedPerturb's
+    * alternate-seed rungs apply. On the driver fixture every key
+    * starts at 0, so this is the identity there (r15: before
+    * anchoring, 14 registry queries silently went EMPTY on
+    * key-shifted data — q36/q88 red, the rest vacuously green). */
+  def anchorKey(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, min}
+    df.crossJoin(broadcast(df.select(min(col(key)).as("_graft_key_min"))))
+      .withColumn(key, col(key) - col("_graft_key_min"))
+      .drop("_graft_key_min")
+  }
+
   /** Session configs every entry point (Verify/Bench/tests) applies. */
   val sessionConfigs: Map[String, String] = Map(
     // the full deployment surface: SQL kernels + the overlap-join

@@ -1233,16 +1233,18 @@ object DomainQ2 {
     * VALUES relation: emit6 makes every mean a 6-dp-exact double, the
     * bounds are exact integers, and any drift in the recursion,
     * p-value gate, or segment merge flips the hash. The fixture is
-    * fixed: two chromosomes × 150 bins from `part` (p_partkey ≤ 300 —
-    * present at sf ≥ 0.01; NOT valid at sf0.001 where part has only
-    * 200 rows), cnv = ±small parity noise with a 0.9 plateau planted
+    * fixed: two chromosomes × 150 bins from `part` (min-anchored
+    * p_partkey ≤ 300, so the golden table stays valid under id-shifted
+    * seed rungs — present at sf ≥ 0.01; NOT valid at sf0.001 where
+    * part has only 200 rows), cnv = ±small parity noise with a 0.9
+    * plateau planted
     * on bins 50-99 of chr1 — CBS must find exactly
     * [2500000, 4950000]. */
   val q88 = Q(
     "q88_cnv_segmentation",
     (s, d) => {
       import s.implicits._
-      val bins = t(s, d, "part")
+      val bins = Q.anchorKey(t(s, d, "part"), "p_partkey")
         .filter($"p_partkey" <= 300)
         .select(
           when($"p_partkey" % 2 === 0, "chr1").otherwise("chr2")
@@ -1287,7 +1289,7 @@ object DomainQ2 {
     "q95_cbs_arc_stat",
     (s, d) => {
       import s.implicits._
-      val bins = t(s, d, "part")
+      val bins = Q.anchorKey(t(s, d, "part"), "p_partkey")
         .filter($"p_partkey" <= 300)
         .select(
           when($"p_partkey" % 2 === 0, "chr1").otherwise("chr2")
@@ -1306,7 +1308,11 @@ object DomainQ2 {
         .orderBy($"chromosome")
     },
     Some("""
-      WITH bins AS (
+      WITH pt AS (
+        SELECT p_partkey - (SELECT min(p_partkey) FROM part)
+                 AS p_partkey
+        FROM part
+      ), bins AS (
         SELECT CASE WHEN p_partkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
                  AS chrom,
                CAST(p_partkey * 25000 AS BIGINT) AS map_loc,
@@ -1314,7 +1320,7 @@ object DomainQ2 {
                 CASE WHEN p_partkey % 2 = 0
                       AND p_partkey BETWEEN 100 AND 198
                      THEN 0.9 ELSE 0.0 END) AS cnv
-        FROM part WHERE p_partkey <= 300
+        FROM pt WHERE p_partkey <= 300
       ), ord AS (
         SELECT chrom, cnv,
                row_number() OVER (PARTITION BY chrom ORDER BY map_loc)

@@ -32,7 +32,8 @@ object IoQ {
     (s, d) => {
       import s.implicits._
       val k = $"p_partkey"
-      val paths = t(s, d, "part").filter(k <= 160)
+      val paths = Q.anchorKey(t(s, d, "part"), "p_partkey")
+        .filter(k <= 160)
         .select(
           when(k % 4 === 0,
             concat(lit("idats/GSM"), (k + 1000).cast("string"), lit("_"),
@@ -67,7 +68,10 @@ object IoQ {
     },
     Some("""
       WITH base AS (
-        SELECT p_partkey AS k FROM part WHERE p_partkey <= 160
+        SELECT k FROM (
+          SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS k
+          FROM part)
+        WHERE k <= 160
       ), paths AS (
         SELECT CASE
           WHEN k % 4 = 0 THEN 'idats/GSM' || CAST(k + 1000 AS VARCHAR)
@@ -169,7 +173,8 @@ object IoQ {
     (s, d) => {
       import s.implicits._
       val k = $"p_partkey"
-      val base = t(s, d, "part").filter(k <= 200)
+      val base = Q.anchorKey(t(s, d, "part"), "p_partkey")
+        .filter(k <= 200)
         .select(k.as("k"))
       val man = base.select(
         concat(lit("cg"), lpad($"k".cast("string"), 8, "0")).as("probe_id"),
@@ -207,7 +212,10 @@ object IoQ {
     },
     Some("""
       WITH base AS (
-        SELECT p_partkey AS k FROM part WHERE p_partkey <= 200
+        SELECT k FROM (
+          SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS k
+          FROM part)
+        WHERE k <= 200
       ), man AS (
         SELECT 'cg' || lpad(CAST(k AS VARCHAR), 8, '0') AS probe_id,
                CASE WHEN k % 3 = 0 THEN 'II' ELSE 'I' END AS inf_type,

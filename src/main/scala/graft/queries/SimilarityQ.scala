@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQ {
 
-  /** Brute-force cosine top-k against a fixed query vector (vec_id 0). */
+  /** Brute-force cosine top-k against a fixed query vector (the
+    * smallest vec_id present — id 0 on the driver fixture; anchored,
+    * not hard-coded, so the probe survives SeedPerturb's id shifts). */
   val q36 = Q(
     "q36_cosine_topk",
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id" === 0)
+      val q = emb.orderBy($"vec_id").limit(1)
         .select(lit(0L).as("query_id"), $"embedding")
       Similarity.bruteForceTopK(emb, q, k = 25)
         .select($"vec_id", round($"cos", 6).as("cos_sim"))
@@ -29,7 +31,8 @@ object SimilarityQ {
              round(list_cosine_similarity(
                CAST(embedding AS DOUBLE[]),
                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                WHERE vec_id = 0)), 6) AS cos_sim
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings))),
+               6) AS cos_sim
       FROM embeddings
       ORDER BY cos_sim DESC, vec_id
       LIMIT 25"""))
@@ -66,7 +69,8 @@ object SimilarityQ {
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         FROM embeddings
       ), q AS (
-        SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id IN (0, 1, 2)
+        SELECT vec_id AS query_id, e AS qv FROM emb
+        WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 3)
       ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
       c0 AS (
         SELECT CAST(label AS BIGINT) AS c, i, avg(e[i]) AS m
@@ -131,7 +135,7 @@ object SimilarityQ {
       import s.implicits._
       val emb = t(s, d, "embeddings")
       val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
-      val q = indexed.filter($"vec_id".isin(0, 1, 2))
+      val q = indexed.orderBy($"vec_id").limit(3)
         .select($"vec_id".as("query_id"), $"embedding")
       Similarity.ivfTopK(indexed, q, k = 10,
           clusterCol = "ivf_cluster", nProbe = 3)
@@ -159,7 +163,7 @@ object SimilarityQ {
       import s.implicits._
       val emb = t(s, d, "embeddings")
       val indexed = Similarity.buildIvfIndex(emb, "label", iters = 2)
-      val q = indexed.filter($"vec_id".isin(0, 1, 2))
+      val q = indexed.orderBy($"vec_id").limit(3)
         .select($"vec_id".as("query_id"), $"embedding")
       val ground = Similarity.bruteForceTopK(emb, q, k = 10)
       val approx = Similarity.ivfTopK(indexed, q, k = 10,
@@ -206,7 +210,7 @@ object SimilarityQ {
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
+      val q = emb.orderBy($"vec_id").limit(3)
         .select($"vec_id".as("query_id"), $"embedding")
       Similarity.srpHammingTopK(emb, q, k = 10)
         .orderBy($"query_id", $"rank")
@@ -244,7 +248,8 @@ object SimilarityQ {
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY bit_count(xor(c.sketch, q.sketch)), c.vec_id)
                  AS rank
-        FROM sk c CROSS JOIN (SELECT * FROM sk WHERE vec_id IN (0,1,2)) q)
+        FROM sk c CROSS JOIN
+          (SELECT * FROM sk ORDER BY vec_id LIMIT 3) q)
       SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
@@ -499,7 +504,7 @@ object SimilarityQ {
         import s.implicits._
         val emb = t(s, d, "embeddings")
         val (encoded, books) = Similarity.pqTrain(emb, m = 4, iters = 2)
-        val q = emb.filter($"vec_id".isin(0, 1, 2))
+        val q = emb.orderBy($"vec_id").limit(3)
           .select($"vec_id".as("query_id"), $"embedding")
         Similarity.pqAdcTopK(encoded, books, q, k = 10)
           .select($"query_id", $"vec_id", round($"adc", 6).as("adc"),
@@ -525,7 +530,7 @@ object SimilarityQ {
       ${(0 until 4).map(pqSubChain).mkString(",\n      ")},
       q AS (
         SELECT vec_id AS query_id, e AS qv FROM emb
-        WHERE vec_id IN (0, 1, 2)
+        WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 3)
       ),
       ${(0 until 4).map(tb).mkString(",\n      ")},
       adcs AS (
@@ -577,7 +582,8 @@ object SimilarityQ {
             + CASE WHEN v >= 5 AND ((i div $w) div 2) * $grid
                 + ((i % $w) div 2) = (11 * v) % ${grid * 8}
               THEN 100000 ELSE 0 END AS BIGINT))"""
-      val imgs = t(s, d, "part").filter($"p_partkey" <= 200)
+      val imgs = Q.anchorKey(t(s, d, "part"), "p_partkey")
+        .filter($"p_partkey" <= 200)
         .select($"p_partkey".as("id"),
           ($"p_partkey" % 25).as("g"), ($"p_partkey" / 25).cast("int").as("v"))
         .select($"id", expr(lv(256, 16, 8)).as("lv_a"),
@@ -593,9 +599,13 @@ object SimilarityQ {
         .orderBy($"method", $"id_a", $"id_b")
     },
     Some("""
-      WITH base AS (
+      WITH pt AS (
+        SELECT p_partkey - (SELECT min(p_partkey) FROM part)
+                 AS p_partkey
+        FROM part
+      ), base AS (
         SELECT p_partkey AS id, p_partkey % 25 AS g, p_partkey // 25 AS v
-        FROM part WHERE p_partkey <= 200
+        FROM pt WHERE p_partkey <= 200
       ), pxa AS (
         SELECT id, i,
                ((g * 7919 + i * 104729) % 1000) * 16
@@ -693,7 +703,7 @@ object SimilarityQ {
                     = (11 * (frame_idx + 3)) % 64
               THEN 100000 ELSE 0 END
           END AS BIGINT))"""
-      val frames = t(s, d, "part")
+      val frames = Q.anchorKey(t(s, d, "part"), "p_partkey")
         .filter($"p_partkey" >= 0 && $"p_partkey" < 320)
         .selectExpr("p_partkey div 8 AS media_id",
           "CAST(p_partkey % 8 AS INT) AS frame_idx")
@@ -703,9 +713,13 @@ object SimilarityQ {
         .orderBy($"vid_a", $"vid_b")
     },
     Some("""
-      WITH fr AS (
+      WITH pt AS (
+        SELECT p_partkey - (SELECT min(p_partkey) FROM part)
+                 AS p_partkey
+        FROM part
+      ), fr AS (
         SELECT p_partkey // 8 AS vid, p_partkey % 8 AS fidx
-        FROM part WHERE p_partkey >= 0 AND p_partkey < 320
+        FROM pt WHERE p_partkey >= 0 AND p_partkey < 320
       ), px AS (
         SELECT vid, fidx, i,
           CASE WHEN fidx = 7 THEN 5000
@@ -781,7 +795,8 @@ object SimilarityQ {
       val smp = """transform(
           sequence(0, 31 + CAST((id * 7) % 400 AS INT)),
           i -> CAST(((id * 31 + i * 17) % 512) - 256 AS DOUBLE) / 256.0D)"""
-      val prof = t(s, d, "part").filter($"p_partkey" <= 60)
+      val prof = Q.anchorKey(t(s, d, "part"), "p_partkey")
+        .filter($"p_partkey" <= 60)
         .select($"p_partkey".as("id"))
         .select($"id", expr(smp).as("samples"))
         .select($"id", size($"samples").cast("long").as("n_samples"),
@@ -794,9 +809,13 @@ object SimilarityQ {
         .orderBy($"id", $"seg")
     },
     Some("""
-      WITH base AS (
+      WITH pt AS (
+        SELECT p_partkey - (SELECT min(p_partkey) FROM part)
+                 AS p_partkey
+        FROM part
+      ), base AS (
         SELECT p_partkey AS id, 32 + (p_partkey * 7) % 400 AS n
-        FROM part WHERE p_partkey <= 60
+        FROM pt WHERE p_partkey <= 60
       ), smp AS (
         SELECT id, n, i, abs((id * 31 + i * 17) % 512 - 256) AS anum
         FROM base, range(0, 432) t(i) WHERE i < n
@@ -835,7 +854,7 @@ object SimilarityQ {
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
+      val q = emb.orderBy($"vec_id").limit(3)
         .select($"vec_id".as("query_id"), $"embedding")
       graft.operators.Similarity
         .twoStageTopK(emb, q, k = 10, coarseDims = 16, coarseK = 50)
@@ -847,7 +866,9 @@ object SimilarityQ {
       WITH q AS (
         SELECT vec_id AS query_id,
                CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id IN (0, 1, 2)
+        FROM embeddings
+        WHERE vec_id IN
+          (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
       ), emb AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       ), coarse AS (

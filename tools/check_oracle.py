@@ -126,8 +126,11 @@ def main() -> int:
     filters = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; Spark-written dirs (e.g.
+        # SeedPerturb's) hold part files under <t>.parquet/
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
     for name in sorted(p.name for p in Path(out_dir).iterdir()
