@@ -79,12 +79,34 @@ object Q {
     // makes the events boundary NTZ-proof regardless of this config.
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
-    // Coalesce post-shuffle partitions to the advisory size instead of
-    // maximizing parallelism: at 100 TB both settings land on ~64 MB
-    // partitions; on small inputs parallelismFirst=true (the default)
-    // schedules one micro-task per core per stage — pure overhead. The
-    // Spark tuning guide itself recommends false for busy clusters.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    // r15: parallelismFirst back to TRUE (the Spark default). With
+    // `false`, AQE coalesces every post-shuffle stage to the 64 MB
+    // advisory REGARDLESS of its CPU cost — measured this round
+    // squeezing the byte-small/CPU-heavy fit stages onto ONE task
+    // (q81's per-probe LMM fits: a 5.1 s single-task stage; q63's
+    // Huber gather: 3.7 s; q84's pivot+betas chain: 2.9 s across three
+    // single-task stages). With `true`, coalescing targets parallelism
+    // first and still never creates partitions under
+    // coalescePartitions.minPartitionSize (1 MB), so genuinely tiny
+    // exchanges still collapse to one task; at 100 TB post-shuffle
+    // stages are orders of magnitude over the advisory and the two
+    // settings plan identically — the flag only matters exactly where
+    // the old value was wrong.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
+    // Joins (guide §3.1/§9): let the planner pick a shuffled-hash join
+    // instead of sort-merge when the build side fits — both sides of the
+    // pipelines' key-aligned joins (p-value tables, size tables, per-key
+    // aggregates) are hash-partitioned already, and SMJ was paying a full
+    // sort of BOTH sides per join (q59: two 600k-row string-key sorts in
+    // the final stage). Static selection stays size-gated by the
+    // planner's own muchSmaller/fits-local-map conditions; the AQE knob
+    // additionally rewrites SMJ→SHJ at runtime only when EVERY
+    // post-shuffle partition is under the per-partition bound, so at
+    // 100 TB a build side that does not fit per-partition keeps
+    // sort-merge — the safety property is per-partition and
+    // runtime-measured, not an estimate.
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64MB",
     // Wrap-around 64-bit arithmetic (MinHash affine rehash, fingerprints)
     // needs Java semantics, not ANSI overflow errors:
     "spark.sql.ansi.enabled" -> "false",

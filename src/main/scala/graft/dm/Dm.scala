@@ -242,11 +242,23 @@ object Dm {
           .map { case (s, i) => (s, i, design.rows(s)(1)) }
           .toDF("sample_label", "si", "xi"))
       }
+      // Pin the fit stage's parallelism (same rationale as
+      // Ecdf.ecdfLookup's keyed repartition): the per-probe stats stage
+      // is CPU-bound but byte-SMALL (~8 MB at sf0.1), so AQE's byte-based
+      // coalescing squeezes the probe-keyed exchange onto ONE task and
+      // serializes every probe's fold + t-survival evaluation (measured:
+      // a 2.9 s single-task stage inside q67). An explicit
+      // repartition(n, probe_id) carries the same hash distribution the
+      // groupBy needs (no extra exchange) and AQE leaves user-pinned
+      // partition counts alone. n tracks spark.sql.shuffle.partitions,
+      // so the pin is cluster-sized, not a local constant.
+      val nPart = betas.sparkSession.sessionState.conf.numShufflePartitions
       val obs = betas
         .filter(col("sample_label").isin(samples: _*))
         .join(lookup, "sample_label")
         .select(col("probe_id"), col("si"), col("xi"),
           coalesce(col("beta").cast("double"), nan).as("y"))
+        .repartition(nPart, col("probe_id"))
         .groupBy("probe_id")
         // NaN betas drop out (when → null; collect_list skips nulls)
         // but the probe GROUP survives, matching the UDF's NaN-drop
@@ -308,6 +320,11 @@ object Dm {
         .select(col("probe_id"), col("fit"))
     } else betas
       .filter(col("sample_label").isin(samples: _*))
+      // parallelism pin, same rationale as the p = 2 route above: the
+      // per-probe pinv fits are CPU-heavy and byte-small — without the
+      // pin AQE coalesces the probe exchange to one task
+      .repartition(betas.sparkSession.sessionState.conf
+        .numShufflePartitions, col("probe_id"))
       .groupBy("probe_id")
       .agg(map_from_entries(collect_list(
         struct(col("sample_label"),
@@ -401,6 +418,15 @@ object Dm {
 
     val grouped = betas
       .filter(col("sample_label").isin(samples: _*))
+      // Parallelism pin (Ecdf rationale): the golden-section LMM fit is
+      // ~36 likelihood evaluations PER PROBE but the probe-keyed
+      // exchange is only ~8 MB at sf0.1, so AQE's byte-based coalescing
+      // was running every fit in ONE task (measured: a 5.1 s single-task
+      // stage inside q81 — its single biggest). The keyed repartition
+      // pins the fan-out at the cluster's shuffle parallelism; AQE
+      // leaves user-pinned counts alone.
+      .repartition(betas.sparkSession.sessionState.conf
+        .numShufflePartitions, col("probe_id"))
       .groupBy("probe_id")
       .agg(map_from_entries(collect_list(
         struct(col("sample_label"),

@@ -370,30 +370,62 @@ object Prep {
     import spark.implicits._
     val tagged = zeroToOne(bgCells).withColumn("is_fg", lit(false))
       .unionByName(zeroToOne(fgCells).withColumn("is_fg", lit(true)))
+    // Parallelism pin (Ecdf rationale): the gathered Huber stage is
+    // CPU-bound (two iterative fits per group) but byte-small (~22 MB at
+    // sf0.1), so AQE's byte-based coalescing was running EVERY group's
+    // fit in one task (measured: a 3.7 s single-task stage inside q63).
+    // A typed groupByKey re-keys through its own ENSURE_REQUIREMENTS
+    // exchange, which AQE coalesces again — so the gather is spelled as
+    // a user-pinned keyed repartition (AQE leaves explicit counts alone)
+    // + an in-partition sort + consecutive-run grouping, which builds
+    // exactly the same per-(sample, channel) groups at the cluster's
+    // shuffle parallelism. Per-group memory bound unchanged: one group's
+    // arrays at a time.
+    val nPart = spark.sessionState.conf.numShufflePartitions
     tagged
       .select(col("sample_label"), col("channel"), col("is_fg"),
         col("value").cast("double").as("v"))
+      .repartition(nPart, col("sample_label"), col("channel"))
+      .sortWithinPartitions("sample_label", "channel")
       .as[(String, String, Boolean, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String),
-          it: Iterator[(String, String, Boolean, Double)]) =>
-        val bgB = Array.newBuilder[Double]
-        val fgB = Array.newBuilder[Double]
-        it.foreach(r => if (r._3) fgB += r._4 else bgB += r._4)
-        val bgArr = bgB.result(); val fgArr = fgB.result()
-        // eligibility: ≥ 100 positive background values (after zeros→1
-        // every value is ≥ 1, so this is the array length)
-        if (bgArr.length < 100 || fgArr.isEmpty) Iterator.empty
-        else {
-          java.util.Arrays.sort(bgArr)
-          java.util.Arrays.sort(fgArr)
-          val cap = StatFuncs.median(bgArr) + StatFuncs.iqr(bgArr) * 10
-          val capped = bgArr.takeWhile(_ < cap) // sorted: < cap is a prefix
-          (for {
-            (mu, sigma) <- StatFuncs.huber(capped)
-            (fgMu, _) <- StatFuncs.huber(fgArr)
-          } yield (key._1, key._2, mu, sigma,
-            math.max(fgMu - mu, 10.0))).iterator
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, String, Double, Double, Double)] {
+          private var pending: Iterator[(String, String, Double, Double,
+            Double)] = Iterator.empty
+          private def fitGroup(): Unit =
+            while (!pending.hasNext && buf.hasNext) {
+              val k1 = buf.head._1; val k2 = buf.head._2
+              val bgB = Array.newBuilder[Double]
+              val fgB = Array.newBuilder[Double]
+              while (buf.hasNext && buf.head._1 == k1 &&
+                  buf.head._2 == k2) {
+                val r = buf.next()
+                if (r._3) fgB += r._4 else bgB += r._4
+              }
+              val bgArr = bgB.result(); val fgArr = fgB.result()
+              // eligibility: ≥ 100 positive background values (after
+              // zeros→1 every value is ≥ 1, so this is the array length)
+              pending =
+                if (bgArr.length < 100 || fgArr.isEmpty) Iterator.empty
+                else {
+                  java.util.Arrays.sort(bgArr)
+                  java.util.Arrays.sort(fgArr)
+                  val cap =
+                    StatFuncs.median(bgArr) + StatFuncs.iqr(bgArr) * 10
+                  // sorted: < cap is a prefix
+                  val capped = bgArr.takeWhile(_ < cap)
+                  (for {
+                    (mu, sigma) <- StatFuncs.huber(capped)
+                    (fgMu, _) <- StatFuncs.huber(fgArr)
+                  } yield (k1, k2, mu, sigma,
+                    math.max(fgMu - mu, 10.0))).iterator
+                }
+            }
+          def hasNext: Boolean = { fitGroup(); pending.hasNext }
+          def next(): (String, String, Double, Double, Double) = {
+            fitGroup(); pending.next()
+          }
         }
       }
       .collect()
