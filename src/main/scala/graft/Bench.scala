@@ -255,10 +255,28 @@ object Bench {
     val refMissingJson =
       refMissing.map(jstr).mkString("[", ",", "]")
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"outliers_failed":${jfail(outFailed)},"outlier_telemetry":$outlierTelJson,"telemetry":$telemetryJson,"failed":${jfail(failed)},"reps":$Reps,"storage_fraction":$storageFraction,"ref_loaded":${ref.nonEmpty},"ref_path":${jstr(refPath)},"ref_queries":${ref.size},"ref_missing":$refMissingJson,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures only the log TAIL — r6 lost q01-q14's rows to
-    // truncation. Persist the full record to disk so no round loses data.
+    // Line ORDER (r16): the compact summary first, the FULL record —
+    // the driver contract's one JSON line, `"queries"` map included —
+    // LAST. r15 proved the driver parses the LAST stdout line (its
+    // BENCH artifact carried the summary as `parsed`), and with the
+    // summary last PERF_r15 still had `per_query: {}` /
+    // `now_bench_ok: false`: the parsed line had no "queries". The r11
+    // guess that the tail buffer cut the full line's HEAD conflated two
+    // causes — every pre-r15 line was actually unparseable from sbt's
+    // `[info] ` prefix (fixed by StdoutOutput in bdc2064), and a
+    // contract that REQUIRES the per-query map cannot live inside a
+    // 2000-char window anyway. The scalar diagnostics are re-appended
+    // at the END of the full line so the bounded artifact tail keeps
+    // the totals/worst-5 human-readable even if a parser elsewhere is
+    // tail-windowed.
+    val worst5 = mins.flatMap { case (name, mn) =>
+      ref.get(name).map(r => name -> mn / r)
+    }.sortBy(-_._2).take(5)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_queries":${med.size},"worst5_min_ratio":${jmap(worst5)},"n_outlier_reruns":${outliers.size},"n_failed":${failed.size},"reps":$Reps,"ref_loaded":${ref.nonEmpty},"ref_queries":${ref.size},"ref_missing_n":${refMissing.size},"full_record":"target/bench.json","sf":"$sfDir"}"""
+    println(summary)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"queries_min":${jmap(mins)},"outliers":$outlierJson,"outliers_failed":${jfail(outFailed)},"outlier_telemetry":$outlierTelJson,"telemetry":$telemetryJson,"failed":${jfail(failed)},"storage_fraction":$storageFraction,"ref_path":${jstr(refPath)},"ref_missing":$refMissingJson,"total_sec":$total,"n_queries":${med.size},"worst5_min_ratio":${jmap(worst5)},"n_outlier_reruns":${outliers.size},"n_failed":${failed.size},"reps":$Reps,"ref_loaded":${ref.nonEmpty},"ref_queries":${ref.size},"sf":"$sfDir"}"""
+    // Persist the full record to disk too — r6 lost q01-q14's rows to
+    // log truncation; target/bench.json is the authoritative copy.
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -266,19 +284,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
-    // The driver captures a BOUNDED log tail: at 160+ queries the full
-    // record above outgrew it and BENCH_r10/r11.json shipped
-    // `parsed: null` — in r11 even though the summary was its own line,
-    // because that line still embedded all 171 medians and its HEAD was
-    // cut by the tail buffer. The last printed line must therefore be
-    // SMALL: totals, worst-5 min-vs-ref ratios, counts — no per-query
-    // maps at all (the full record is line 1 above and target/bench.json
-    // on disk). ~400 bytes always survives any tail window intact.
-    val worst5 = mins.flatMap { case (name, mn) =>
-      ref.get(name).map(r => name -> mn / r)
-    }.sortBy(-_._2).take(5)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_queries":${med.size},"worst5_min_ratio":${jmap(worst5)},"n_outlier_reruns":${outliers.size},"n_failed":${failed.size},"reps":$Reps,"ref_loaded":${ref.nonEmpty},"ref_queries":${ref.size},"ref_missing_n":${refMissing.size},"full_record":"target/bench.json","sf":"$sfDir"}"""
-    println(summary)
+    println(line)
     spark.stop()
   }
 }
