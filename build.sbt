@@ -63,3 +63,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2.2 s GC at 32g — the plan was never the problem, the heap was).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// GC A/B hook (r16): SPARK_GRAFT_GC=Parallel|G1|Z swaps the collector
+// for bench experiments; unset keeps the JVM default (G1 on JDK 17).
+javaOptions ++=
+  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

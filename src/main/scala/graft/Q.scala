@@ -119,6 +119,24 @@ object Q {
     // long-lived production cluster serving a wide query mix wants the
     // same (static conf, driver+executor JVM-local).
     "spark.sql.codegen.cache.maxEntries" -> "4096",
+    // r16: InferFiltersFromGenerate synthesizes `size(x) > 0 AND
+    // isnotnull(x)` under every explode, and predicate pushdown then
+    // SUBSTITUTES the generator input's alias chain while pushing that
+    // filter through projections and joins — re-deriving arbitrarily
+    // expensive array expressions below the query's own selective
+    // filters. Measured on q162: the energyProfile64(transform(...))
+    // chain re-evaluated TWICE for all 20k scan rows inside a join
+    // condition (1.4 s) instead of once for the 61 filtered rows;
+    // excluding the rule took q162 1.48 -> 0.23 s with every other
+    // explode query flat (DriverProfile A/B, 14-query explode subset).
+    // The rule's upside — dropping empty-array rows before a shuffle
+    // that precedes the explode — never applies here: every operator
+    // explodes row-locally BEFORE its first shuffle (the narrow-rows
+    // design rule), so the Generate drops those rows at the same stage
+    // anyway. Same trade at 100 TB: the substitution cost scales with
+    // the scan, the pruning benefit with rows a shuffle would carry.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     // r15: parallelismFirst back to TRUE (the Spark default). With
     // `false`, AQE coalesces every post-shuffle stage to the 64 MB
     // advisory REGARDLESS of its CPU cost — measured this round

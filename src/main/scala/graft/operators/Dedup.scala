@@ -663,13 +663,29 @@ object Dedup {
       // 2. pointer doubling: component := component(component)
       val parents = prop
         .select(col("id").as("_pd_id"), col("component").as("_pd_comp"))
+      // Convergence check FUSED onto the checkpoint job (r16, guide
+      // §1.2 — fewer actions): observe() counts changed labels while
+      // the eager localCheckpoint materializes the round, replacing the
+      // separate filter().isEmpty action (2 driver round-trips per
+      // round → 1). CollectMetrics accumulators are exactly-once per
+      // execution (task retries dedupe), and checkpoint runs through
+      // withAction, so the observed value is complete when the eager
+      // materialization returns. sum() over an empty frame is null →
+      // converged, matching isEmpty on the empty-graph edge case.
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_round_$round")
       val next = prop
         .join(parents, prop("component") === parents("_pd_id"), "left")
         .select(col("id"),
           coalesce(col("_pd_comp"), col("component")).as("component"),
           col("_prev"))
+        .observe(obs, sum(when(col("component") =!= col("_prev"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("component") =!= col("_prev")).isEmpty
+      converged = obs.get.get("changed").forall {
+        case null => true // sum over zero rows: no labels at all
+        case n: Number => n.longValue() == 0L
+      }
       labels = next.select(col("id"), col("component"))
       round += 1
     }

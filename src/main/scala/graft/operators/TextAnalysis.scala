@@ -256,7 +256,16 @@ object TextAnalysis {
         val pat = s"$SymL$a$SymR$SymL$b$SymR"
         val rep = s"$SymL$a$b$SymR"
         cur = cur.withColumn("s", replace($"s", lit(pat), lit(rep)))
-          .localCheckpoint()
+        // r16: checkpoint every 3rd merge, not every merge. Each round
+        // already pays one action (the argmax collect); a per-round
+        // eager checkpoint doubled the driver round-trips (q92: 40
+        // jobs). Between checkpoints a round's argmax re-applies at
+        // most 2 pending replaces over the word-TYPE table — a bounded
+        // O(cadence) recompute instead of a checkpoint write, the same
+        // trade at any scale (the table is vocab-sized, not
+        // corpus-sized). Replaces are deterministic, so recomputation
+        // is bit-identical and the merge sequence is unchanged.
+        if (i % 3 == 0) cur = cur.localCheckpoint()
         i += 1
       }
     }
