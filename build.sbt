@@ -63,7 +63,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2.2 s GC at 32g — the plan was never the problem, the heap was).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
-// GC A/B hook (r16): SPARK_GRAFT_GC=Parallel|G1|Z swaps the collector
-// for bench experiments; unset keeps the JVM default (G1 on JDK 17).
-javaOptions ++=
-  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
+// r16 GC A/B (the r15 verdict's requested experiment): ParallelGC vs
+// G1 (JDK 17 default) at the same 48g heap, full bench, identical
+// code — 100.9 s (G1) vs 90.1/91.0 s (ParallelGC, two runs), gains
+// broad (q59 −1.5, q71 −0.6, q84 −0.5 s) and heavy-query GC telemetry
+// ~0. Batch analytics wants the throughput collector: pauses cost
+// wall-clock only, there are no latency SLOs inside a bench/ETL JVM.
+// SPARK_GRAFT_GC=G1|Z|Parallel overrides for experiments.
+javaOptions +=
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC"

@@ -2032,13 +2032,20 @@ object TextQ {
         .select($"id_a", $"id_b", lit(1).as("hit"))
       // guarded so the expression is safe standalone: Spark's
       // sequence(1, 0) DESCENDS to [1, 0] and slice(_, 0, 3) throws —
-      // a greatest(n-2, 0) stop does NOT make 1-2-word texts safe
+      // a greatest(n-2, 0) stop does NOT make 1-2-word texts safe.
+      // r16: `split(text)` is LET-BOUND via a single-element transform
+      // (the Phash.aHash64Hof idiom) instead of written inline in the
+      // shingle lambda's body — a lambda body re-evaluates its
+      // subexpressions PER ELEMENT, so the inline form re-split a
+      // ~500-word document ~500 times (O(words²) per row; StageProfile
+      // measured 23.9 s task CPU across the two shingle broadcast
+      // stages). Same strings, same distinct set — one split per row.
       val sh = corpus.select($"doc_id", expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
-          "array_distinct(transform(" +
-          "sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> array_join(slice(split(text, ' '), i, 3), ' '))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")
+        "element_at(transform(array(split(text, ' ')), w -> " +
+          "CASE WHEN size(w) >= 3 THEN " +
+          "array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> array_join(slice(w, i, 3), ' '))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END), 1)")
         .as("sh"))
       val planted = ms.indices.map { l =>
         base.select($"doc_id".as("id_a"),
